@@ -1,0 +1,47 @@
+"""Text primitives: tokenization and shingling, all JVM-side expressions.
+
+Tokenization mirrors the reference mapper's ``strsep(line, " \\t\\n\\r")``
+(distwc.c:15-18). Quirk Q1 (SURVEY.md §2): strsep yields empty tokens for
+consecutive delimiters; the engine filters them by default (the reference
+fixtures contain none), with ``keep_empty=True`` available for byte parity
+on pathological inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: The reference's delimiter set, as a regex character class (distwc.c:16).
+DELIMS_RE = "[ \t\r\n]"
+
+
+def tokens(col: Column | str, pattern: str = DELIMS_RE, keep_empty: bool = False) -> Column:
+    """Split text into a token array (reference O2, distwc.c:15-18)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(c, pattern)
+    if not keep_empty:
+        arr = F.filter(arr, lambda t: t != F.lit(""))
+    return arr
+
+
+def word_shingles(col: Column | str, n: int = 5, pattern: str = DELIMS_RE) -> Column:
+    """Array of word n-grams ("shingles") for near-dup detection.
+
+    Pure expression: slice the token array at each start offset and join
+    with a single space. Short documents (< n tokens) yield one shingle of
+    the whole document so they still participate in dedup.
+    """
+    toks = tokens(col, pattern)
+    joined_all = F.array_join(toks, " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) < n, F.array(joined_all)).otherwise(grams)
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams (for fingerprinting / rolling-hash style
+    sketches). Documents shorter than n yield the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    return F.transform(starts, lambda i: F.substring(c, i, n))

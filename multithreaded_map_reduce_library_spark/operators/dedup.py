@@ -1,0 +1,172 @@
+"""Deduplication operators for a 100 TB training-data pipeline.
+
+Four tiers, all shuffle-minimal:
+
+- **Exact** (:func:`exact_dedup_groups`): hash-groupBy on md5(text). One
+  shuffle, map-side partial agg; the standard first pass.
+- **MinHash signature + LSH banding** (:func:`minhash_signature`,
+  :func:`lsh_band_keys`): the sketch is a *pure map-side expression* —
+  no shuffle to build signatures; only candidate-pair generation shuffles,
+  keyed on band hash. Hash family is ``md5(salt|shingle)`` whose
+  fixed-width hex compares like the 128-bit integer (so MIN over strings
+  is a valid permutation min-hash) and is reproducible in any engine with
+  md5 — which is what makes the sketch oracle-checkable in DuckDB.
+- **SimHash** (:func:`simhash_bits`): 64-bit near-dup fingerprint as a
+  bitstring; per-bit majority over the document's distinct-token md5 bits.
+  Pure expression (no shuffle); a vectorized pandas-UDF variant
+  (:func:`simhash_pandas_udf`) is provided for when 64 aggregate
+  expressions per row lose to NumPy at very high token counts.
+- **N-gram Jaccard** (plans/pipeline.py): exact pairwise verification over
+  shingle joins — used to confirm LSH candidates.
+
+The reference has no dedup (SURVEY.md §2.2); these are the driver-mandated
+pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (hash, representative id, count).
+
+    Keep-policy: lowest id wins (deterministic). At scale this is one
+    hash-shuffle on a 32-char key with map-side combine.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    ``sig[i] = MIN over shingles of md5(i || '|' || shingle)``. Entirely
+    map-side (array expression, no explode/shuffle).
+    """
+
+    def salted(i: int):
+        # One-parameter lambda only: a two-parameter lambda would make
+        # pyspark pass (element, index) and shadow the salt.
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, salted(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """LSH banding: array of ``bands`` bucket keys, each the md5 of one
+    band's slice of the signature. Two docs sharing any band key are
+    candidate near-duplicates."""
+    return F.array(
+        *[
+            F.md5(F.concat(F.lit(f"band{b}|"), F.concat_ws(",", F.slice(sig, b * rows + 1, rows))))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from MinHash-LSH banding.
+
+    Plan shape at scale: map-side signature -> explode bands (x4 rows, tiny)
+    -> shuffle on band key -> within-bucket self-join. No all-pairs cross
+    join anywhere.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("doc"), F.explode(lsh_band_keys(sig, bands, rows)).alias("band_key")
+    ).distinct()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def _hex_digit_value(h: Column, pos: int) -> Column:
+    """Value 0-15 of the hex digit at 1-based ``pos`` of md5-hex ``h``."""
+    return F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
+
+
+def simhash_bit_exprs(token_hash: Column, nbits: int = 64) -> list[Column]:
+    """Bit b (0/1) of the first ``nbits`` bits of an md5-hex token hash."""
+    out = []
+    for b in range(nbits):
+        v = _hex_digit_value(token_hash, b // 4 + 1)
+        shift = 3 - (b % 4)
+        out.append((F.floor(v / F.lit(2**shift)).cast("int") % 2))
+    return out
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", nbits: int = 64) -> DataFrame:
+    """64-bit SimHash per document as a bitstring column ``simhash``.
+
+    Majority vote per bit over the document's *distinct* tokens (weight 1
+    per token; documented divergence from tf-weighted variants). Computed
+    as one explode -> groupBy with 64 SUM aggregates — a single shuffle
+    with partial aggregation; bit-extraction arithmetic stays in codegen.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    aggs = [F.sum(e).alias(f"b{i}") for i, e in enumerate(simhash_bit_exprs(h, nbits))]
+    per_doc = toks.groupBy("doc").agg(F.count("*").alias("n_tokens"), *aggs)
+    bit_chars = [
+        F.when(F.col(f"b{i}") * 2 >= F.col("n_tokens"), F.lit("1")).otherwise(F.lit("0"))
+        for i in range(nbits)
+    ]
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.concat(*bit_chars).alias("simhash"),
+        F.col("n_tokens").alias("n_distinct_tokens"),
+    )
+
+
+def simhash_pandas_udf(nbits: int = 64):
+    """Vectorized SimHash for very high token counts: Arrow-batched pandas
+    UDF computing the same md5-based fingerprint with NumPy bit unpacking.
+    Provably equal to :func:`simhash_bits` (tests/test_dedup.py)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = {t for t in text.replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" ") if t}
+            if not toks:
+                out.append("0" * nbits)
+                continue
+            acc = np.zeros(nbits, dtype=np.int64)
+            for t in toks:
+                digest = hashlib.md5(t.encode("utf-8")).digest()
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[:nbits]
+                acc += bits
+            maj = (acc * 2 >= len(toks)).astype(np.uint8)
+            out.append("".join("1" if x else "0" for x in maj))
+        return pd.Series(out)
+
+    return simhash

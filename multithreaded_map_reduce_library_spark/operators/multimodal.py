@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata structs, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubbed exactly as the driver prescribes: a deterministic fake decoder
+(md5-seeded, reproducible) by default and ``NotImplementedError`` guards
+where a real codec (PIL/ffmpeg) would be imported. Everything Spark-side —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested; swapping in a real codec touches only ``_decode_image_bytes``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_md5", StringType(), True),
+        StructField("feat_dim", IntegerType(), True),
+        StructField("feat_l2", StringType(), True),
+    ]
+)
+
+HAVE_REAL_CODECS = False  # PIL / ffmpeg are not in this container.
+
+
+def _decode_image_bytes(payload: bytes) -> "object":
+    """Decode an image payload. STUB: no codec libs in this container.
+
+    The deterministic fake derives an 8x8 'pixel' grid from md5(payload) so
+    downstream plumbing (shapes, batching, feature math) is exercised with
+    reproducible values. Replace with PIL.Image.open for production.
+    """
+    if HAVE_REAL_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+    import numpy as np
+
+    seed = hashlib.md5(payload or b"").digest()
+    rng = np.frombuffer((seed * 4)[:64], dtype=np.uint8)
+    return rng.reshape(8, 8).astype("float64")
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow moves the binary column in columnar batches; each batch is decoded
+    (stub) and reduced to a small feature row. This is the plan shape for
+    100 TB of images: scan parquet -> mapInPandas -> columnar features, no
+    driver involvement, no per-row Python UDF.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, modality, payload in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                img = _decode_image_bytes(raw)
+                feat = np.asarray(img, dtype=np.float64).ravel()
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "modality": modality,
+                        "n_bytes": len(raw),
+                        "payload_md5": hashlib.md5(raw).hexdigest(),
+                        "feat_dim": feat.size,
+                        "feat_l2": f"{float(np.sqrt((feat ** 2).sum())):.6f}",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: treat document text bytes as opaque
+    payloads so the multimodal plumbing runs against driver-provided data."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' shape for video payloads: one output row per sampled
+    offset. posexplode over a computed offset array — JVM-side; the (stub)
+    per-frame decode would run in a downstream mapInPandas."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.octet_length("payload") - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    return assets.select(
+        "asset_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths per the driver contract:
+
+- **Brute-force top-k** (:func:`knn_bruteforce`): broadcast the query set,
+  JVM-side cosine (zip_with/aggregate — no Python), per-query ROW_NUMBER
+  top-k. Exact; scales as |Q| x |corpus| with the corpus never shuffled
+  (query side broadcast), so it's the right baseline whenever |Q| is small.
+- **LSH-bucketed ANN** (:func:`random_hyperplane_bucket`,
+  :func:`knn_lsh`): sign-random-projection (SimHash-for-vectors) buckets
+  with *deterministic* md5-derived hyperplanes, so the bucketing is
+  reproducible in any engine with md5 (oracle-checkable). Candidates only
+  meet within a bucket — the all-pairs join never materializes. At 100 TB
+  you'd add multi-probe / repetitions for recall; the plan shape is the
+  scale path.
+
+A vectorized pandas-UDF cosine (:func:`cosine_pandas_udf`) is provided for
+high dimensions where NumPy BLAS beats per-element codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.functions.vectors import cosine
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane components: sign = high bit of
+    md5("<plane>,<dim_index>") — reproducible from public md5 alone."""
+    return [
+        1 if int(hashlib.md5(f"{plane},{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for i in range(dim)
+    ]
+
+
+def random_hyperplane_bucket(vec: Column | str, dim: int, num_planes: int = 8) -> Column:
+    """Bucket id: concatenated signs of <vec, plane_p> for p in 0..P-1."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for p in range(num_planes):
+        signs = F.array(*[F.lit(float(s)) for s in hyperplane_signs(p, dim)])
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``query_ids`` defaults to the whole table (all-pairs kNN — use only at
+    small scale); pass a small query set for the broadcast plan.
+    """
+    from pyspark.sql import Window
+
+    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    queries = (query_ids or emb).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col("q_id") != F.col("n_id"))
+    sims = pairs.select("q_id", "n_id", cosine("q_vec", "n_vec").alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    dim: int,
+    k: int = 3,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same hyperplane
+    bucket, exact cosine re-rank within bucket. One shuffle on bucket id."""
+    from pyspark.sql import Window
+
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("bucket")
+    )
+    b = bucketed.select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("bucket").alias("bucket_b")
+    )
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("q_id") != F.col("n_id")))
+    sims = pairs.select("q_id", "n_id", "bucket", cosine("q_vec", "n_vec").alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
+
+
+def cosine_pandas_udf():
+    """Arrow-batched cosine against a broadcast query matrix — the
+    high-dimension alternative to the zip_with expression (NumPy dot)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            out[i] = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        return pd.Series(out)
+
+    return cos

@@ -1,0 +1,413 @@
+"""LLM-data-pipeline queries over ``documents``: dedup (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), text analysis (token stats, language ID, quality,
+fingerprinting), multimodal plumbing, and the streaming twin of the hourly
+window aggregate.
+
+Oracle strategy: every sketch is built on md5 (identical hex in Spark and
+DuckDB) and pure arithmetic, so even MinHash/SimHash/LSH — normally
+"non-SQL-expressible" — get full DuckDB oracles, generated programmatically
+below to keep the two dialects in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.operators import dedup as D
+from multithreaded_map_reduce_library_spark.operators import textstats as T
+from multithreaded_map_reduce_library_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+)
+from multithreaded_map_reduce_library_spark.functions.text import tokens, word_shingles
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+# --- DuckDB dialect fragments (mirror functions/text.py exactly) -----------
+
+_TOKS = r"list_filter(string_split_regex(text, '[ \t\r\n]'), t -> t <> '')"
+
+
+def _duck_shingles(n: int) -> str:
+    """Word n-gram shingles — DuckDB twin of functions/text.py::word_shingles."""
+    t = _TOKS
+    return (
+        f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
+        f"ELSE list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' ')) END"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy, lowest doc_id is the keeper."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_SHINGLE_N = 3
+
+
+def _duck_minhash_sig_cte(n: int = _SHINGLE_N, k: int = _MINHASH_K) -> str:
+    mins = ",\n               ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS m{i}"
+        for i in range(k)
+    )
+    return f"""
+        sh AS (SELECT doc_id, {_duck_shingles(n)} AS s FROM documents),
+        sig AS (SELECT doc_id,
+               {mins}
+               FROM sh)"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+        WITH {_duck_minhash_sig_cte()}
+        SELECT doc_id, concat_ws(',', {", ".join(f"m{i}" for i in range(_MINHASH_K))}) AS sig
+        FROM sig
+    """,
+    tags=("dedup", "minhash", "sketch"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (k=16, word 3-gram shingles) as a
+    map-side-only expression — zero shuffles to build the sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(word_shingles("text", _SHINGLE_N), _MINHASH_K)
+    return docs.select("doc_id", F.concat_ws(",", sig).alias("sig"))
+
+
+def _duck_band_exprs() -> str:
+    keys = []
+    for b in range(_LSH_BANDS):
+        cols = ", ".join(f"m{i}" for i in range(b * _LSH_ROWS, (b + 1) * _LSH_ROWS))
+        keys.append(f"md5('band{b}|' || concat_ws(',', {cols}))")
+    return f"[{', '.join(keys)}]"
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+        WITH {_duck_minhash_sig_cte()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        d AS (SELECT DISTINCT doc_id, x AS shingle
+              FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+                  FROM cand c
+                  JOIN d da ON da.doc_id = c.id_a
+                  JOIN d db ON db.doc_id = c.id_b AND db.shingle = da.shingle
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: banding (4 bands x 4 rows) proposes
+    candidate pairs, exact shingle-Jaccard verifies them. No all-pairs
+    join anywhere — candidate generation shuffles on band keys only, then
+    verification joins on shingles restricted to candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", _SHINGLE_N)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    da = sh.select(F.col("doc").alias("id_a"), "shingle")
+    db = sh.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        cand.join(da, "id_a")
+        .join(db, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_duck_shingles(_SHINGLE_N)} AS s FROM documents),
+        d AS (SELECT DISTINCT doc_id, x AS shingle
+              FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        inter AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, COUNT(*) AS i
+                  FROM d da JOIN d db ON da.shingle = db.shingle AND da.doc_id < db.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j_raw
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+        WHERE j_raw >= 0.1
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.1): inverted-index
+    self-join on shingles — pairs sharing no shingle never meet, so the
+    join output is bounded by shared-shingle pairs, not |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", _SHINGLE_N)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    da = sh.select(F.col("doc").alias("id_a"), "shingle")
+    db = sh.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        da.join(db, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    j_raw = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(j_raw >= 0.1)
+        .select("id_a", "id_b", F.round(j_raw, 4).alias("jaccard"))
+    )
+
+
+def _duck_simhash_sql(nbits: int = 64) -> str:
+    hexpos = "strpos('0123456789abcdef', substr(hh, {pos}, 1)) - 1"
+    sums = []
+    cases = []
+    for b in range(nbits):
+        v = hexpos.format(pos=b // 4 + 1)
+        shift = 3 - (b % 4)
+        sums.append(f"SUM((({v}) // {2 ** shift}) % 2) AS b{b}")
+        cases.append(f"CASE WHEN 2 * b{b} >= n THEN '1' ELSE '0' END")
+    return f"""
+        WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS hh FROM t),
+        s AS (SELECT doc_id, COUNT(*) AS n, {", ".join(sums)} FROM h GROUP BY doc_id)
+        SELECT doc_id, concat({", ".join(cases)}) AS simhash, n AS n_distinct_tokens
+        FROM s
+    """
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=_duck_simhash_sql(),
+    tags=("dedup", "simhash", "sketch"),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (majority bit over distinct-token md5
+    bits), emitted as a bitstring. Near-dup distance = Hamming distance."""
+    return D.simhash_bits(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{T.BPE_ISH_RE}')) AS BIGINT) AS n_subwords,
+               ROUND(CASE WHEN len({_TOKS}) > 0
+                     THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS})
+                     ELSE 0.0 END, 4) AS avg_token_len
+        FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, BPE-ish subword count, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = T.whitespace_token_count("text")
+    avg_len = F.when(
+        n_toks > 0, F.length(F.regexp_replace("text", " ", "")).cast("double") / n_toks
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_toks.cast("bigint").alias("n_tokens"),
+        T.regex_token_count("text").cast("bigint").alias("n_subwords"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+    )
+
+
+def _duck_stopword_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> lower(t) IN ({words})))"
+
+
+def _duck_lang_id_sql() -> str:
+    counts = {lang: _duck_stopword_count(lang) for lang in T.LANG_STOPWORDS}
+    best = f"greatest({', '.join(counts.values())})"
+    whens = " ".join(
+        f"WHEN ({counts[lang]}) = ({best}) AND ({best}) > 0 THEN '{lang}'"
+        for lang in T.LANG_STOPWORDS
+    )
+    return f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE {whens} ELSE 'und' END AS pred_lang
+        FROM documents
+    """
+
+
+@register("lang_id_heuristic", oracle=_duck_lang_id_sql(), tags=("text", "lang-id"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID (argmax over per-language counts,
+    first-language-wins tie-break, 'und' when no evidence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), T.lang_id("text").alias("pred_lang")
+    )
+
+
+def _duck_quality_sql() -> str:
+    sw_total = " + ".join(f"({_duck_stopword_count(lang)})" for lang in T.LANG_STOPWORDS)
+    return f"""
+        SELECT doc_id, ROUND(
+            (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN len({_TOKS}) > 0
+                  AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) >= 3
+                  AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) <= 10
+             THEN 0.25 ELSE 0.0 END)
+          + least((CASE WHEN len({_TOKS}) > 0
+                   THEN CAST({sw_total} AS DOUBLE) / len({_TOKS}) ELSE 0.0 END) * 2.5, 0.25)
+          + 0.25 * (1 - least(CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                         / length(text) ELSE 0.0 END * 5, 1.0))
+        , 4) AS quality
+        FROM documents
+    """
+
+
+@register("doc_quality_score", oracle=_duck_quality_sql(), tags=("text", "quality"))
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality score from cheap columnar features
+    (length band, token-length band, stopword ratio, symbol purity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(T.quality_score("text"), 4).alias("quality"))
+
+
+_FP_N = 8
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_aggregate(CASE WHEN length(text) < {_FP_N} THEN [md5(text)]
+                    ELSE list_transform(range(1, length(text) - {_FP_N} + 2),
+                         i -> md5(substring(text, i, {_FP_N}))) END, 'min') AS fp_min,
+               list_aggregate(CASE WHEN length(text) < {_FP_N} THEN [md5(text)]
+                    ELSE list_transform(range(1, length(text) - {_FP_N} + 2),
+                         i -> md5(substring(text, i, {_FP_N}))) END, 'max') AS fp_max
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling character-8-gram fingerprint (min/max md5 — the 2-sketch of
+    the winnowing family); map-side-only expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_min, fp_max = T.fingerprint_minmax("text", _FP_N)
+    return docs.select("doc_id", fp_min.alias("fp_min"), fp_max.alias("fp_max"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + streaming twin
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata pass: documents as binary payloads (the
+    adapter real image/audio tables would share), byte length + content
+    hash computed JVM-side on the binary column."""
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas decode stub — not SQL-expressible; rows-only check
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode kernel stubbed deterministically — no codecs in container)."""
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return extract_features(assets)
+
+
+@register(
+    "stream_events_hourly",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark", "tumbling-window"),
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate with a 2h watermark,
+    drained with Trigger.AvailableNow into a memory sink — checked against
+    the same SQL oracle as the batch twin (streaming/batch unification)."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        hourly_counts_stream,
+        run_stream_to_df,
+    )
+
+    return run_stream_to_df(spark, hourly_counts_stream(events_stream(spark, sf_dir)))

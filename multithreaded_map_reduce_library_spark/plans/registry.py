@@ -1,0 +1,87 @@
+"""Query registry — the single source of truth behind __spark_entry__.py.
+
+Every implemented operator registers here with:
+- ``fn(spark, sf_dir) -> DataFrame``: the Spark-first implementation, and
+- ``oracle``: equivalent ANSI SQL DuckDB runs on the same parquet views
+  (None only for genuinely non-SQL-expressible ops; the driver then records
+  a weaker rows-only check).
+
+Column names are part of the contract: the driver's comparator sorts
+columns by name before value-hashing, so Spark aliases and SQL ``AS``
+names must match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default=())
+    #: queries bench.py times at sf0.1
+    bench: bool = False
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver may invoke a query on a session it built from any
+            # cwd; self-ship the package so UDFs resolve on executors.
+            from multithreaded_map_reduce_library_spark.session import (
+                ensure_package_on_executors,
+            )
+
+            ensure_package_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, oracle, description or (fn.__doc__ or "").strip(), tags, bench)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from multithreaded_map_reduce_library_spark.plans import (  # noqa: F401
+        mapreduce_q,
+        pipeline,
+        relational,
+        similarity_q,
+    )
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: q.fn for n, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,136 @@
+"""Similarity-search queries over ``embeddings`` (array<float>, dim=64).
+
+Cross-engine float discipline: Spark computes dot products as a
+left-fold ``aggregate`` (0.0 + p1 + p2 + ...); the DuckDB oracles spell
+the same sum as an explicit left-associative chain ``ev[1]*ev[1] + ...``,
+which evaluates in the identical order — so similarities are bit-identical
+and rank/top-k cuts cannot diverge between engines. Only the displayed
+similarity is rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.operators.similarity import (
+    hyperplane_signs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+_DIM = 64
+_KNN_QUERIES = 10
+_KNN_K = 5
+_LSH_PLANES = 8
+_LSH_K = 3
+
+
+def _dot(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, _DIM + 1))
+
+
+def _knn_oracle() -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        s AS (SELECT q_id, n_id,
+                     ({_dot("qv", "nv")}) / (sqrt({_dot("qv", "qv")}) * sqrt({_dot("nv", "nv")})) AS sim
+              FROM q, c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        FROM r WHERE rank <= {_KNN_K}
+    """
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=_knn_oracle(),
+    tags=("similarity", "knn", "exact"),
+    bench=True,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 10-vector query set: broadcast the queries,
+    JVM-side zip_with/aggregate cosine over the corpus (never shuffled),
+    ROW_NUMBER cut per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    res = knn_bruteforce(emb, query_ids=q, k=_KNN_K)
+    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(_LSH_PLANES):
+        signs = hyperplane_signs(p, _DIM)
+        # Spark folds 0.0 + x1*s1 + x2*s2 + ...; with s = ±1 the chain
+        # 0.0 + (±x1) + (±x2) + ... is bit-identical, so spell that.
+        terms = "0.0 " + " ".join(
+            f"{'+' if s > 0 else '-'} {vec}[{i + 1}]" for i, s in enumerate(signs)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+        p AS (SELECT a.vec_id AS q_id, x.vec_id AS n_id, a.bucket,
+                     ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
+              FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+        r AS (SELECT q_id, n_id, bucket, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              FROM p)
+        SELECT q_id, n_id, bucket, rank, ROUND(sim, 6) AS sim_r
+        FROM r WHERE rank <= {_LSH_K}
+    """
+
+
+@register(
+    "ann_lsh_cosine",
+    oracle=_lsh_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-random-projection buckets (8 deterministic
+    md5-derived hyperplanes): candidates meet only within a bucket, exact
+    cosine re-ranks top-3. The scale path — the all-pairs join never exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn_lsh(emb, dim=_DIM, k=_LSH_K, num_planes=_LSH_PLANES)
+    return res.select("q_id", "n_id", "bucket", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+def _norm_sql() -> str:
+    return f"sqrt({_dot('v', 'v')})"
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG({_norm_sql()}), 4) AS avg_norm,
+               ROUND(MIN({_norm_sql()}), 6) AS min_norm,
+               ROUND(MAX({_norm_sql()}), 6) AS max_norm
+        FROM e GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (count, norm envelope)."""
+    from multithreaded_map_reduce_library_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

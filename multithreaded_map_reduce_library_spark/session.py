@@ -1,0 +1,114 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32), but every
+config here is chosen for the 1000-executor / 100 TB deployment:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and plan
+  re-optimization replace any hand-tuned partition counts (the reference
+  hard-codes 10 partitions, distwc.c:38 — AQE is the scale-correct answer).
+- Arrow on: the pandas-UDF path (similarity, multimodal decode) moves data
+  in columnar batches, not pickled rows.
+- UTC session timezone: deterministic timestamp semantics matching the
+  DuckDB oracle's naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "multithreaded-map-reduce-library-spark"
+
+_PKG_ZIP: str | None = None
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def _package_zip() -> str:
+    """Zip this package once per process so executors can import it."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, path = tempfile.mkstemp(prefix=f"{pkg_name}-", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    Cloudpickle serializes UDFs defined in an importable module *by
+    reference*, so executors must be able to import
+    ``multithreaded_map_reduce_library_spark`` — which fails when the
+    consumer process (the round driver, a notebook) launched from a cwd
+    outside the repo. ``addPyFile`` works on an already-running session and
+    is the same mechanism used to ship code to a real 1000-executor cluster.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    spark.sparkContext.addPyFile(_package_zip())
+    _SHIPPED_APP_IDS.add(app_id)
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_package_on_executors(spark)
+    return spark
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to a session we didn't create.
+
+    The driver hands ``entry``/``queries`` an already-built session; static
+    configs (driver memory, master) can't change, but SQL configs can.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ensure_package_on_executors(spark)
+    return spark

@@ -1,0 +1,70 @@
+"""Source connectors: the driver's parquet star schema + text files.
+
+The reference's only source is an array of local text files read
+line-by-line (distwc.c:9-14, mapreduce.c:55-71). Spark's ``read.text``
+is the direct equivalent (one row per line, splits computed by Spark —
+which, unlike the reference's whole-file-per-task model, scales to files
+far larger than a single task). Parquet is the engine's primary columnar
+source for the relational/pipeline tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one star-schema table.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown and
+    column pruning: callers filter/select on the returned DataFrame and the
+    parquet scan only reads the referenced columns / row groups.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; we read nanos as long (legacy conf) and rebuild a
+    ``timestamp_ntz`` column. Integer ``div`` (not ``/``) keeps full
+    microsecond precision — epoch-nanos exceed double's 53-bit mantissa.
+    """
+    if name == "events":
+        # May run inside the driver's own session, so set the conf here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> None:
+    """Register each table as a temp view for spark.sql() querying."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_text_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """One row per line, column ``value`` — reference O1 (distwc.c:9-14).
+
+    ``input_file_name()`` is available downstream for per-file provenance,
+    replacing the reference's explicit File[] array (mapreduce.h:27-30).
+    """
+    return spark.read.text(paths)

@@ -1,0 +1,102 @@
+"""Structured Streaming over the events stream: watermarked tumbling and
+sliding window aggregates.
+
+The reference is strictly batch — its phase barrier forbids any reduce
+before all maps finish (threadpool.c:178-186, SURVEY.md §2.2 Streaming
+row). This module is the driver-mandated streaming extension: the same
+windowed aggregation semantics as the batch query
+plans/relational.py::events_hourly_tumbling, expressed as an incremental
+plan with a watermark bounding state for late data.
+
+Tested via ``Trigger.AvailableNow`` + memory sink: the stream drains the
+parquet input and must produce exactly the batch answer (the streaming/
+batch unification Structured Streaming guarantees).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource requires a *directory*; stage a symlink to the
+    single parquet file under a stable temp dir."""
+    if os.path.isdir(path):
+        return path
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"mtmrl_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet. Parquet streaming needs an explicit
+    schema; we take it from a static read (nanos ts arrives as long — same
+    legacy-conf handling as sources/catalog.py) and rebuild timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP (not NTZ); pin the session to UTC so the
+    # ltz event time and the oracle's naive timestamps coincide.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (late rows beyond the watermark
+    are dropped and their window state evicted — bounded state at 100 TB/day
+    event rates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in two
+    windows; watermark semantics identical to the tumbling case."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events")
+    )
+
+
+def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+    """Drain a streaming plan with AvailableNow into a memory sink and
+    return the result as a static DataFrame (complete mode)."""
+    name = f"mtmrl_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

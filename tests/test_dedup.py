@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from multithreaded_map_reduce_library_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_bits,
+    simhash_pandas_udf,
+)
+from multithreaded_map_reduce_library_spark.functions.text import word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
+        (2, "completely different text about spark catalyst optimizer internals"),
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 3 collapse
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sig = minhash_signature(word_shingles("text", 3), 16)
+    out = {r["doc_id"]: r["s"] for r in docs.select("doc_id", F.concat_ws(",", sig).alias("s")).collect()}
+    assert out[0] == out[3]
+    assert out[0] != out[2]
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, shingle_n=3).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup should band-collide
+    assert (0, 2) not in pairs
+
+
+def test_simhash_expression_equals_pandas_udf(spark, docs):
+    expr_out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
+    udf = simhash_pandas_udf(64)
+    udf_out = {
+        r["doc_id"]: r["sh"] for r in docs.select("doc_id", udf("text").alias("sh")).collect()
+    }
+    assert expr_out == udf_out
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in expr_out.values())
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(out[0], out[3]) == 0
+    assert ham(out[0], out[1]) < ham(out[0], out[2])

@@ -1,0 +1,33 @@
+"""Structured Streaming must produce exactly the batch answer when drained
+with AvailableNow (streaming/batch unification)."""
+
+from __future__ import annotations
+
+from multithreaded_map_reduce_library_spark.plans.relational import events_hourly_tumbling
+from multithreaded_map_reduce_library_spark.streaming.windows import (
+    events_stream,
+    hourly_counts_stream,
+    run_stream_to_df,
+    sliding_counts_stream,
+)
+from tests.conftest import SF_SMALL
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_hourly_equals_batch(spark):
+    stream_res = run_stream_to_df(spark, hourly_counts_stream(events_stream(spark, SF_SMALL)))
+    batch_res = events_hourly_tumbling(spark, SF_SMALL)
+    assert _as_set(stream_res) == _as_set(batch_res)
+
+
+def test_sliding_windows_double_count(spark):
+    res = run_stream_to_df(spark, sliding_counts_stream(events_stream(spark, SF_SMALL)))
+    rows = res.collect()
+    # every event lands in exactly 2 sliding windows (1h window, 30min slide)
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n_events
