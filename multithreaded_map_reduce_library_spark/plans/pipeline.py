@@ -88,8 +88,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (k=16, word 3-gram shingles) as a
     map-side-only expression — zero shuffles to build the sketch."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signature(word_shingles("text", _SHINGLE_N), _MINHASH_K)
-    return docs.select("doc_id", F.concat_ws(",", sig).alias("sig"))
+    with_sh = docs.select("doc_id", word_shingles("text", _SHINGLE_N).alias("_sh"))
+    sig = D.minhash_signature(F.col("_sh"), _MINHASH_K)
+    return with_sh.select("doc_id", F.concat_ws(",", sig).alias("sig"))
 
 
 def _duck_band_exprs() -> str:
@@ -139,8 +140,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")
+    # Candidate set is orders of magnitude smaller than the shingle index
+    # (LSH prunes the pair space) — broadcast it to both verification joins
+    # so the index is never shuffled on pair ids.
     inter = (
-        cand.join(da, "id_a")
+        F.broadcast(cand)
+        .join(da, "id_a")
         .join(db, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))
