@@ -108,6 +108,93 @@ def knn_lsh(
     return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
 
 
+def assign_ivf_cells(
+    emb: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids (every
+    ``stride``-th vector by id — reproducible without a trained codebook):
+    each vector is assigned to its nearest centroid by cosine (ties to the
+    lowest centroid id). Centroids are broadcast; the corpus is scanned
+    once and never shuffled for assignment.
+
+    Returns (id, vec, cell) where cell is the centroid's id.
+    """
+    from pyspark.sql import Window
+
+    centroids = emb.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).crossJoin(
+        F.broadcast(centroids)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc(cosine("vec", "c_vec")), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", F.col("c_id").alias("cell"))
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    stride: int = 50,
+    k: int = 3,
+    num_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: queries search only their own cell (nprobe=1), exact
+    cosine re-rank inside it. The scale path of the two ANN variants — at
+    100 TB the per-cell candidate lists are the only join fan-out, and the
+    cell index is a plain equi-join key (bucketable/bucketed at rest)."""
+    from pyspark.sql import Window
+
+    cells = assign_ivf_cells(emb, stride, id_col, vec_col)
+    queries = cells.filter(F.col("id") < num_queries).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    cand = F.broadcast(queries).join(
+        cells.withColumnRenamed("id", "n_id").withColumnRenamed("vec", "n_vec"),
+        "cell",
+    ).filter(F.col("n_id") != F.col("q_id"))
+    sims = cand.select("q_id", "n_id", "cell", cosine("q_vec", "n_vec").alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates (only
+    same-bucket pairs meet), exact cosine filter at ``threshold``. The
+    bucketing is part of the operator's definition (deterministic md5
+    hyperplanes), so results are exactly reproducible — and the all-pairs
+    join never exists at any scale."""
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_pandas_udf():
     """Arrow-batched cosine against a broadcast query matrix — the
     high-dimension alternative to the zip_with expression (NumPy dot)."""

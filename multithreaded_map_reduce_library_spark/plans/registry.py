@@ -67,9 +67,11 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from multithreaded_map_reduce_library_spark.plans import (  # noqa: F401
+        events_q,
         mapreduce_q,
         pipeline,
         relational,
+        relational2,
         similarity_q,
     )
 

@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.operators.similarity import (
+    embedding_neardup_pairs,
     hyperplane_signs,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from multithreaded_map_reduce_library_spark.plans.registry import register
@@ -64,9 +66,9 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, num_planes: int = _LSH_PLANES) -> str:
     bits = []
-    for p in range(_LSH_PLANES):
+    for p in range(num_planes):
         signs = hyperplane_signs(p, _DIM)
         # Spark folds 0.0 + x1*s1 + x2*s2 + ...; with s = ±1 the chain
         # 0.0 + (±x1) + (±x2) + ... is bit-identical, so spell that.
@@ -104,6 +106,79 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     res = knn_lsh(emb, dim=_DIM, k=_LSH_K, num_planes=_LSH_PLANES)
     return res.select("q_id", "n_id", "bucket", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+_IVF_STRIDE = 50
+_IVF_K = 3
+_NEARDUP_PLANES = 4
+_NEARDUP_THRESHOLD = 0.3
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        scored AS (SELECT e.vec_id, e.v, c.c_id,
+                          ({_dot("e.v", "c.cv")}) / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("c.cv", "c.cv")})) AS csim
+                   FROM e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, v, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rn
+                FROM scored),
+        cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < {_KNN_QUERIES}),
+        s AS (SELECT q.q_id, c.vec_id AS n_id, q.cell,
+                     ({_dot("q.qv", "c.v")}) / (sqrt({_dot("q.qv", "q.qv")}) * sqrt({_dot("c.v", "c.v")})) AS sim
+              FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.q_id),
+        r AS (SELECT q_id, n_id, cell, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, n_id, cell, rank, ROUND(sim, 6) AS sim_r
+        FROM r WHERE rank <= {_IVF_K}
+    """
+
+
+@register(
+    "ann_ivf_cosine",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic every-50th-id centroids, nprobe=1):
+    broadcast centroid assignment, per-cell candidate join, exact cosine
+    re-rank. The cell id is a plain equi-join key — the 100 TB layout
+    buckets the corpus by cell at rest so probes touch one bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn_ivf(emb, stride=_IVF_STRIDE, k=_IVF_K, num_queries=_KNN_QUERIES)
+    return res.select("q_id", "n_id", "cell", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+def _neardup_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql("v", _NEARDUP_PLANES)} AS bucket FROM e),
+        p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                     ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
+              FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+        SELECT id_a, id_b, ROUND(sim, 6) AS sim_r
+        FROM p WHERE sim >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_neardup_oracle(),
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: 4-plane LSH buckets propose
+    candidates (same-bucket only — the all-pairs join never exists), exact
+    cosine >= 0.3 confirms. The completion of the dedup tier list
+    (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, dim=_DIM, threshold=_NEARDUP_THRESHOLD, num_planes=_NEARDUP_PLANES
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 
 def _norm_sql() -> str:
