@@ -394,6 +394,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_events_sliding",
+    oracle="""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes')
+                       AS window_start
+            FROM events, unnest([0, 1]) AS t(i)
+        )
+        SELECT CAST(window_start AS TIMESTAMP) AS window_start, COUNT(*) AS n_events
+        FROM w GROUP BY 1
+    """,
+    tags=("streaming", "sliding-window", "watermark"),
+)
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window count (1 h / 30 min slide, 2 h
+    watermark) drained with AvailableNow — must equal the batch expansion
+    the oracle spells with unnest."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+        sliding_counts_stream,
+    )
+
+    return run_stream_to_df(spark, sliding_counts_stream(events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_user_running_totals",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals kept in GroupState. Drained in update mode; the final
+    state per user (max event count wins — counts are monotone) must equal
+    the batch GROUP BY, which is the oracle."""
+    from pyspark.sql import Window
+
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+        user_running_totals_stream,
+    )
+
+    updates = run_stream_to_df(
+        spark, user_running_totals_stream(events_stream(spark, sf_dir)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -260,6 +260,35 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_revenue_by_region",
+    oracle="""
+        SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, 2
+    """,
+    tags=("sql-api", "join", "agg"),
+)
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface: identical logical plan to the DataFrame
+    API (both compile to the same Catalyst tree), exercised through
+    registered temp views so reference users can bring raw SQL."""
+    from multithreaded_map_reduce_library_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return spark.sql("""
+        SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_year
+    """)
+
+
 # --------------------------------------------------------------------------
 # As-of join / range join (events)
 # --------------------------------------------------------------------------

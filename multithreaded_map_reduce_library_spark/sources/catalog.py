@@ -61,6 +61,27 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABL
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def read_csv(
+    spark: SparkSession, paths: str | list[str], schema=None, header: bool = True
+) -> DataFrame:
+    """CSV source. An explicit schema keeps the read single-pass (schema
+    inference is a second full scan — never at 100 TB)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def read_jsonl(spark: SparkSession, paths: str | list[str], schema=None) -> DataFrame:
+    """JSON-lines source; same explicit-schema discipline as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
 def read_text_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """One row per line, column ``value`` — reference O1 (distwc.c:9-14).
 

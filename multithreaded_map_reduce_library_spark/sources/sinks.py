@@ -40,3 +40,23 @@ def write_partitioned_text(
         .select("pid", "line")
     )
     out.write.mode("overwrite").partitionBy("pid").text(output_dir)
+
+
+def write_parquet(
+    df: DataFrame, output_dir: str, partition_cols: list[str] | None = None
+) -> None:
+    """Columnar sink; ``partition_cols`` become hive-style directories that
+    later scans partition-prune on."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(output_dir)
+
+
+def write_csv(df: DataFrame, output_dir: str, header: bool = True) -> None:
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    w.csv(output_dir)
+
+
+def write_jsonl(df: DataFrame, output_dir: str) -> None:
+    df.write.mode("overwrite").json(output_dir)

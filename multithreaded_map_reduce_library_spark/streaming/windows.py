@@ -87,14 +87,46 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
-def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum,
+    kept in explicit GroupState across micro-batches via
+    ``applyInPandasWithState`` (Arrow-batched; the Spark-native form of a
+    user-defined stateful reducer — the closest modern analog of the
+    reference's Reducer-with-iterator contract, mapreduce.h:6,83, but
+    incremental and restart-safe via the state store).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_to_df(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a streaming plan with AvailableNow into a memory sink and
-    return the result as a static DataFrame (complete mode)."""
+    return the result as a static DataFrame."""
     name = f"mtmrl_stream_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -16,6 +16,37 @@ def test_djb2_expr_matches_python(spark):
         assert r["pid"] == djb2(r["key"], 10), r["key"]
 
 
+def test_csv_jsonl_parquet_roundtrip(spark, tmp_path):
+    """Source/sink breadth: the same frame survives csv, jsonl, and
+    hive-partitioned parquet round-trips (schema given explicitly on read
+    — the single-pass 100 TB discipline)."""
+    from multithreaded_map_reduce_library_spark.sources.catalog import read_csv, read_jsonl
+    from multithreaded_map_reduce_library_spark.sources.sinks import (
+        write_csv,
+        write_jsonl,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "a", 0.25)], ["id", "grp", "val"]
+    )
+    expect = {(1, "a", 1.5), (2, "b", -2.0), (3, "a", 0.25)}
+    schema = "id bigint, grp string, val double"
+
+    write_csv(df, str(tmp_path / "c"))
+    assert {tuple(r) for r in read_csv(spark, str(tmp_path / "c"), schema).collect()} == expect
+
+    write_jsonl(df, str(tmp_path / "j"))
+    assert {tuple(r) for r in read_jsonl(spark, str(tmp_path / "j"), schema).collect()} == expect
+
+    write_parquet(df, str(tmp_path / "p"), partition_cols=["grp"])
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert {(r.id, r.grp, r.val) for r in back.collect()} == expect
+    # partition pruning: a grp filter must prune to the one directory
+    pruned = back.filter(F.col("grp") == "b")
+    assert "PartitionFilters: [isnotnull(grp" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 1
+
+
 def test_partitioned_text_sink_layout(spark, tmp_path):
     df = spark.createDataFrame(
         [("apple", 3), ("banana", 2), ("cherry", 7), ("date", 1)], ["key", "value"]
