@@ -39,6 +39,34 @@ def word_shingles(col: Column | str, n: int = 5, pattern: str = DELIMS_RE) -> Co
     return F.when(F.size(toks) < n, F.array(joined_all)).otherwise(grams)
 
 
+def word_shingle_hash32(toks: Column, n: int = 3) -> Column:
+    """32-bit hashes of word n-gram shingles in ONE pass: array<long> where
+    element j = int(md5(shingle_j)[:8], 16), shingle_j being the same
+    space-joined n-gram :func:`word_shingles` would build.
+
+    Why fused: Spark's higher-order functions run *interpreted* (no
+    whole-stage codegen), so each transform pass over a shingle array has
+    real per-element overhead — building string shingles and hashing them
+    in separate passes measured 2.5s+ at sf0.1 vs fusing construction and
+    hashing into this single transform. Downstream dedup only ever needs
+    the hash, never the shingle string.
+
+    ``toks`` MUST be a materialized token-array column (not an inline
+    ``tokens(...)`` expression): the lambda references it per element and
+    Catalyst re-evaluates inlined expressions inside lambdas.
+    """
+    whole = F.conv(F.substring(F.md5(F.array_join(toks, " ")), 1, 8), 16, 10).cast("long")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+
+    def gram_hash(i: Column) -> Column:
+        parts = [F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        return F.conv(F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 8), 16, 10).cast("long")
+
+    return F.when(F.size(toks) < n, F.array(whole)).otherwise(
+        F.transform(starts, gram_hash)
+    )
+
+
 def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Array of character n-grams (for fingerprinting / rolling-hash style
     sketches). Documents shorter than n yield the whole text."""

@@ -30,7 +30,11 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from multithreaded_map_reduce_library_spark.functions.text import tokens, word_shingles
+from multithreaded_map_reduce_library_spark.functions.text import (
+    tokens,
+    word_shingle_hash32,
+    word_shingles,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,31 +48,69 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``.
+#: Prime > 2^32 for the (a*h + b) mod p universal hash family.
+MH_PRIME = 4294967311
 
-    ``sig[i] = MIN over shingles of md5(i || '|' || shingle)``. Entirely
-    map-side (array expression, no explode/shuffle).
+
+def mh_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash-family member ``i`` — derived from
+    public md5 so any engine reproduces them. a is capped at 2^30 so
+    a*h + b < 2^63 (h < 2^32): no 64-bit overflow in Spark OR DuckDB
+    (whose BIGINT errors on overflow instead of wrapping)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (2**30) + 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MH_PRIME
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Each shingle hashed ONCE to a 32-bit int (first 8 hex digits of its
+    md5). The expensive md5 pass happens here a single time; the hash
+    family in :func:`minhash_signature` is cheap integer arithmetic over
+    this array. Callers must materialize the result through its own
+    projection before fanning out (see :func:`minhash_banded`)."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes`` over a
+    pre-hashed shingle array (:func:`shingle_hashes`):
+    ``sig[i] = MIN over shingles of (a_i * h + b_i) mod P``.
+
+    One md5 per shingle total (vs one per shingle *per hash* in the naive
+    form — measured 6s -> sub-second for the signature stage at sf0.1);
+    the 16 min-reductions are integer codegen.
     """
 
-    def salted(i: int):
-        # One-parameter lambda only: a two-parameter lambda would make
-        # pyspark pass (element, index) and shadow the salt.
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def member(i: int):
+        a, b = mh_params(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, salted(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(hashes, member(i))) for i in range(num_hashes)]
     )
 
 
 def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
     """LSH banding: array of ``bands`` bucket keys, each the md5 of one
-    band's slice of the signature. Two docs sharing any band key are
-    candidate near-duplicates."""
+    band's slice of the (bigint) signature rendered as decimal CSV. Two
+    docs sharing any band key are candidate near-duplicates."""
     return F.array(
         *[
-            F.md5(F.concat(F.lit(f"band{b}|"), F.concat_ws(",", F.slice(sig, b * rows + 1, rows))))
+            F.md5(
+                F.concat(
+                    F.lit(f"band{b}|"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                    ),
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -90,11 +132,12 @@ def minhash_banded(
     tokenize+shingle expression per hash (measured 6x slowdown at sf0.01).
     """
     rows = num_hashes // bands
-    with_sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("_sh")
+    with_t = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_t")
     )
-    with_sig = with_sh.select(
-        "doc", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    with_h = with_t.select("doc", word_shingle_hash32(F.col("_t"), shingle_n).alias("_h"))
+    with_sig = with_h.select(
+        "doc", minhash_signature(F.col("_h"), num_hashes).alias("_sig")
     )
     return with_sig.select(
         "doc", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("band_key")

@@ -63,16 +63,32 @@ _LSH_ROWS = 4
 _SHINGLE_N = 3
 
 
-def _duck_minhash_sig_cte(n: int = _SHINGLE_N, k: int = _MINHASH_K) -> str:
-    mins = ",\n               ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS m{i}"
-        for i in range(k)
+def _duck_h32(var: str = "x") -> str:
+    """First 8 hex digits of md5 as a BIGINT — DuckDB twin of
+    operators/dedup.py::shingle_hashes."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({var}), {p}, 1)) - 1) * {16 ** (8 - p)}"
+        for p in range(1, 9)
     )
+    return f"({terms})"
+
+
+def _duck_minhash_sig_cte(n: int = _SHINGLE_N, k: int = _MINHASH_K) -> str:
+    from multithreaded_map_reduce_library_spark.operators.dedup import MH_PRIME, mh_params
+
+    mins = []
+    for i in range(k):
+        a, b = mh_params(i)
+        mins.append(
+            f"list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {MH_PRIME}), 'min') AS m{i}"
+        )
+    mins_sql = ",\n               ".join(mins)
     return f"""
         sh AS (SELECT doc_id, {_duck_shingles(n)} AS s FROM documents),
+        hs AS (SELECT doc_id, s, list_transform(s, x -> {_duck_h32("x")}) AS hv FROM sh),
         sig AS (SELECT doc_id,
-               {mins}
-               FROM sh)"""
+               {mins_sql}
+               FROM hs)"""
 
 
 @register(
@@ -87,10 +103,21 @@ def _duck_minhash_sig_cte(n: int = _SHINGLE_N, k: int = _MINHASH_K) -> str:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (k=16, word 3-gram shingles) as a
     map-side-only expression — zero shuffles to build the sketch."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", word_shingles("text", _SHINGLE_N).alias("_sh"))
-    sig = D.minhash_signature(F.col("_sh"), _MINHASH_K)
-    return with_sh.select("doc_id", F.concat_ws(",", sig).alias("sig"))
+    with_t = docs.select("doc_id", tokens("text").alias("_t"))
+    with_h = with_t.select(
+        "doc_id", word_shingle_hash32(F.col("_t"), _SHINGLE_N).alias("_h")
+    )
+    sig = D.minhash_signature(F.col("_h"), _MINHASH_K)
+    return with_h.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))).alias("sig"),
+    )
 
 
 def _duck_band_exprs() -> str:
@@ -108,8 +135,7 @@ def _duck_band_exprs() -> str:
         bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        d AS (SELECT DISTINCT doc_id, x AS shingle
-              FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+        d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
                   FROM cand c
@@ -134,9 +160,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_lsh_pairs(
         docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
     )
-    sh = docs.select(
-        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", _SHINGLE_N)).alias("shingle")
-    ).distinct()
+    sh = _shingle_hash_index(docs)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")
@@ -165,12 +189,29 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_hash_index(docs: DataFrame) -> DataFrame:
+    """(doc, shingle) inverted index over 32-bit shingle *hashes*: tokens
+    materialized, fused shingle-hash transform, per-doc array_distinct
+    (map-side — no shuffle to dedup), then explode. Ints, not shingle
+    strings, cross the shuffle: ~8 bytes/row instead of the n-gram text."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+
+    with_t = docs.select(F.col("doc_id").alias("doc"), tokens("text").alias("_t"))
+    with_h = with_t.select(
+        "doc", word_shingle_hash32(F.col("_t"), _SHINGLE_N).alias("_h")
+    )
+    return with_h.select("doc", F.explode(F.array_distinct(F.col("_h"))).alias("shingle"))
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
         WITH sh AS (SELECT doc_id, {_duck_shingles(_SHINGLE_N)} AS s FROM documents),
-        d AS (SELECT DISTINCT doc_id, x AS shingle
-              FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+        hs AS (SELECT doc_id, list_transform(s, x -> {_duck_h32("x")}) AS hv FROM sh),
+        d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
         inter AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, COUNT(*) AS i
                   FROM d da JOIN d db ON da.shingle = db.shingle AND da.doc_id < db.doc_id
@@ -188,9 +229,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingles — pairs sharing no shingle never meet, so the
     join output is bounded by shared-shingle pairs, not |docs|^2."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("doc"), F.explode(word_shingles("text", _SHINGLE_N)).alias("shingle")
-    ).distinct()
+    sh = _shingle_hash_index(docs)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")
@@ -381,9 +420,31 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_multimodal_features_sql() -> str:
+    """The deterministic fake decoder is md5-derived, so even the
+    mapInPandas path gets a full oracle: pixels are md5(payload) digest
+    bytes tiled 4x to 64, hence sum-of-squares = 4 * sum over the 16
+    digest bytes; feat_l2 = sqrt of that, %.6f-formatted."""
+    hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    byte_sq = " + ".join(
+        f"pow(16 * {hv.format(p=2 * i + 1)} + {hv.format(p=2 * i + 2)}, 2)"
+        for i in range(16)
+    )
+    return f"""
+        WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS nb
+                   FROM documents)
+        SELECT doc_id AS asset_id, 'image' AS modality,
+               CAST(nb AS BIGINT) AS n_bytes,
+               h AS payload_md5,
+               64 AS feat_dim,
+               printf('%.6f', sqrt(4 * ({byte_sq}))) AS feat_l2
+        FROM m
+    """
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas decode stub — not SQL-expressible; rows-only check
+    oracle=_duck_multimodal_features_sql(),
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,7 @@ from multithreaded_map_reduce_library_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_signature,
+    shingle_hashes,
     simhash_bits,
     simhash_pandas_udf,
 )
@@ -31,8 +32,8 @@ def test_exact_dedup(spark, docs):
 
 
 def test_minhash_identical_docs_identical_sigs(spark, docs):
-    sig = minhash_signature(word_shingles("text", 3), 16)
-    out = {r["doc_id"]: r["s"] for r in docs.select("doc_id", F.concat_ws(",", sig).alias("s")).collect()}
+    sig = minhash_signature(shingle_hashes(word_shingles("text", 3)), 16)
+    out = {r["doc_id"]: tuple(r["s"]) for r in docs.select("doc_id", sig.alias("s")).collect()}
     assert out[0] == out[3]
     assert out[0] != out[2]
 
