@@ -523,6 +523,23 @@ def setop_active_keys_union_intersect(spark: SparkSession, sf_dir: str) -> DataF
     return o.union(c).distinct().agg(F.count("*").alias("n_union"))
 
 
+@register(
+    "setop_intersect_buyers_suppliers_nations",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def setop_intersect_buyers_suppliers_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection) — Catalyst plans it as a
+    left-semi join after per-side distinct."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
 # --------------------------------------------------------------------------
 # Event-stream batch analytics (the streaming variants live in streaming/)
 # --------------------------------------------------------------------------
