@@ -70,6 +70,7 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, sess_id
     """,
     tags=("events", "session-window", "streaming-equivalent"),
+    bench=True,
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native session_window (30 min gap): per-session start/end/

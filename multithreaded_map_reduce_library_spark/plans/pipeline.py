@@ -272,6 +272,7 @@ def _duck_simhash_sql(nbits: int = 64) -> str:
     "simhash_fingerprint",
     oracle=_duck_simhash_sql(),
     tags=("dedup", "simhash", "sketch"),
+    bench=True,
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (majority bit over distinct-token md5
@@ -391,6 +392,38 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp_min, fp_max = T.fingerprint_minmax("text", _FP_N)
     return docs.select("doc_id", fp_min.alias("fp_min"), fp_max.alias("fp_max"))
+
+
+@register(
+    "skew_salted_token_counts",
+    oracle=f"""
+        SELECT tok AS key, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+        HAVING COUNT(*) >= 100
+    """,
+    tags=("skew", "salting", "agg"),
+)
+def skew_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase SALTED aggregation over a Zipfian key (token
+    frequencies): stage 1 groups on (key, salt) spreading each hot key over
+    16 reducers, stage 2 sums the partials. For plain COUNT Spark's own
+    map-side partial aggregation already defuses skew — this pattern is the
+    scale tool for aggregations that are NOT partial-aggregable (exact
+    distinct structures, large collect_set state) or joins on hot keys
+    where one reducer would otherwise straggle; oracle = the unsalted
+    GROUP BY, because salting must never change the answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("key"))
+    # Any salt assignment yields the same final sums, so rand() is safe
+    # here (correctness is salt-invariant by construction).
+    salted = toks.withColumn("salt", (F.rand(seed=7) * 16).cast("int"))
+    stage1 = salted.groupBy("key", "salt").agg(F.count("*").alias("c"))
+    return (
+        stage1.groupBy("key")
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") >= 100)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -133,6 +133,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
     """,
     tags=("join", "tpch", "agg-semi"),
+    bench=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: aggregate-then-semi-join. The HAVING pre-aggregate

@@ -141,6 +141,7 @@ def _ivf_oracle() -> str:
     "ann_ivf_cosine",
     oracle=_ivf_oracle(),
     tags=("similarity", "ann", "ivf"),
+    bench=True,
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (deterministic every-50th-id centroids, nprobe=1):
