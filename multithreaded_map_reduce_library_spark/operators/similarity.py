@@ -27,7 +27,19 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from multithreaded_map_reduce_library_spark.functions.vectors import cosine
+from multithreaded_map_reduce_library_spark.functions.vectors import cosine, dot, l2_norm
+
+
+def _cos_pre(va, vb, na, nb) -> Column:
+    """Cosine from a fresh dot product and per-side PRE-COMPUTED norms.
+
+    Norms must be materialized in a projection *below* the join that forms
+    the pairs: higher-order functions run interpreted, and recomputing
+    both norms per pair triples the fold passes (measured ~2.5x on the IVF
+    assignment at sf0.1). Values are bit-identical to cosine() — the same
+    folds over the same arrays, just evaluated once per row.
+    """
+    return dot(va, vb) / (F.col(na) * F.col(nb))
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[int]:
@@ -68,10 +80,20 @@ def knn_bruteforce(
     """
     from pyspark.sql import Window
 
-    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    queries = (query_ids or emb).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    corpus = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        l2_norm(vec_col).alias("n_norm"),
+    )
+    queries = (query_ids or emb).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col("q_id") != F.col("n_id"))
-    sims = pairs.select("q_id", "n_id", cosine("q_vec", "n_vec").alias("sim"))
+    sims = pairs.select(
+        "q_id", "n_id", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -94,16 +116,21 @@ def knn_lsh(
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
         random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
     )
     a = bucketed.select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("bucket")
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"), F.col("bucket"),
     )
     b = bucketed.select(
-        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("bucket").alias("bucket_b")
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"),
+        F.col("norm").alias("n_norm"), F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("q_id") != F.col("n_id")))
-    sims = pairs.select("q_id", "n_id", "bucket", cosine("q_vec", "n_vec").alias("sim"))
+    sims = pairs.select(
+        "q_id", "n_id", "bucket", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
 
@@ -125,16 +152,22 @@ def assign_ivf_cells(
     from pyspark.sql import Window
 
     centroids = emb.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
     )
-    scored = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).crossJoin(
-        F.broadcast(centroids)
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("v_norm"),
+    ).crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(_cos_pre("vec", "c_vec", "v_norm", "c_norm")), F.asc("c_id")
     )
-    w = Window.partitionBy("id").orderBy(F.desc(cosine("vec", "c_vec")), F.asc("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("id", "vec", F.col("c_id").alias("cell"))
+        .select("id", "vec", F.col("v_norm").alias("norm"), F.col("c_id").alias("cell"))
     )
 
 
@@ -154,13 +187,20 @@ def knn_ivf(
 
     cells = assign_ivf_cells(emb, stride, id_col, vec_col)
     queries = cells.filter(F.col("id") < num_queries).select(
-        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cell"
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        "cell",
     )
     cand = F.broadcast(queries).join(
-        cells.withColumnRenamed("id", "n_id").withColumnRenamed("vec", "n_vec"),
+        cells.withColumnRenamed("id", "n_id")
+        .withColumnRenamed("vec", "n_vec")
+        .withColumnRenamed("norm", "n_norm"),
         "cell",
     ).filter(F.col("n_id") != F.col("q_id"))
-    sims = cand.select("q_id", "n_id", "cell", cosine("q_vec", "n_vec").alias("sim"))
+    sims = cand.select(
+        "q_id", "n_id", "cell", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
@@ -183,14 +223,21 @@ def embedding_neardup_pairs(
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("norm"),
         random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
     )
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("norm").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .select("id_a", "id_b", _cos_pre("va", "vb", "na", "nb").alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -45,6 +45,27 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (0, 2) not in pairs
 
 
+def test_fused_shingle_hash_equals_twostep(spark, docs):
+    """word_shingle_hash32 (fused build+hash) must equal hashing the
+    word_shingles output — same md5-prefix ints, same order."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+
+    with_t = docs.select("doc_id", tokens("text").alias("_t"))
+    fused = {
+        r["doc_id"]: r["h"]
+        for r in with_t.select("doc_id", word_shingle_hash32(F.col("_t"), 3).alias("h")).collect()
+    }
+    with_sh = docs.select("doc_id", word_shingles("text", 3).alias("_sh"))
+    twostep = {
+        r["doc_id"]: r["h"]
+        for r in with_sh.select("doc_id", shingle_hashes(F.col("_sh")).alias("h")).collect()
+    }
+    assert fused == twostep
+
+
 def test_simhash_expression_equals_pandas_udf(spark, docs):
     expr_out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
     udf = simhash_pandas_udf(64)
