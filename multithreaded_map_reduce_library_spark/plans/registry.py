@@ -72,6 +72,7 @@ def _load_all() -> None:
         pipeline,
         relational,
         relational2,
+        relational3,
         similarity_q,
     )
 

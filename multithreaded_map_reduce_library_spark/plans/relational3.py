@@ -1,0 +1,174 @@
+"""Relational breadth, batch 3: GROUPING SETS, analytic window functions
+(lag/lead/first/last, ntile/percent_rank/cume_dist), ordered string
+aggregation, scalar subqueries, and UNION ALL — rounding out the SQL
+surface a reference user migrating real workloads would expect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, register_views
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets", "sql-api"),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): one Expand +
+    single-shuffle aggregate, via the SQL surface."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice - LAG(o_totalprice) OVER w, 4)  AS diff_prev,
+               ROUND(LEAD(o_totalprice) OVER w - o_totalprice, 4) AS diff_next,
+               ROUND(FIRST_VALUE(o_totalprice) OVER w2, 4)        AS first_price,
+               ROUND(LAST_VALUE(o_totalprice) OVER w2, 4)         AS last_price
+        FROM orders
+        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "lag-lead"),
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD/FIRST/LAST analytics per customer order history (full-frame
+    for first/last; deterministic (date, orderkey) ordering). One shuffle
+    on o_custkey serves all four window functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _r4(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("diff_prev"),
+        _r4(F.lead("o_totalprice").over(w) - F.col("o_totalprice")).alias("diff_next"),
+        _r4(F.first("o_totalprice").over(w2)).alias("first_price"),
+        _r4(F.last("o_totalprice").over(w2)).alias("last_price"),
+    )
+
+
+@register(
+    "window_rank_distribution",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER w AS BIGINT)      AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6)      AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6)         AS cume,
+               CAST(DENSE_RANK() OVER ws AS BIGINT) AS status_rank
+        FROM orders
+        WINDOW w  AS (ORDER BY o_totalprice DESC, o_orderkey ASC),
+               ws AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: ntile/percent_rank/cume_dist over a global ordering
+    plus dense_rank per status. The global window is the one operator that
+    genuinely serializes (single partition) — at 100 TB you'd pre-aggregate
+    or bucket the domain first; kept here for SQL-surface completeness."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ws = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(ws).cast("bigint").alias("status_rank"),
+    )
+
+
+@register(
+    "ordered_name_agg",
+    oracle="""
+        SELECT c_nationkey AS nationkey,
+               string_agg(c_name, '|' ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_acctbal > 9900
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "collect", "ordered"),
+)
+def ordered_name_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: array_sort(collect_list) then join —
+    deterministic regardless of partitioning (collect_list order is not,
+    the sort makes it so)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names")
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    tags=("subquery", "scalar", "sql-api"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned once, result broadcast into
+    the filter): orders above the global average price."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """)
+
+
+@register(
+    "union_all_party_names",
+    oracle="""
+        SELECT side, COUNT(*) AS n, MIN(name) AS first_name
+        FROM (
+            SELECT 'customer' AS side, c_name AS name FROM customer
+            UNION ALL
+            SELECT 'supplier' AS side, s_name AS name FROM supplier
+        )
+        GROUP BY side
+    """,
+    tags=("setop", "union-all"),
+)
+def union_all_party_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle on the union itself) of two
+    heterogeneous sources projected to a common schema."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_name").alias("name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_name").alias("name")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("side")
+        .agg(F.count("*").alias("n"), F.min("name").alias("first_name"))
+    )
