@@ -146,6 +146,77 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_pandas_top_docs",
+    oracle="""
+        SELECT source, doc_id, n_chars_int AS n_chars, rank FROM (
+            SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars_int,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY length(text) DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM documents)
+        WHERE rank <= 3
+    """,
+    tags=("udf", "applyInPandas", "grouped"),
+)
+def grouped_pandas_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom Python operator via applyInPandas: per source, the 3
+    longest documents. Each group arrives as one Arrow-backed pandas frame
+    — the modern form of the reference's Reducer-over-grouped-values
+    contract (mapreduce.h:6,83). Ranking math is integer-only (length,
+    doc_id), so the result is bit-exact against the SQL oracle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out[["source", "doc_id", "n_chars", "rank"]]
+
+    return docs.groupBy("source").applyInPandas(
+        top3, "source string, doc_id bigint, n_chars bigint, rank bigint"
+    )
+
+
+@register(
+    "full_outer_join_daily_activity",
+    oracle="""
+        SELECT COALESCE(p.d, c.d) AS day,
+               COALESCE(p.n, 0) AS n_purchases,
+               COALESCE(c.n, 0) AS n_clicks
+        FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        FULL OUTER JOIN
+             (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
+              FROM events WHERE event_type = 'click' GROUP BY 1) c
+          ON p.d = c.d
+    """,
+    tags=("join", "full-outer"),
+)
+def full_outer_join_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (days present on either
+    side survive; missing side coalesces to 0)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("d_p"))
+        .agg(F.count("*").alias("n_p"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(day.alias("d_c"))
+        .agg(F.count("*").alias("n_c"))
+    )
+    return p.join(c, p.d_p == c.d_c, "full_outer").select(
+        F.coalesce("d_p", "d_c").alias("day"),
+        F.coalesce("n_p", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_c", F.lit(0)).alias("n_clicks"),
+    )
+
+
+@register(
     "union_all_party_names",
     oracle="""
         SELECT side, COUNT(*) AS n, MIN(name) AS first_name
