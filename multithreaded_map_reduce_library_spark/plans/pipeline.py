@@ -563,6 +563,54 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_windows",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                        WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM g)
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session-window", "stateful"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window aggregation (30 min gap) — the
+    merging-session state-store path — drained with AvailableNow in
+    complete mode; must equal the batch gap-merge, which is the oracle
+    (same rewrite as events_session_windows)."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
