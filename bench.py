@@ -29,9 +29,21 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen once with the cheapest plan so timings measure
-    # the queries, not session startup.
+    # Warm the JVM/codegen once with the cheapest plan, and boot the Python
+    # UDF workers with a trivial pandas UDF, so timings measure the queries,
+    # not session/runtime startup.
     next(iter(bench_queries.values())).fn(spark, sf_dir).limit(1).collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _ident(s):
+        return s
+
+    # Enough partitions to boot one Python worker per core (workers are
+    # reused afterwards; otherwise the first wide UDF stage pays the boot).
+    spark.range(0, 100_000, 1, 64).select(_ident(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     for name, q in bench_queries.items():
         t0 = time.perf_counter()

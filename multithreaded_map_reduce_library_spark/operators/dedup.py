@@ -131,11 +131,15 @@ def minhash_banded(
     ``num_hashes`` transform lambdas makes Catalyst re-evaluate the full
     tokenize+shingle expression per hash (measured 6x slowdown at sf0.01).
     """
-    rows = num_hashes // bands
-    with_t = df.select(
-        F.col(id_col).alias("doc"), tokens(text_col).alias("_t")
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        shingle_hash32_pandas_udf,
     )
-    with_h = with_t.select("doc", word_shingle_hash32(F.col("_t"), shingle_n).alias("_h"))
+
+    rows = num_hashes // bands
+    hash_udf = shingle_hash32_pandas_udf(shingle_n)
+    with_h = df.select(
+        F.col(id_col).alias("doc"), hash_udf(text_col).alias("_h")
+    )
     with_sig = with_h.select(
         "doc", minhash_signature(F.col("_h"), num_hashes).alias("_sig")
     )

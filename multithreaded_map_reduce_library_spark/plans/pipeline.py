@@ -190,19 +190,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_hash_index(docs: DataFrame) -> DataFrame:
-    """(doc, shingle) inverted index over 32-bit shingle *hashes*: tokens
-    materialized, fused shingle-hash transform, per-doc array_distinct
-    (map-side — no shuffle to dedup), then explode. Ints, not shingle
-    strings, cross the shuffle: ~8 bytes/row instead of the n-gram text."""
+    """(doc, shingle) inverted index over 32-bit shingle *hashes*: Arrow
+    pandas-UDF hashing (hashlib md5 — bit-exact twin of the expression
+    form), per-doc array_distinct (map-side — no shuffle to dedup), then
+    explode. Ints, not shingle strings, cross the shuffle: ~8 bytes/row
+    instead of the n-gram text."""
     from multithreaded_map_reduce_library_spark.functions.text import (
-        tokens,
-        word_shingle_hash32,
+        shingle_hash32_pandas_udf,
     )
 
-    with_t = docs.select(F.col("doc_id").alias("doc"), tokens("text").alias("_t"))
-    with_h = with_t.select(
-        "doc", word_shingle_hash32(F.col("_t"), _SHINGLE_N).alias("_h")
-    )
+    hash_udf = shingle_hash32_pandas_udf(_SHINGLE_N)
+    with_h = docs.select(F.col("doc_id").alias("doc"), hash_udf("text").alias("_h"))
     return with_h.select("doc", F.explode(F.array_distinct(F.col("_h"))).alias("shingle"))
 
 

@@ -66,6 +66,27 @@ def test_fused_shingle_hash_equals_twostep(spark, docs):
     assert fused == twostep
 
 
+def test_shingle_hash_udf_equals_expression(spark, docs):
+    """The Arrow pandas-UDF shingle hasher must be bit-identical to the
+    JVM expression form — it backs the oracle-checked minhash queries."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        shingle_hash32_pandas_udf,
+        tokens,
+        word_shingle_hash32,
+    )
+
+    with_t = docs.select("doc_id", tokens("text").alias("_t"))
+    expr = {
+        r["doc_id"]: r["h"]
+        for r in with_t.select("doc_id", word_shingle_hash32(F.col("_t"), 3).alias("h")).collect()
+    }
+    udf = shingle_hash32_pandas_udf(3)
+    via_udf = {
+        r["doc_id"]: r["h"] for r in docs.select("doc_id", udf("text").alias("h")).collect()
+    }
+    assert expr == via_udf
+
+
 def test_simhash_expression_equals_pandas_udf(spark, docs):
     expr_out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
     udf = simhash_pandas_udf(64)
