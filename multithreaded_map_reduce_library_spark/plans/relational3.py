@@ -217,6 +217,65 @@ def full_outer_join_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "array_funcs_order_quantities",
+    oracle="""
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(l_quantity)), ',') AS qty_sorted,
+               CAST(len(list(l_quantity)) AS INTEGER)            AS n_items,
+               ROUND(list_aggregate(list(l_quantity), 'max'), 4) AS max_qty,
+               ROUND(list_aggregate(list_transform(list_sort(list(l_quantity)),
+                     q -> q * 2), 'min'), 4)                     AS min_doubled
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+    """,
+    tags=("scalar-array", "agg"),
+)
+def array_funcs_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over grouped data: sort_array/collect_list,
+    size, array_max, transform+array_min — rendered to deterministic
+    scalars (collect_list order is made stable by the sort)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    qtys = F.sort_array(F.collect_list("l_quantity"))
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(qtys, ",").alias("qty_sorted"),
+        F.size(qtys).alias("n_items"),
+        _r4(F.array_max(qtys)).alias("max_qty"),
+        _r4(F.array_min(F.transform(qtys, lambda q: q * 2))).alias("min_doubled"),
+    )
+
+
+@register(
+    "string_funcs_part_names",
+    oracle="""
+        SELECT p_partkey,
+               upper(trim(p_name))                         AS name_uc,
+               lpad(CAST(p_size AS VARCHAR), 4, '0')       AS size_padded,
+               replace(p_type, 'PROMO', 'P*')              AS type_repl,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+               split_part(p_brand, '#', 1)                 AS brand_prefix,
+               CAST(length(p_name) AS INTEGER)             AS name_len
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+    tags=("scalar-string",),
+)
+def string_funcs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: upper/trim, lpad, replace, global
+    regexp_replace, substring_index (split_part), length."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim("p_name")).alias("name_uc"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace("p_type", F.lit("PROMO"), F.lit("P*")).alias("type_repl"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.substring_index("p_brand", "#", 1).alias("brand_prefix"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
     "union_all_party_names",
     oracle="""
         SELECT side, COUNT(*) AS n, MIN(name) AS first_name
