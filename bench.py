@@ -29,21 +29,27 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen once with the cheapest plan, and boot the Python
-    # UDF workers with a trivial pandas UDF, so timings measure the queries,
-    # not session/runtime startup.
-    next(iter(bench_queries.values())).fn(spark, sf_dir).limit(1).collect()
+    # Warm-up pass: boot Python UDF workers (one per core) and compile each
+    # query's whole-stage-codegen classes by running every bench plan once
+    # at the smallest scale factor. Codegen compilation is plan-structure
+    # keyed, so the sf0.001 run populates the compile cache for the timed
+    # sf run — timings then measure execution, not janino compilation (the
+    # 64-wide cosine folds alone cost seconds to compile).
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
     def _ident(s):
         return s
 
-    # Enough partitions to boot one Python worker per core (workers are
-    # reused afterwards; otherwise the first wide UDF stage pays the boot).
     spark.range(0, 100_000, 1, 64).select(_ident(col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
+    warm_dir = "/root/testdata/sf0.001"
+    for q in bench_queries.values():
+        try:
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            q.fn(spark, sf_dir).limit(1).collect()
 
     for name, q in bench_queries.items():
         t0 = time.perf_counter()

@@ -116,6 +116,61 @@ def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
     )
 
 
+def minhash_band_keys_pandas_udf(
+    shingle_n: int = 3, num_hashes: int = 16, bands: int = 4
+):
+    """Arrow-batched end-to-end sketch: text -> shingle hashes -> minhash
+    signature -> LSH band keys, all inside one pandas UDF (hashlib md5 +
+    vectorized NumPy modular arithmetic). Byte-identical to the expression
+    pipeline (shingle_hash32 -> minhash_signature -> lsh_band_keys), which
+    tests assert — the hash family constants and band-key rendering are
+    shared. This is the fast path for the banding stage; the expression
+    forms remain the definition the DuckDB oracles mirror."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = num_hashes // bands
+    ab = [mh_params(i) for i in range(num_hashes)]
+    a_arr = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+    b_arr = np.array([b for _, b in ab], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<string>")
+    def band_keys(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = [
+                t
+                for t in text.replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" ")
+                if t
+            ]
+            if len(toks) < shingle_n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+            h = np.array(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
+                dtype=np.int64,
+            )
+            sig = ((a_arr * h + b_arr) % MH_PRIME).min(axis=1)
+            keys = [
+                hashlib.md5(
+                    (
+                        f"band{b}|" + ",".join(str(m) for m in sig[b * rows : (b + 1) * rows])
+                    ).encode("utf-8")
+                ).hexdigest()
+                for b in range(bands)
+            ]
+            out.append(keys)
+        return pd.Series(out)
+
+    return band_keys
+
+
 def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
@@ -131,20 +186,9 @@ def minhash_banded(
     ``num_hashes`` transform lambdas makes Catalyst re-evaluate the full
     tokenize+shingle expression per hash (measured 6x slowdown at sf0.01).
     """
-    from multithreaded_map_reduce_library_spark.functions.text import (
-        shingle_hash32_pandas_udf,
-    )
-
-    rows = num_hashes // bands
-    hash_udf = shingle_hash32_pandas_udf(shingle_n)
-    with_h = df.select(
-        F.col(id_col).alias("doc"), hash_udf(text_col).alias("_h")
-    )
-    with_sig = with_h.select(
-        "doc", minhash_signature(F.col("_h"), num_hashes).alias("_sig")
-    )
-    return with_sig.select(
-        "doc", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("band_key")
+    keys_udf = minhash_band_keys_pandas_udf(shingle_n, num_hashes, bands)
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(keys_udf(text_col)).alias("band_key")
     ).distinct()
 
 

@@ -87,6 +87,33 @@ def test_shingle_hash_udf_equals_expression(spark, docs):
     assert expr == via_udf
 
 
+def test_band_keys_udf_equals_expression_pipeline(spark, docs):
+    """The fused band-key UDF must equal shingle_hash32 -> signature ->
+    lsh_band_keys composed as expressions — it backs the oracle-checked
+    minhash_lsh_candidates query."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+    from multithreaded_map_reduce_library_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_band_keys_pandas_udf,
+    )
+
+    with_t = docs.select("doc_id", tokens("text").alias("_t"))
+    with_h = with_t.select("doc_id", word_shingle_hash32(F.col("_t"), 3).alias("_h"))
+    with_sig = with_h.select("doc_id", minhash_signature(F.col("_h"), 16).alias("_sig"))
+    expr = {
+        r["doc_id"]: r["k"]
+        for r in with_sig.select("doc_id", lsh_band_keys(F.col("_sig"), 4, 4).alias("k")).collect()
+    }
+    udf = minhash_band_keys_pandas_udf(3, 16, 4)
+    via_udf = {
+        r["doc_id"]: r["k"] for r in docs.select("doc_id", udf("text").alias("k")).collect()
+    }
+    assert expr == via_udf
+
+
 def test_simhash_expression_equals_pandas_udf(spark, docs):
     expr_out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
     udf = simhash_pandas_udf(64)
