@@ -20,7 +20,7 @@ from multithreaded_map_reduce_library_spark.operators.multimodal import (
     documents_as_assets,
     extract_features,
 )
-from multithreaded_map_reduce_library_spark.functions.text import tokens, word_shingles
+from multithreaded_map_reduce_library_spark.functions.text import tokens
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -407,6 +407,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp_min, fp_max = T.fingerprint_minmax("text", _FP_N)
     return docs.select("doc_id", fp_min.alias("fp_min"), fp_max.alias("fp_max"))
+
+
+@register(
+    "tfidf_terms",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE doc_id < 50),
+        tf AS (SELECT doc_id, term, COUNT(*) AS f FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS d FROM t GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS total FROM t)
+        SELECT tf.doc_id, tf.term, tf.f AS tf,
+               CAST(df.d AS BIGINT) AS df,
+               ROUND(tf.f * ln(CAST(n.total AS DOUBLE) / df.d), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over a 50-doc slice: term frequency x ln(N/df). One explode,
+    two aggregations, one broadcast-sized join on term — at corpus scale
+    the df table is the only shared state and it's a skinny (term, count)
+    relation. Values are reported rounded, unranked: cross-engine libm
+    ln() can differ in the last ulp, so rank cuts on tfidf would not be
+    portable, but 4-decimal values are."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.select(F.countDistinct("doc_id").alias("total"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("total").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
 
 
 @register(
