@@ -48,6 +48,109 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_click_to_purchase",
+    oracle="""
+        WITH j AS (
+            SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        )
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               CAST(COUNT(*) FILTER (WHERE c_ts IS NOT NULL
+                    AND p_ts - c_ts <= INTERVAL 1 HOUR) AS BIGINT) AS n_converted
+        FROM j GROUP BY user_id
+    """,
+    tags=("events", "funnel", "asof"),
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: purchases preceded by a click within 1 h, per
+    user — composed from the as-of join's union-sort plan (one shuffle on
+    user_id, no range join) plus a conditional aggregate."""
+    from multithreaded_map_reduce_library_spark.plans.relational2 import (
+        asof_purchase_last_click,
+    )
+
+    j = asof_purchase_last_click(spark, sf_dir)
+    converted = F.when(
+        F.col("last_click_ts").isNotNull()
+        & (F.col("purchase_ts") - F.col("last_click_ts") <= F.expr("INTERVAL '1' HOUR")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(converted).alias("n_converted"),
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+        WITH firsts AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+                        FROM events GROUP BY user_id),
+        activity AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+                     FROM events)
+        SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+               CAST(datediff('day', d0, d) // 7 AS INTEGER) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    week-offset of later activity. Two aggregations sharing the user_id
+    partitioning plus one skinny join."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    activity = e.select("user_id", day.alias("d")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("d0").cast("timestamp_ntz").alias("cohort_day"),
+            F.floor(F.datediff("d", "d0") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 500000 THEN 21
+                         ELSE CAST(floor(o_totalprice / 25000) AS INTEGER) + 1
+                    END AS INTEGER) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 4) AS lo,
+               ROUND(MAX(o_totalprice), 4) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket — the equi-width binning every
+    profiling pass runs; one partial-aggregable shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
     "events_session_windows",
     oracle="""
         WITH g AS (
