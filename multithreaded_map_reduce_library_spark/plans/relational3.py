@@ -276,6 +276,101 @@ def string_funcs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "posexplode_leading_tokens",
+    oracle=r"""
+        WITH t AS (SELECT doc_id,
+                          unnest(list_filter(string_split_regex(text, '[ \t\r\n]'),
+                                 x -> x <> '')) AS tok,
+                          generate_subscripts(list_filter(string_split_regex(text, '[ \t\r\n]'),
+                                 x -> x <> ''), 1) - 1 AS pos
+                   FROM documents)
+        SELECT tok AS token, COUNT(*) AS n_docs
+        FROM t WHERE pos < 2
+        GROUP BY tok
+        HAVING COUNT(*) >= 5
+    """,
+    tags=("scalar-array", "posexplode", "text"),
+)
+def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (positional explode): distribution of the first two
+    tokens across documents — position-aware flattening the plain explode
+    can't express."""
+    from multithreaded_map_reduce_library_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    return (
+        t.filter(F.col("pos") < 2)
+        .groupBy("token")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "regexp_extract_all_props",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_numbers,
+               CAST(SUM(list_aggregate(list_transform(regexp_extract_all(props, '[0-9]+'),
+                    x -> CAST(x AS BIGINT)), 'sum')) AS BIGINT) AS sum_numbers
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scalar-string", "regex"),
+)
+def regexp_extract_all_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + array aggregation over the JSON-ish props
+    payload: count and sum of every embedded integer per event type."""
+    e = load_table(spark, sf_dir, "events")
+    nums = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    num_sum = F.aggregate(
+        F.transform(nums, lambda x: x.cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(F.size(nums)).alias("n_numbers"),
+        F.sum(num_sum).alias("sum_numbers"),
+    )
+
+
+@register(
+    "moving_7day_revenue",
+    oracle="""
+        WITH d AS (SELECT o_orderpriority,
+                          CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                          ROUND(SUM(o_totalprice), 4) AS day_rev
+                   FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day,
+               ROUND(SUM(day_rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+                   AS rev_7d
+        FROM d
+    """,
+    tags=("window", "range-frame"),
+)
+def moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue via a RANGE window frame (value-based, unlike
+    the ROWS frames elsewhere): gaps in the date axis are handled by the
+    frame bounds, not row offsets. Ordering key is epoch-day so the range
+    arithmetic is integral in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(_r4(F.sum("o_totalprice")).alias("day_rev"))
+    epoch_day = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        _r4(F.sum("day_rev").over(w)).alias("rev_7d"),
+    )
+
+
+@register(
     "union_all_party_names",
     oracle="""
         SELECT side, COUNT(*) AS n, MIN(name) AS first_name
