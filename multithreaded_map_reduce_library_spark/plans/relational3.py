@@ -371,6 +371,45 @@ def moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inline_dim_weighted_revenue",
+    oracle="""
+        SELECT w.tier, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice * w.weight), 4) AS weighted_rev
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'hot', 2.0), ('2-HIGH', 'hot', 1.5),
+                     ('3-MEDIUM', 'warm', 1.0), ('4-NOT SPECIFIED', 'cold', 0.5),
+                     ('5-LOW', 'cold', 0.25)) AS w(prio, tier, weight)
+          ON o.o_orderpriority = w.prio
+        GROUP BY w.tier
+    """,
+    tags=("join", "inline-values", "broadcast"),
+)
+def inline_dim_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline literal dimension (createDataFrame ≙ VALUES) broadcast onto
+    the fact table — the config-table join every pipeline ships without a
+    warehouse round-trip."""
+    o = load_table(spark, sf_dir, "orders")
+    weights = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot", 2.0),
+            ("2-HIGH", "hot", 1.5),
+            ("3-MEDIUM", "warm", 1.0),
+            ("4-NOT SPECIFIED", "cold", 0.5),
+            ("5-LOW", "cold", 0.25),
+        ],
+        ["prio", "tier", "weight"],
+    )
+    return (
+        o.join(F.broadcast(weights), o.o_orderpriority == weights.prio)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _r4(F.sum(F.col("o_totalprice") * F.col("weight"))).alias("weighted_rev"),
+        )
+    )
+
+
+@register(
     "union_all_party_names",
     oracle="""
         SELECT side, COUNT(*) AS n, MIN(name) AS first_name
