@@ -73,6 +73,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity_q,
     )
 
