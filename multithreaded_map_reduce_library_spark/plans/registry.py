@@ -75,6 +75,7 @@ def _load_all() -> None:
         relational3,
         relational4,
         similarity_q,
+        tpch_more,
     )
 
 
