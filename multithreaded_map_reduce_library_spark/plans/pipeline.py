@@ -602,6 +602,35 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST((octet_length(encode(text)) - 1) // 1024 + 1 AS INTEGER) AS n_frames,
+               CAST(((octet_length(encode(text)) - 1) // 1024) * 1024 AS INTEGER)
+                   AS last_offset
+        FROM documents
+    """,
+    tags=("multimodal", "frame-sample", "posexplode"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: one row per 1024-byte offset
+    via posexplode over a computed sequence (the per-frame decode would be
+    a downstream mapInPandas); aggregated back to per-asset frame counts
+    so the oracle is closed-form."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        documents_as_assets,
+        frame_sample,
+    )
+
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(assets, every_n_bytes=1024)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.max("byte_offset").cast("int").alias("last_offset"),
+    )
+
+
+@register(
     "stream_session_windows",
     oracle="""
         WITH g AS (
