@@ -218,6 +218,58 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) by
+    iterative min-label propagation: each vertex repeatedly adopts the
+    minimum label among itself and its neighbors until fixpoint.
+
+    This is the dedup *clustering* step: LSH candidate pairs are edges,
+    components are duplicate groups, and min(doc_id) is the canonical
+    representative. Each iteration is fully distributed (join + groupBy on
+    the edge key); the driver only checks convergence. Iterations are
+    bounded by the graph diameter — near-dup graphs are shallow (clusters
+    are cliques-ish), so this converges in a handful of rounds; at true
+    100 TB scale you'd switch to the large-star/small-star rewrite
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") which
+    squares the diameter away. localCheckpoint truncates lineage per
+    round so plans don't grow with the iteration count.
+    """
+    both = edges.selectExpr("id_a AS u", "id_b AS v").union(
+        edges.selectExpr("id_b AS u", "id_a AS v")
+    )
+    both = both.localCheckpoint()
+    labels = both.select(F.col("u").alias("doc")).distinct().withColumn(
+        "lbl", F.col("doc")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.v == labels.doc)
+            .groupBy(F.col("u").alias("doc"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("doc", F.col("lbl").alias("cluster"))
+
+
 def _hex_digit_value(h: Column, pos: int) -> Column:
     """Value 0-15 of the hex digit at 1-based ``pos`` of md5-hex ``h``."""
     return F.conv(F.substring(h, pos, 1), 16, 10).cast("int")

@@ -189,6 +189,37 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_duck_minhash_sig_cte().strip()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+        reach(u, w) AS (
+            SELECT DISTINCT u, u FROM e
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.w
+        )
+        SELECT u AS doc, MIN(w) AS cluster FROM reach GROUP BY u
+    """,
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate graph via iterative distributed min-label propagation (the
+    dedup keep-one-per-group step; cluster id = min doc_id). The oracle
+    computes the same components with a recursive transitive-closure CTE
+    — an iterative Spark algorithm with an exact SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
+    )
+    return D.connected_components(cand)
+
+
 def _shingle_hash_index(docs: DataFrame) -> DataFrame:
     """(doc, shingle) inverted index over 32-bit shingle *hashes*: Arrow
     pandas-UDF hashing (hashlib md5 — bit-exact twin of the expression

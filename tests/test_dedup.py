@@ -124,6 +124,18 @@ def test_simhash_expression_equals_pandas_udf(spark, docs):
     assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in expr_out.values())
 
 
+def test_connected_components_known_graph(spark):
+    """Path 1-2-3, pair 10-11, chain 20-21-22-23 (diameter 3): components
+    labeled by their minimum vertex."""
+    from multithreaded_map_reduce_library_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], ["id_a", "id_b"]
+    )
+    got = {r["doc"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_simhash_near_dups_have_small_hamming(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs).collect()}
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
