@@ -710,6 +710,75 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join_tiers",
+    oracle="""
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'gold'
+                    WHEN user_id % 3 = 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def stream_static_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    dimension (user tiers) — the static side is re-read per micro-batch,
+    no state required — then aggregated. Drained with AvailableNow; oracle
+    is the batch equivalent."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+    )
+
+    tiers = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold")
+        .when(F.col("id") % 3 == 1, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.join(tiers, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return run_stream_to_df(spark, agg, "complete")
+
+
+@register(
+    "stream_dedup_user_days",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("streaming", "dropDuplicates", "stateful"),
+)
+def stream_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user_id, day) keeps
+    per-key state in the state store and emits each pair once (append
+    mode); the drained distinct pairs aggregate to daily active users —
+    exactly the batch COUNT(DISTINCT)."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    drained = run_stream_to_df(spark, pairs, "append")
+    return drained.groupBy(F.col("day").cast("timestamp_ntz").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
