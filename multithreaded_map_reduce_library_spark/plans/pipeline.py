@@ -779,6 +779,52 @@ def stream_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_click_purchase",
+    oracle="""
+        SELECT p.user_id, COUNT(*) AS n_pairs
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY p.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "watermark"),
+)
+def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition (clicks
+    within the hour before each purchase, same user): both sides
+    watermarked so the join state is bounded — the buffered-click horizon
+    is watermark + range width. The joined pairs are drained (append) and
+    counted statically; oracle is the batch range join."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    )
+    drained = run_stream_to_df(spark, joined, "append")
+    return drained.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
