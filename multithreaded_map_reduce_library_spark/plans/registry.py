@@ -74,8 +74,10 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity_q,
         tpch_more,
+        tpch_rest,
     )
 
 

@@ -1,7 +1,7 @@
-"""TPC-H-style depth, batch 2: Q7, Q10, Q13, Q17, Q19 shapes — the
-remaining dwarf queries expressible on the driver's schema subset (no
-partsupp, no commit/receipt dates, so Q2/Q11/Q12/Q16/Q20/Q21 are out of
-scope; SURVEY.md §6 notes the reference itself has no benchmark suite).
+"""TPC-H-style depth, batch 2: Q7, Q10, Q13, Q17, Q19 shapes.
+(Q2/Q8/Q9/Q11/Q12/Q15/Q16/Q20/Q21/Q22 live in tpch_rest.py, adapted to
+the driver schema; SURVEY.md §6 notes the reference itself has no
+benchmark suite.)
 """
 
 from __future__ import annotations
