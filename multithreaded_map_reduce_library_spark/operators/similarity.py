@@ -30,16 +30,17 @@ from pyspark.sql import functions as F
 from multithreaded_map_reduce_library_spark.functions.vectors import cosine, dot, l2_norm
 
 
-def _cos_pre(va, vb, na, nb) -> Column:
+def _cos_pre(va, vb, na, nb, dim: int | None = None) -> Column:
     """Cosine from a fresh dot product and per-side PRE-COMPUTED norms.
 
     Norms must be materialized in a projection *below* the join that forms
-    the pairs: higher-order functions run interpreted, and recomputing
-    both norms per pair triples the fold passes (measured ~2.5x on the IVF
-    assignment at sf0.1). Values are bit-identical to cosine() — the same
-    folds over the same arrays, just evaluated once per row.
+    the pairs: recomputing both norms per pair triples the per-pair work
+    (measured ~2.5x on the IVF assignment at sf0.1). Values are
+    bit-identical to cosine() — the same chains over the same arrays,
+    just evaluated once per row. Pass ``dim`` so the dot product takes
+    the expanded codegen-able form (see functions/vectors.py).
     """
-    return dot(va, vb) / (F.col(na) * F.col(nb))
+    return dot(va, vb, dim) / (F.col(na) * F.col(nb))
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[int]:
@@ -72,6 +73,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -83,16 +85,16 @@ def knn_bruteforce(
     corpus = emb.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        l2_norm(vec_col).alias("n_norm"),
+        l2_norm(vec_col, dim).alias("n_norm"),
     )
     queries = (query_ids or emb).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_norm"),
+        l2_norm(vec_col, dim).alias("q_norm"),
     )
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col("q_id") != F.col("n_id"))
     sims = pairs.select(
-        "q_id", "n_id", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+        "q_id", "n_id", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm", dim).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
@@ -116,7 +118,7 @@ def knn_lsh(
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        l2_norm(vec_col).alias("norm"),
+        l2_norm(vec_col, dim).alias("norm"),
         random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
     )
     a = bucketed.select(
@@ -129,7 +131,7 @@ def knn_lsh(
     )
     pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("q_id") != F.col("n_id")))
     sims = pairs.select(
-        "q_id", "n_id", "bucket", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+        "q_id", "n_id", "bucket", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm", dim).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(F.col("rank") <= k)
@@ -140,6 +142,7 @@ def assign_ivf_cells(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization with deterministic centroids (every
     ``stride``-th vector by id — reproducible without a trained codebook):
@@ -154,15 +157,15 @@ def assign_ivf_cells(
     centroids = emb.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_norm"),
+        l2_norm(vec_col, dim).alias("c_norm"),
     )
     scored = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        l2_norm(vec_col).alias("v_norm"),
+        l2_norm(vec_col, dim).alias("v_norm"),
     ).crossJoin(F.broadcast(centroids))
     w = Window.partitionBy("id").orderBy(
-        F.desc(_cos_pre("vec", "c_vec", "v_norm", "c_norm")), F.asc("c_id")
+        F.desc(_cos_pre("vec", "c_vec", "v_norm", "c_norm", dim)), F.asc("c_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -178,6 +181,7 @@ def knn_ivf(
     num_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: queries search only their own cell (nprobe=1), exact
     cosine re-rank inside it. The scale path of the two ANN variants — at
@@ -185,7 +189,7 @@ def knn_ivf(
     cell index is a plain equi-join key (bucketable/bucketed at rest)."""
     from pyspark.sql import Window
 
-    cells = assign_ivf_cells(emb, stride, id_col, vec_col)
+    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim)
     queries = cells.filter(F.col("id") < num_queries).select(
         F.col("id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -199,7 +203,7 @@ def knn_ivf(
         "cell",
     ).filter(F.col("n_id") != F.col("q_id"))
     sims = cand.select(
-        "q_id", "n_id", "cell", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm").alias("sim")
+        "q_id", "n_id", "cell", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm", dim).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
@@ -223,7 +227,7 @@ def embedding_neardup_pairs(
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        l2_norm(vec_col).alias("norm"),
+        l2_norm(vec_col, dim).alias("norm"),
         random_hyperplane_bucket(vec_col, dim, num_planes).alias("bucket"),
     )
     a = bucketed.select(
@@ -237,7 +241,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _cos_pre("va", "vb", "na", "nb").alias("sim"))
+        .select("id_a", "id_b", _cos_pre("va", "vb", "na", "nb", dim).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -70,6 +70,7 @@ def _load_all() -> None:
         events_q,
         mapreduce_q,
         pipeline,
+        pipeline2,
         relational,
         relational2,
         relational3,
