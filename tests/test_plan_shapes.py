@@ -1,0 +1,123 @@
+"""Executable plan-shape assertions — the SCALING.md claims as tests.
+
+Each test inspects `.explain("formatted")` output for the physical-plan
+properties the 100 TB design depends on: filters/projections reaching the
+parquet scan, dimension joins broadcasting, partial aggregation before
+shuffles, top-k via TakeOrderedAndProject, and no Python evaluation nodes
+in JVM-only hot paths. If a refactor silently turns a broadcast join into
+a shuffle or drops a pushed filter, these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+
+from .conftest import SF_SMALL
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _df(queries, spark, name):
+    return queries[name].fn(spark, SF_SMALL)
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, queries):
+    plan = plan_str(_df(queries, spark, "q6_revenue_forecast"))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    # Column pruning: the scan must not read columns q6 never touches.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_returnflag" not in read_schema[0]
+    assert "l_orderkey" not in read_schema[0]
+
+
+def test_q1_partial_aggregation(spark, queries):
+    plan = plan_str(_df(queries, spark, "q1_pricing_summary"))
+    # Two HashAggregate nodes (partial below the exchange, final above) —
+    # the map-side combiner the reference lacks (SURVEY.md §4).
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_q3_star_joins_broadcast(spark, queries):
+    plan = plan_str(_df(queries, spark, "q3_shipping_priority"))
+    assert "BroadcastHashJoin" in plan, plan
+    # No accidental cartesian/nested-loop in the star.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_all_dimensions_broadcast(spark, queries):
+    plan = plan_str(_df(queries, spark, "q5_local_supplier_volume"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, queries):
+    plan = plan_str(_df(queries, spark, "topk_orders_global"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bigram_topk_no_python(spark, queries):
+    plan = plan_str(_df(queries, spark, "bigram_top_pairs"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython = Python in hot path
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_wordcount_jvm_only_with_partial_agg(spark, queries):
+    plan = plan_str(_df(queries, spark, "wordcount"))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_similarity_hot_paths_jvm_only(spark, queries):
+    for name in ("knn_bruteforce_cosine", "ann_ivf_cosine", "dedup_embedding_cosine"):
+        plan = plan_str(_df(queries, spark, name))
+        assert "EvalPython" not in plan, f"{name} has Python in the hot path:\n{plan}"
+
+
+def test_semi_and_anti_joins_stay_semi(spark, queries):
+    plan = plan_str(_df(queries, spark, "q4_order_priority"))
+    assert "LeftSemi" in plan, plan
+    plan = plan_str(_df(queries, spark, "anti_join_customers_without_orders"))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q16_anti_join_and_distinct_agg(spark, queries):
+    plan = plan_str(_df(queries, spark, "q16_supplier_part_attr_counts"))
+    assert "LeftAnti" in plan, plan
+    # count(distinct) plans as expand/two-phase aggregate, never a join.
+    assert "CartesianProduct" not in plan
+
+
+def test_derived_partsupp_single_shuffle(spark, queries):
+    """q11's derived partsupp + national filter: the only exchanges are
+    the (partkey, suppkey) aggregation and the per-part regroup — the
+    supplier/nation dimension joins must broadcast, adding none."""
+    plan = plan_str(_df(queries, spark, "q11_important_stock"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_systematic_sample_filter_at_scan(spark, queries):
+    plan = plan_str(_df(queries, spark, "systematic_sample_orders"))
+    # The modulo predicate is not parquet-pushable, but it must sit in
+    # the same codegen stage as the scan (no exchange between them):
+    # scan -> filter -> partial agg -> single exchange.
+    assert plan.count("Exchange") <= 2, plan
