@@ -27,6 +27,7 @@ def _e4(c):
 
 @register(
     "salted_skew_join_revenue",
+    bench=True,
     oracle="""
         SELECT o_orderpriority,
                SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
@@ -68,6 +69,7 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_hourly_to_daily",
+    bench=True,
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                SUM(CAST(FLOOR(value * 10000) AS BIGINT)) / 10000.0 AS total_value,
@@ -192,6 +194,7 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_clean_dedup_stats",
+    bench=True,
     oracle="""
         WITH toked AS (
             SELECT lang, source, doc_id, md5(text) AS h,

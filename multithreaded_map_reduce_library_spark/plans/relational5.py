@@ -151,6 +151,7 @@ def cross_join_status_priority_grid(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "bigram_top_pairs",
+    bench=True,
     oracle="""
         WITH toks AS (
             SELECT doc_id,

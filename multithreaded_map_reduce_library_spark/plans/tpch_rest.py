@@ -175,6 +175,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_type_profit",
+    bench=True,
     oracle=f"""
         WITH ps AS ({_PS_SQL})
         SELECT nation, o_year, SUM(amount_e4) / 10000.0 AS sum_profit
@@ -466,6 +467,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_suppliers_kept_waiting",
+    bench=True,
     oracle="""
         SELECT s_name, COUNT(*) AS numwait
         FROM supplier
