@@ -69,6 +69,7 @@ def _load_all() -> None:
     from multithreaded_map_reduce_library_spark.plans import (  # noqa: F401
         events_q,
         mapreduce_q,
+        modern,
         pipeline,
         pipeline2,
         relational,

@@ -132,3 +132,48 @@ def run_stream_to_df(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` (Spark
+    4's StatefulProcessor API): a typed ValueState per user in the state
+    store, updated per micro-batch. Functionally the successor of
+    ``user_running_totals_stream`` (applyInPandasWithState) with
+    explicit state variables, timers, and TTL available; requires the
+    RocksDB state store provider (set here — the provider a cluster
+    deployment uses anyway for large state)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

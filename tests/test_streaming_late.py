@@ -141,3 +141,42 @@ def test_foreachbatch_sink_sees_every_row(spark, tmp_path):
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == n_rows
     assert spark.read.parquet(out_dir).count() == n_rows
+
+
+def test_transform_with_state_totals_match_batch(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API). Its
+    state-server protocol requires protobuf, which this container lacks —
+    skip there; runs (and must equal the batch GROUP BY) where present."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+        tws_user_totals_stream,
+    )
+
+    from .conftest import SF_SMALL
+
+    updates = run_stream_to_df(
+        spark, tws_user_totals_stream(spark, events_stream(spark, SF_SMALL)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        (r["user_id"], r["n_events"])
+        for r in updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    batch = {
+        (r["user_id"], r["n"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
