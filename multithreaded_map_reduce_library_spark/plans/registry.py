@@ -77,6 +77,7 @@ def _load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         similarity_q,
         tpch_more,
         tpch_rest,
