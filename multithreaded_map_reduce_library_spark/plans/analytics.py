@@ -1,0 +1,339 @@
+"""Analytics and data-quality operators: anomaly detection, time-weighted
+aggregation, session statistics, deterministic sampling, per-document
+repetition metrics (Gopher-style quality filters), and k-means-style
+centroid assignment.
+
+Reference parity note: none of these exist in the reference (its only
+aggregate is COUNT(*) per key, distwc.c:26-30; SURVEY.md §2.2 records the
+absences) — they extend the engine along the driver's training-data
+pipeline axis: repetition metrics are the standard pre-training quality
+filters, deterministic sampling is how a 100 TB corpus is subsetted
+reproducibly, and centroid assignment is the building block of IVF
+indexing and embedding clustering.
+
+Cross-engine numeric discipline: wherever possible results are exact
+integers (counts, microsecond sums) or ratios of exact integers rounded
+once — those hash identically on any engine. Double aggregates (means of
+~100 values) are rounded to 4dp, far above double's error at these
+cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.functions.vectors import cosine
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.plans.similarity_q import _dot
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value,
+                   AVG(value)         OVER (PARTITION BY user_id) AS mu,
+                   STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_anomalies,
+               ROUND(AVG(ABS((value - mu) / sd)), 4) AS avg_abs_z
+        FROM s
+        WHERE sd > 0 AND ABS((value - mu) / sd) > 2
+        GROUP BY event_type
+    """,
+    tags=("events", "window", "anomaly", "stats"),
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection: an unordered window (no sort —
+    just one hash shuffle on user_id) attaches each user's mean and
+    sample stddev, |z| > 2 flags outliers, counted per event type. At
+    100 TB the user_id shuffle is the only data movement; the per-user
+    moments could equally come from a pre-aggregated broadcast profile
+    table when users << events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter((F.col("sd") > 0) & (z > 2))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_anomalies"),
+            F.round(F.avg(z), 4).alias("avg_abs_z"),
+        )
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, value,
+                   date_diff('microseconds', ts,
+                             LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS dt_us
+            FROM events
+        )
+        SELECT user_id,
+               ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa_value,
+               COUNT(*) AS n_intervals
+        FROM d
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY user_id
+    """,
+    tags=("events", "window", "time-weighted"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user (TimescaleDB-style
+    ``time_weight``): each reading is held until the next one, weighted
+    by its holding duration. Durations stay in exact integer
+    microseconds on both engines so only the final weighted mean is
+    floating-point. One sort-window on user_id, then the group-by reuses
+    the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return (
+        e.select("user_id", "value", dt_us.alias("dt_us"))
+        .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias(
+                "twa_value"
+            ),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                        WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                        ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sid AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sess_id, COUNT(*) AS n_events,
+                   date_diff('microseconds', MIN(ts), MAX(ts)) AS dur_us
+            FROM sid GROUP BY user_id, sess_id
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+               CAST(MAX(n_events) AS BIGINT) AS max_sess_events
+        FROM sess GROUP BY user_id
+    """,
+    tags=("events", "sessionize", "window"),
+    bench=True,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sessionization: gap detection (30-min inactivity) assigns
+    session ids via a running sum, then per-session extents roll up to
+    per-user session counts and total in-session dwell time. All outputs
+    are exact integers (microsecond durations), so the cross-engine hash
+    is bit-exact. One shuffle on user_id serves the lag window, the
+    running-sum window, and both group-bys."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL '30' MINUTE")), 1
+    ).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    sess = (
+        e.select("user_id", "ts", sess_id.alias("sess_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(us("ts")) - F.min(us("ts"))).alias("dur_us"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+        F.max("n_events").alias("max_sess_events"),
+    )
+
+
+@register(
+    "deterministic_sample_event_stats",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+        GROUP BY event_type
+    """,
+    tags=("sampling", "deterministic", "events"),
+)
+def deterministic_sample_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/16 user-level sample: keep users whose md5 hex
+    digest starts with '0'. Unlike ``TABLESAMPLE``/``rand()``, the sample
+    is a pure function of the key — stable across runs, engines, and
+    cluster sizes, and it samples whole users (all-or-nothing), which is
+    what an unbiased per-entity metric needs. At 100 TB this predicate
+    is map-side only: no shuffle is added and the parquet scan still
+    prunes columns."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_quality",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+        pt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      COUNT(*) AS n_distinct, MAX(c) AS top_tok
+               FROM tc GROUP BY doc_id),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i + 1])) AS b
+               FROM t),
+        bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        pb AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY doc_id)
+        SELECT pt.doc_id, n_tokens,
+               ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS type_token_ratio,
+               ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+               ROUND(CAST(top_bg AS DOUBLE) / (n_tokens - 1), 4) AS top_bigram_frac
+        FROM pt JOIN pb ON pt.doc_id = pb.doc_id
+    """,
+    tags=("documents", "quality", "repetition", "text-analysis"),
+    bench=True,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: type-token ratio,
+    most-frequent-token share, and most-frequent-bigram share — the
+    standard signals for machine-generated / boilerplate text in a
+    pre-training corpus. Every ratio is a quotient of exact integer
+    counts rounded once, so the cross-engine hash cannot drift. Both
+    explode→count legs shuffle on doc_id and the final join is
+    doc_id-co-partitioned — one logical repartition at scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tok_counts = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    per_tok = tok_counts.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_tok"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("b"),
+    )
+    per_bg = (
+        bigrams.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    return per_tok.join(per_bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("top_tok").cast("double") / F.col("n_tokens"), 4).alias(
+            "top_token_frac"
+        ),
+        F.round(F.col("top_bg").cast("double") / (F.col("n_tokens") - 1), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+_N_CENTROIDS = 4
+
+
+@register(
+    "embedding_centroid_assign",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+        scored AS (SELECT e.vec_id, c.c_id,
+                          ({_dot("e.v", "c.cv")}) /
+                          (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("c.cv", "c.cv")})) AS sim
+                   FROM e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, c_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, c_id ASC) AS rn
+                FROM scored)
+        SELECT c_id, COUNT(*) AS n_assigned,
+               ROUND(MIN(sim), 6) AS min_sim,
+               ROUND(MAX(sim), 6) AS max_sim,
+               ROUND(AVG(sim), 4) AS avg_sim
+        FROM asg WHERE rn = 1 GROUP BY c_id
+    """,
+    tags=("similarity", "clustering", "centroid"),
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step: broadcast 4 deterministic centroids
+    (vec_id < 4), cosine-score every vector against each, keep the argmax
+    (row_number cut), report per-centroid occupancy and similarity
+    envelope. This is the inner loop of IVF index construction and of
+    embedding-space clustering; at 100 TB the corpus never shuffles —
+    centroids broadcast, assignment is map-side, only the tiny
+    per-centroid aggregate moves. Dot products use the same
+    left-associated fold as the oracle, so min/max are bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id", cosine("embedding", "cv").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    asg = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return asg.groupBy("c_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.min("sim"), 6).alias("min_sim"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
