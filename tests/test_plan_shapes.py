@@ -121,3 +121,43 @@ def test_systematic_sample_filter_at_scan(spark, queries):
     # the same codegen stage as the scan (no exchange between them):
     # scan -> filter -> partial agg -> single exchange.
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_doc_repetition_is_pure_map(spark, queries):
+    """Per-document repetition metrics are row-local: the plan must be
+    scan -> project (HOF expressions), with no shuffle, no join, and no
+    Python — the property that makes it run at parquet-scan speed at
+    100 TB."""
+    plan = plan_str(_df(queries, spark, "doc_repetition_quality"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_int8_quantization_single_exchange(spark, queries):
+    """Quantization error is computed map-side per vector; the only
+    exchange is the tiny per-label aggregate."""
+    plan = plan_str(_df(queries, spark, "embedding_int8_quantization"))
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("Exchange") <= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_stratified_sample_broadcasts_rates(spark, queries):
+    """The per-stratum rate table joins back by broadcast — the corpus
+    pass stays map-side (no shuffle of `documents` for the join)."""
+    plan = plan_str(_df(queries, spark, "stratified_sample_docs_by_lang"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winsorize_broadcasts_percentiles(spark, queries):
+    plan = plan_str(_df(queries, spark, "winsorized_event_values"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_pack_single_shuffle(spark, queries):
+    """Packing is one window + one co-partitioned group-by: a single
+    exchange on lang (plus nothing else) moves the corpus."""
+    plan = plan_str(_df(queries, spark, "sequence_pack_docs"))
+    assert plan.count("Exchange") <= 2, plan
+    assert "EvalPython" not in plan, plan
