@@ -240,3 +240,76 @@ def doc_clean_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("tok"), 4).alias("avg_tokens"),
         )
     )
+
+
+def _duck_pagerank_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank over the LSH candidate graph —
+    the iterative Spark algorithm gets an exact SQL twin by chaining one
+    CTE pair (contributions, ranks) per iteration. Constants are CAST to
+    DOUBLE so DuckDB's decimal literals don't diverge from Spark's
+    float64 arithmetic."""
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _duck_band_exprs,
+        _duck_minhash_sig_cte,
+    )
+
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        c{k} AS (
+            SELECT e.v AS u, SUM(r.r / d.deg) AS s
+            FROM e JOIN {prev} r ON r.u = e.u JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        ),
+        r{k} AS (
+            SELECT deg.u,
+                   CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+            FROM deg CROSS JOIN nn LEFT JOIN c{k} c ON c.u = deg.u
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH {_duck_minhash_sig_cte().strip()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+        deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / nn.n AS r FROM deg CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT deg.u AS doc, deg.deg, ROUND(r.r, 6) AS pagerank
+        FROM deg JOIN {prev} r ON r.u = deg.u
+    """
+
+
+@register(
+    "pagerank_dedup_graph",
+    oracle=_duck_pagerank_sql(5),
+    tags=("graph", "iterative", "pagerank", "dedup"),
+)
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped iterations) over the MinHash-LSH candidate
+    graph: ranks each near-duplicate document by centrality inside its
+    cluster — the "keep the canonical copy" selection signal, and the
+    engine's demonstration of a distributed iterative algorithm beyond
+    connected components (operators/graph.py documents the
+    localCheckpoint lineage-truncation pattern). The oracle unrolls the
+    same five iterations as chained SQL CTEs, so even an iterative
+    algorithm is hash-checked exactly."""
+    from multithreaded_map_reduce_library_spark.operators import dedup as D
+    from multithreaded_map_reduce_library_spark.operators.graph import pagerank
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _LSH_BANDS,
+        _MINHASH_K,
+        _SHINGLE_N,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
+    )
+    return pagerank(cand, iters=5)
