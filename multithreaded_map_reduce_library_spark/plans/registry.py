@@ -74,6 +74,7 @@ def _load_all() -> None:
         modern,
         pipeline,
         pipeline2,
+        pipeline3,
         relational,
         relational2,
         relational3,

@@ -161,3 +161,41 @@ def test_sequence_pack_single_shuffle(spark, queries):
     plan = plan_str(_df(queries, spark, "sequence_pack_docs"))
     assert plan.count("Exchange") <= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, queries):
+    """The eval-benchmark n-gram set is the small side: the training
+    scan must probe it via broadcast (no shuffle of the corpus-side
+    n-grams), and the n-gram enumeration itself is codegen'd HOFs,
+    not Python."""
+    plan = plan_str(_df(queries, spark, "decontamination_ngram_overlap"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_peak_concurrency_sweep_is_partitioned(spark, queries):
+    """The sweep-line prefix sum partitions by day — a SinglePartition
+    exchange anywhere would mean the whole sweep serializes on one
+    reducer, the exact failure mode the carry-in design avoids."""
+    plan = plan_str(_df(queries, spark, "events_peak_concurrency"))
+    assert "Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(day" in plan, plan
+
+
+def test_training_shuffle_no_global_sort(spark, queries):
+    """Shard-parallel shuffle order: the row_number window partitions
+    by shard hex digit — no SinglePartition exchange under the Window,
+    no global Sort without partition keys."""
+    plan = plan_str(_df(queries, spark, "training_shuffle_order"))
+    assert "Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_user_day_streaks_reuses_user_partitioning(spark, queries):
+    """distinct, window, and both groupBys all key on user_id-rooted
+    columns; the plan must not shuffle more than the initial
+    hash-partitioning plus the day-grain regroup."""
+    plan = plan_str(_df(queries, spark, "user_day_streaks"))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
