@@ -75,6 +75,7 @@ def _load_all() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         relational,
         relational2,
         relational3,

@@ -199,3 +199,32 @@ def test_user_day_streaks_reuses_user_partitioning(spark, queries):
     plan = plan_str(_df(queries, spark, "user_day_streaks"))
     assert "Exchange SinglePartition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, queries):
+    """Per-term df and the (N, avgdl) scalar broadcast; the only
+    corpus-side shuffle is the (doc, term) tf aggregate. The query-term
+    IN filter must sit at the scan stage, before any exchange."""
+    plan = plan_str(_df(queries, spark, "bm25_doc_scores"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_cms_build_has_partial_aggregation(spark, queries):
+    """The sketch cell build must combine map-side (partial
+    HashAggregate below its exchange) — that bound (depth*width cells
+    per task) is the whole point of a CMS at scale — and estimation /
+    verification join by broadcast."""
+    plan = plan_str(_df(queries, spark, "cms_heavy_hitter_tokens"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_scd2_windows_share_one_sort(spark, queries):
+    """lag, row_number, and lead all use (user_id | ts, event_id): the
+    plan must not re-exchange between the window operators."""
+    plan = plan_str(_df(queries, spark, "scd2_user_value_tiers"))
+    assert "Exchange SinglePartition" not in plan, plan
+    # one exchange for the user_id partitioning, nothing more
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
