@@ -76,6 +76,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         relational,
         relational2,
         relational3,

@@ -228,3 +228,31 @@ def test_scd2_windows_share_one_sort(spark, queries):
     assert "Exchange SinglePartition" not in plan, plan
     # one exchange for the user_id partitioning, nothing more
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_incremental_merge_aggregates_before_join(spark, queries):
+    """State and delta both pre-aggregate: the full-outer merge joins
+    per-user rows, never raw events, and the latest-day scalar is a
+    broadcast, not a collect."""
+    plan = plan_str(_df(queries, spark, "incremental_agg_merge_daily"))
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 branches
+    assert "EvalPython" not in plan, plan
+
+
+def test_embedding_dim_stats_single_shuffle(spark, queries):
+    """posexplode is a pure map; the one exchange carries 64-row
+    partials per task (partial HashAggregate present)."""
+    plan = plan_str(_df(queries, spark, "embedding_dimension_stats"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bigram_lift_broadcasts_unigrams(spark, queries):
+    """The vocabulary-sized unigram table must broadcast onto bigram
+    counts (twice) — no sort-merge join anywhere."""
+    plan = plan_str(_df(queries, spark, "bigram_lift_assoc"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
