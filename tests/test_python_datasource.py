@@ -1,0 +1,54 @@
+"""Python DataSource (`mr_result` format) + mapInArrow surface tests."""
+
+from __future__ import annotations
+
+from multithreaded_map_reduce_library_spark.functions.hashing import djb2
+from multithreaded_map_reduce_library_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+    extract_features_arrow,
+)
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.python_ds import register
+from tests.conftest import SF_SMALL
+
+
+def _write_reference_shards(d, counts: dict[str, int], parts: int = 4):
+    """Emit result-<p>.txt files exactly as the C binary would
+    (DJB2 mod P routing, 'key: value' lines, strcmp order)."""
+    shards: dict[int, list[str]] = {p: [] for p in range(parts)}
+    for k in sorted(counts):
+        shards[djb2(k, parts)].append(f"{k}: {counts[k]}")
+    for p, lines in shards.items():
+        (d / f"result-{p}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
+def test_mr_result_datasource_roundtrip(spark, tmp_path):
+    counts = {"This": 5000, "is": 5000, "a": 5000, "test": 5000, "word": 17}
+    _write_reference_shards(tmp_path, counts, parts=4)
+    register(spark)
+    df = spark.read.format("mr_result").load(str(tmp_path))
+    # one task per shard file — the parallel-read contract
+    assert df.rdd.getNumPartitions() == 4
+    got = {r["key"]: int(r["value"]) for r in df.collect()}
+    assert got == counts
+    # shard column reflects the DJB2 routing the C binary used
+    for r in df.collect():
+        assert r["shard"] == djb2(r["key"], 4)
+
+
+def test_mr_result_single_file_and_sep(spark, tmp_path):
+    f = tmp_path / "result-7.txt"
+    f.write_text("x: 1\ny: 2\n")
+    register(spark)
+    df = spark.read.format("mr_result").load(str(f))
+    rows = {(r["key"], r["value"], r["shard"]) for r in df.collect()}
+    assert rows == {("x", "1", 7), ("y", "2", 7)}
+
+
+def test_map_in_arrow_equals_map_in_pandas(spark):
+    assets = documents_as_assets(load_table(spark, SF_SMALL, "documents")).limit(50)
+    a = {tuple(r) for r in extract_features_arrow(assets).collect()}
+    p = {tuple(r) for r in extract_features(assets).collect()}
+    assert a == p
+    assert len(a) == 50
