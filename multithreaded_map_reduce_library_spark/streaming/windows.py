@@ -54,8 +54,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (ltz); session tz is UTC above, so the
+        # cast is value-preserving and matches the oracle's naive timestamps.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

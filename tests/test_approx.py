@@ -32,8 +32,10 @@ def test_hll_sketch_agg_mergeable(spark):
     """hll_sketch_agg/hll_union_agg: the mergeable-sketch path (partial
     sketches per partition/day, union later) that replaces COUNT(DISTINCT)
     re-scans in incremental pipelines."""
-    e = spark.read.parquet(f"{SF}/events.parquet")
-    daily = e.groupBy(F.dayofmonth(F.timestamp_micros(F.expr("ts div 1000"))).alias("d")).agg(
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF, "events")
+    daily = e.groupBy(F.dayofmonth("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     merged = daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).collect()[0]
