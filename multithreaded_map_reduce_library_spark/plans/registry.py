@@ -77,12 +77,14 @@ def _load_all() -> None:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         relational,
         relational2,
         relational3,
         relational4,
         relational5,
         relational6,
+        relational7,
         similarity_q,
         tpch_more,
         tpch_rest,

@@ -256,3 +256,50 @@ def test_bigram_lift_broadcasts_unigrams(spark, queries):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_weighted_sample_is_map_side_only(spark, queries):
+    """The weighted Bernoulli predicate must evaluate inside the scan
+    stage: no exchange anywhere, and the parquet read prunes to the four
+    referenced columns."""
+    plan = plan_str(_df(queries, spark, "weighted_bernoulli_sample_docs"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0], plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, queries):
+    """Catalyst must decorrelate the LATERAL subquery into a windowed
+    top-k (WindowGroupLimit / RowNumber), not a per-customer nested
+    loop."""
+    plan = plan_str(_df(queries, spark, "lateral_top2_orders_per_customer"))
+    assert "WindowGroupLimit" in plan or "row_number" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skyline_aggregates_before_theta_join(spark, queries):
+    """The dominance test must run on the aggregated per-customer table
+    (partial+final HashAggregate feeding the theta join), with the inner
+    side broadcast — never a fact-table self-join."""
+    plan = plan_str(_df(queries, spark, "skyline_pareto_customers"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ewma_fold_is_jvm_side(spark, queries):
+    """The EWMA recurrence runs as a higher-order aggregate over the
+    collected array — one user_id exchange, no Python evaluation."""
+    plan = plan_str(_df(queries, spark, "ewma_user_values"))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_linear_interp_shares_one_sort_across_frames(spark, queries):
+    """All four IGNORE-NULLS frames use the same (user_id | h) order: the
+    plan must not re-exchange between the forward and backward window
+    passes (grid generation adds no shuffle)."""
+    plan = plan_str(_df(queries, spark, "linear_interp_hourly"))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + window
