@@ -69,6 +69,7 @@ def _load_all() -> None:
     from multithreaded_map_reduce_library_spark.plans import (  # noqa: F401
         analytics,
         corpus,
+        evaluation,
         events_q,
         mapreduce_q,
         modern,
@@ -78,6 +79,7 @@ def _load_all() -> None:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         relational,
         relational2,
         relational3,

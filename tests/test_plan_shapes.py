@@ -303,3 +303,21 @@ def test_linear_interp_shares_one_sort_across_frames(spark, queries):
     plan = plan_str(_df(queries, spark, "linear_interp_hourly"))
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + window
+
+
+def test_proration_single_exchange(spark, queries):
+    """The join and both window passes all key on l_orderkey: the plan
+    must not re-shuffle between them (broadcast handles the order-totals
+    side at test scale; at 100 TB both sides co-partition)."""
+    plan = plan_str(_df(queries, spark, "proration_largest_remainder"))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_simpson_is_pure_aggregation_tree(spark, queries):
+    """Two-level aggregation, no joins: (doc, token) partial agg then a
+    doc_id rollup."""
+    plan = plan_str(_df(queries, spark, "doc_simpson_diversity"))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 3, plan
