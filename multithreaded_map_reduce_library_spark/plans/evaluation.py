@@ -1,0 +1,324 @@
+"""Evaluation-harness queries: the engine measuring its own approximate
+operators against their exact counterparts — ANN recall, MinHash estimate
+error — plus corpus novelty and trend growth metrics.
+
+A 100 TB pipeline never runs exact kNN or exact all-pairs Jaccard in
+production; it runs the approximate operator and needs a *measured*
+quality bound from a sample. These queries are that measurement, kept
+fully deterministic (hash-derived sketches, integer counts, IEEE-exact
+ratios) so they hash-match a DuckDB oracle.
+
+Reference parity note: none of these exist in the reference (its whole
+surface is the five functions in ``mapreduce.h:44-83``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.operators import dedup as D
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+_K = 3
+_NQ = 10
+_DIM = 64
+_PLANES = 8
+
+
+def _recall_oracle() -> str:
+    from multithreaded_map_reduce_library_spark.plans.similarity_q import (
+        _bucket_sql,
+        _dot,
+    )
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_NQ}),
+        xs AS (SELECT q_id, vec_id AS n_id,
+                      ({_dot("qv", "v")}) / (sqrt({_dot("qv", "qv")}) * sqrt({_dot("v", "v")})) AS sim
+               FROM q JOIN e ON vec_id <> q_id),
+        ex AS (SELECT q_id, n_id FROM (
+                   SELECT q_id, n_id,
+                          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                   FROM xs) WHERE rk <= {_K}),
+        b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+        ls AS (SELECT a.vec_id AS q_id, x.vec_id AS n_id,
+                      ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
+               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+               WHERE a.vec_id < {_NQ}),
+        ann AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                    FROM ls) WHERE rk <= {_K}),
+        hit AS (SELECT ex.q_id, COUNT(ann.n_id) AS n_matched
+                FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id AND ann.n_id = ex.n_id
+                GROUP BY ex.q_id)
+        SELECT q_id, n_matched,
+               CAST(n_matched AS DOUBLE) / CAST({_K} AS DOUBLE) AS recall
+        FROM hit
+    """
+
+
+@register(
+    "ann_recall_vs_exact",
+    oracle=_recall_oracle(),
+    tags=("evaluation", "similarity", "ann", "recall"),
+)
+def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN (``ann_lsh_cosine``'s 8-plane index)
+    against exact brute-force kNN for the 10-vector query set — the
+    quality measurement that justifies running the approximate index at
+    scale. n_matched/3 is an exact binary rational, so the score
+    hash-matches DuckDB.
+
+    Scale design: exact kNN runs only over the small query sample
+    (broadcast queries x corpus, no shuffle of the corpus); the ANN side
+    reuses the production bucket join. The expensive exact pass is
+    bounded by the sample size — exactly how recall is audited at
+    100 TB."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _NQ)
+    exact = knn_bruteforce(emb, query_ids=qset, k=_K).select("q_id", "n_id")
+    ann = (
+        knn_lsh(emb, dim=_DIM, k=_K, num_planes=_PLANES)
+        .filter(F.col("q_id") < _NQ)
+        .select(F.col("q_id").alias("a_q"), F.col("n_id").alias("a_n"))
+    )
+    hit = (
+        exact.join(
+            ann,
+            (F.col("q_id") == F.col("a_q")) & (F.col("n_id") == F.col("a_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("a_n").alias("n_matched"))
+    )
+    return hit.select(
+        "q_id",
+        "n_matched",
+        (F.col("n_matched").cast("double") / F.lit(float(_K))).alias("recall"),
+    )
+
+
+def _mh_est_oracle() -> str:
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _duck_band_exprs,
+        _duck_minhash_sig_cte,
+    )
+
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+        WITH {_duck_minhash_sig_cte()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+                  FROM cand c
+                  JOIN d da ON da.doc_id = c.id_a
+                  JOIN d db ON db.doc_id = c.id_b AND db.shingle = da.shingle
+                  GROUP BY 1, 2),
+        x AS (SELECT cand.id_a, cand.id_b,
+                     CAST(({eq_terms}) AS DOUBLE) / CAST(16 AS DOUBLE) AS est,
+                     CAST(COALESCE(i, 0) AS DOUBLE)
+                         / (za.n + zb.n - COALESCE(i, 0)) AS exact_j
+              FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b
+              JOIN sizes za ON za.doc_id = cand.id_a
+              JOIN sizes zb ON zb.doc_id = cand.id_b
+              LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
+        )
+        SELECT id_a, id_b, est, exact_j, ABS(est - exact_j) AS err FROM x
+    """
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_mh_est_oracle(),
+    tags=("evaluation", "dedup", "minhash"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash quality audit: the k=16 signature's
+    Jaccard estimate (matching components / 16) against the exact
+    shingle Jaccard, with the absolute error — the measurement that
+    sizes k before trusting the sketch on the full corpus. est is an
+    exact binary rational (16ths) and exact_j a single IEEE division, so
+    both engines agree bitwise.
+
+    Scale design: signatures and candidate pairs come from the
+    production MinHash-LSH path (map-side sketch, band-key shuffle); the
+    exact-Jaccard verification join is restricted to candidates — this
+    audit costs the same as ``minhash_lsh_candidates``, not all-pairs."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _shingle_hash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_h = docs.select(
+        "doc_id", word_shingle_hash32(tokens("text"), 3).alias("_h")
+    )
+    sigs = with_h.select(
+        "doc_id", D.minhash_signature(F.col("_h"), 16).alias("sig")
+    )
+    cand = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sh = _shingle_hash_index(docs)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    da = sh.select(F.col("doc").alias("id_a"), "shingle")
+    db = sh.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(da, "id_a")
+        .join(db, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = eq.cast("double") / F.lit(16.0)
+    out = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .withColumn("i0", F.coalesce("i", F.lit(0)))
+    )
+    exact_j = F.col("i0").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i0")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        est.alias("est"),
+        exact_j.alias("exact_j"),
+        F.abs(est - exact_j).alias("err"),
+    )
+
+
+def _novelty_oracle() -> str:
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _duck_h32,
+        _duck_shingles,
+    )
+
+    return f"""
+        WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
+        hs AS (SELECT doc_id, list_transform(s, x -> {_duck_h32("x")}) AS hv FROM sh),
+        d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
+        first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM d GROUP BY shingle)
+        SELECT d.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel,
+               CAST(SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty
+        FROM d JOIN first USING (shingle)
+        GROUP BY d.doc_id
+    """
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=_novelty_oracle(),
+    tags=("evaluation", "dedup", "text-analysis", "documents"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus novelty: per document, the fraction of its
+    distinct 3-gram shingles whose FIRST appearance (lowest doc_id) is
+    this document — ~1.0 for fresh content, ~0.0 for rehashes of earlier
+    documents. The streaming-ingest cousin of pairwise dedup: one global
+    first-seen table instead of a quadratic pair space.
+
+    Scale design: the shingle index shuffles once on the 8-byte shingle
+    hash to find first owners (partial MIN combines map-side), then
+    joins back to the same-keyed index — AQE reuses the partitioning.
+    The first-seen table persists as state in production, making
+    novelty an incremental per-batch score."""
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _shingle_hash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hash_index(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "events_weekly_growth",
+    oracle="""
+        WITH w AS (
+            SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+                   SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS s_e4
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week,
+               CAST(s_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_value,
+               (CAST(s_e4 AS DOUBLE)
+                - CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE))
+               / CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+                   AS wow_growth
+        FROM w
+    """,
+    tags=("timeseries", "growth", "window", "events"),
+)
+def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth rate of event value per event type — the
+    trend metric every ops dashboard leads with. Weekly sums are exact
+    integer ten-thousandths; the growth ratio is arithmetic on those
+    exact integers (NULL for each type's first week).
+
+    Scale design: the fact scan collapses in one partial-agg shuffle to
+    |types x weeks| rows; the lag window runs on that tiny grid."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        e.select(
+            "event_type",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.floor(F.col("value") * 10000).cast("long").alias("q"),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.sum("q").alias("s_e4"))
+    )
+    lag = F.lag("s_e4").over(Window.partitionBy("event_type").orderBy("week"))
+    return w.select(
+        "event_type",
+        "week",
+        (F.col("s_e4").cast("double") / F.lit(10000.0)).alias("sum_value"),
+        ((F.col("s_e4").cast("double") - lag.cast("double")) / lag.cast("double")).alias(
+            "wow_growth"
+        ),
+    )
