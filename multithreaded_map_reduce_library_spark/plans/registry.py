@@ -68,6 +68,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from multithreaded_map_reduce_library_spark.plans import (  # noqa: F401
         analytics,
+        cogroup_q,
         corpus,
         evaluation,
         events_q,

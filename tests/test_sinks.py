@@ -65,3 +65,27 @@ def test_partitioned_text_sink_layout(spark, tmp_path):
             assert djb2(k, 4) == pid
         seen.update(dict(ln.split(": ") for ln in lines))
     assert seen == {"apple": "3", "banana": "2", "cherry": "7", "date": "1"}
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Incremental backfill semantics: with partitionOverwriteMode=dynamic,
+    rewriting ONE day's partition must leave every other day's data
+    intact — the daily-reprocessing contract of a partitioned 100 TB
+    warehouse (static mode would truncate the whole table)."""
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], ["day", "v"]
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix = spark.createDataFrame([("2024-01-02", 30), ("2024-01-02", 31)], ["day", "v"])
+        fix.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    # Partition-directory values are type-inferred on read (day -> date);
+    # compare canonical strings.
+    back = {(str(r.day), r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 30), ("2024-01-02", 31)}
