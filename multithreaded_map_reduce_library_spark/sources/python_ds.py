@@ -22,7 +22,12 @@ import os
 import re
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA = "key string, value string, shard int"
@@ -41,6 +46,9 @@ class MRResultDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "MRResultReader":  # noqa: ARG002
         return MRResultReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "MRResultStreamReader":  # noqa: ARG002
+        return MRResultStreamReader(self.options)
 
 
 class MRResultReader(DataSourceReader):
@@ -77,6 +85,47 @@ class MRResultReader(DataSourceReader):
                     continue
                 key, _, value = line.rpartition(self.sep)
                 yield (key, value, shard)
+
+
+class MRResultStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming reader over a growing directory of
+    ``result-<p>.txt`` shards: each trigger ingests the files that
+    appeared since the last committed offset — the file-watcher ingest
+    pattern (the same contract as Spark's FileStreamSource, expressed in
+    ~40 lines of the Python DS API, for a format Spark has no reader
+    for).
+
+    Offsets are JSON dicts ``{"files": [basenames...]}`` — replayable:
+    ``readBetweenOffsets(start, end)`` re-reads exactly the files in
+    ``end - start``, which makes restart recovery deterministic (shard
+    files are immutable once written, like any sane log)."""
+
+    def __init__(self, options) -> None:
+        self._batch = MRResultReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # Materialized (not a generator): the runtime pickles the batch for
+        # prefetch/replay caching.
+        out: list[tuple] = []
+        for f in files:
+            out.extend(self._batch.read(InputPartition(f)))
+        return out
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = set(start.get("files", []))
+        now = self._batch._files()
+        new = [f for f in now if os.path.basename(f) not in seen]
+        end = {"files": sorted(seen | {os.path.basename(f) for f in new})}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = set(start.get("files", []))
+        want = [b for b in end.get("files", []) if b not in seen]
+        by_base = {os.path.basename(f): f for f in self._batch._files()}
+        return iter(self._rows([by_base[b] for b in want if b in by_base]))
 
 
 def register(spark) -> None:

@@ -52,3 +52,42 @@ def test_map_in_arrow_equals_map_in_pandas(spark):
     p = {tuple(r) for r in extract_features(assets).collect()}
     assert a == p
     assert len(a) == 50
+
+
+def test_mr_result_streaming_incremental(spark, tmp_path):
+    """The simpleStreamReader contract: a checkpointed stream over the
+    shard directory ingests each file once; a restart after new shards
+    appear reads ONLY the new files (offsets = processed file set)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "result-0.txt").write_text("a: 1\nb: 2\n")
+    (src / "result-1.txt").write_text("c: 3\n")
+    register(spark)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("mr_result")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["key"], r["value"], r["shard"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = drain()
+    assert got1 == {("a", "1", 0), ("b", "2", 0), ("c", "3", 1)}
+
+    (src / "result-2.txt").write_text("d: 4\n")
+    # Restart from the same checkpoint: only result-2.txt is new.
+    got2 = drain()
+    assert got2 == got1 | {("d", "4", 2)}

@@ -58,3 +58,20 @@ def test_partitioned_parquet_prunes_partitions(spark, tmp_path):
 
     expected = orders.filter(F.col("order_month") == "1996-03").count()
     assert one_month.count() == expected > 0
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source: schema'd round-trip with rowTag —
+    the remaining first-class file format after parquet/csv/jsonl/orc/
+    text (hierarchical feeds land as XML more often than anyone likes)."""
+    out = str(tmp_path / "x")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.25)], ["id", "name", "score"]
+    )
+    df.write.format("xml").option("rootTag", "rows").option("rowTag", "row").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("xml").option("rowTag", "row").schema(
+        "id bigint, name string, score double"
+    ).load(out)
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.25)}
