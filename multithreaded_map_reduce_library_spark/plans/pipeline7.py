@@ -55,6 +55,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
         FROM r
     """,
     tags=("allocation", "proration", "money", "window"),
+    bench=True,
 )
 def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact invoice proration: each order's total (in cents) is allocated
