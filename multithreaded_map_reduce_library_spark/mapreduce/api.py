@@ -51,16 +51,40 @@ def _reduce_partition(reducer: Reducer):
     return run
 
 
+def _combine_partition(combiner: Reducer):
+    def run(part: Iterator[tuple[str, str]]) -> Iterator[tuple[str, str]]:
+        # Map-side combine: sort the map partition and run the combiner per
+        # key BEFORE the shuffle, so only one pair per (task, key) crosses
+        # the wire. The reference has no combiner — every ("w","1") pair is
+        # materialized and shuffled (mapreduce.c:111-144, SURVEY.md §4);
+        # this is the upgrade Catalyst applies automatically as partial
+        # HashAggregate, surfaced in the RDD facade.
+        for key, group in itertools.groupby(
+            sorted(part, key=lambda kv: kv[0]), key=lambda kv: kv[0]
+        ):
+            yield key, combiner(key, (v for _, v in group))
+
+    return run
+
+
 def mr_run_pairs(
     pairs: RDD,
     reducer: Reducer,
     num_partitions: int = 10,
+    combiner: Reducer | None = None,
 ) -> RDD:
     """Shuffle + reduce phases over an already-mapped pair RDD.
 
     DJB2 partitioning (shard parity with the reference) + byte-order sort
     within each partition (quirk Q3), then the grouped-iterator reduce.
+
+    ``combiner``, if given, runs map-side per key first (Hadoop combiner
+    contract: same signature as the reducer, output feedable back into the
+    reducer — requires an associative reduction, e.g. SUM of partials
+    rather than the reference's COUNT-of-occurrences quirk Q2).
     """
+    if combiner is not None:
+        pairs = pairs.mapPartitions(_combine_partition(combiner))
     parted = pairs.repartitionAndSortWithinPartitions(
         numPartitions=num_partitions,
         partitionFunc=lambda k: djb2(k, num_partitions),
@@ -113,3 +137,11 @@ def wordcount_reducer(_key: str, values: Iterator[str]) -> str:
     """The reference word-count Reduce (distwc.c:24-35): count occurrences,
     ignore value content (quirk Q2 — COUNT(*), not SUM)."""
     return str(sum(1 for _ in values))
+
+
+def wordcount_sum_reducer(_key: str, values: Iterator[str]) -> str:
+    """Combiner-compatible word-count reduction: SUM of integer partials.
+    With values all "1" it equals the reference's COUNT (quirk Q2), and
+    unlike it, it is associative — usable as both combiner and final
+    reducer."""
+    return str(sum(int(v) for v in values))

@@ -322,3 +322,70 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     )
+
+
+@register(
+    "embedding_quantile_normalize",
+    oracle="""
+        WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                          CAST(embedding[i + 1] AS DOUBLE) AS v
+                   FROM embeddings, generate_series(0, 63) AS g(i)),
+        n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        r AS (SELECT vec_id, dim,
+                     CAST(RANK() OVER (PARTITION BY dim ORDER BY v) AS BIGINT) - 1
+                         AS rk0
+              FROM x)
+        SELECT vec_id,
+               CAST(SUM(rk0) AS DOUBLE)
+                   / (CAST(64 AS DOUBLE) * (n_vecs - 1)) AS mean_qnorm,
+               MIN(rk0) AS min_rank0, MAX(rk0) AS max_rank0
+        FROM r CROSS JOIN n
+        GROUP BY vec_id, n_vecs
+    """,
+    tags=("embeddings", "normalization", "rank", "window"),
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of the embedding matrix: each
+    value becomes its percent-rank within its dimension ((rank-1)/(n-1)),
+    summarized per vector as the mean normalized coordinate plus the
+    rank envelope — the distribution-free rescaling that makes
+    dimensions comparable regardless of their marginal shapes (the
+    rank-transform cousin of ``embedding_dimension_stats`` whitening).
+    Ranks are integers and the mean divides integer sums once, so the
+    result is engine-exact (ties share a rank by value equality — no
+    tiebreak needed).
+
+    Scale design: posexplode is a pure map; each of the 64 dimension
+    partitions sorts independently (64-way parallel global ranks —
+    partitionBy dim bounds every sort at |corpus| rows, far under the
+    all-dims matrix). At 100 TB the exact rank swaps for
+    approx-percentile bin edges; the per-vector rollup is one groupBy on
+    vec_id."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    rk0 = (
+        F.rank().over(Window.partitionBy("dim").orderBy("v")).cast("long") - 1
+    )
+    r = x.select("vec_id", rk0.alias("rk0"))
+    return (
+        r.crossJoin(F.broadcast(n))
+        .groupBy("vec_id", "n_vecs")
+        .agg(
+            (
+                F.sum("rk0").cast("double")
+                / (F.lit(64.0) * (F.col("n_vecs") - 1))
+            ).alias("mean_qnorm"),
+            F.min("rk0").alias("min_rank0"),
+            F.max("rk0").alias("max_rank0"),
+        )
+        .select("vec_id", "mean_qnorm", "min_rank0", "max_rank0")
+    )

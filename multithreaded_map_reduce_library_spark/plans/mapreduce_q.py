@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from multithreaded_map_reduce_library_spark.mapreduce.api import (
     mr_run_pairs,
     wordcount_reducer,
+    wordcount_sum_reducer,
 )
 from multithreaded_map_reduce_library_spark.operators.wordcount import wordcount
 from multithreaded_map_reduce_library_spark.plans.registry import register
@@ -103,4 +104,31 @@ def q_mr_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     pairs = docs.rdd.flatMap(lambda row: [(t, "1") for t in row[0].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" ") if t])
     reduced = mr_run_pairs(pairs, wordcount_reducer, num_partitions=10)
+    return reduced.toDF(["key", "cnt_str"])
+
+
+@register(
+    "mr_api_wordcount_combined",
+    oracle=f"""
+        SELECT tok AS key, CAST(COUNT(*) AS VARCHAR) AS cnt_str
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    """,
+    tags=("reference", "mapreduce-api", "rdd", "combiner"),
+)
+def q_mr_api_wordcount_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade with a MAP-SIDE COMBINER: each map partition pre-sums its
+    own tokens, so one pair per (task, key) crosses the shuffle instead of
+    one per occurrence — the partial-aggregation upgrade the reference
+    lacks entirely (every ("w","1") pair crosses, mapreduce.c:111-144;
+    SURVEY.md §4), surfaced through the same reducer contract. The final
+    reducer SUMs the partials, which on "1"-valued input equals the
+    reference's COUNT semantics (quirk Q2) — same oracle as
+    ``mr_api_wordcount``."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    pairs = docs.rdd.flatMap(lambda row: [(t, "1") for t in row[0].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" ") if t])
+    reduced = mr_run_pairs(
+        pairs, wordcount_sum_reducer, num_partitions=10, combiner=wordcount_sum_reducer
+    )
     return reduced.toDF(["key", "cnt_str"])

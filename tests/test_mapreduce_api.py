@@ -81,3 +81,37 @@ def test_property_counter_equivalence(spark, tokens):
     got = dict(mr_run_pairs(pairs, wordcount_reducer, num_partitions=3).collect())
     want = {k: str(v) for k, v in Counter(tokens).items()}
     assert got == want
+
+
+def test_combiner_equals_plain_and_shrinks_shuffle(spark):
+    """The combiner path must produce identical results to the plain path,
+    while shuffling at most one pair per (map partition, key)."""
+    from multithreaded_map_reduce_library_spark.mapreduce.api import (
+        _combine_partition,
+        mr_run_pairs,
+        wordcount_reducer,
+        wordcount_sum_reducer,
+    )
+
+    sc = spark.sparkContext
+    toks = ["a", "b", "a", "c", "a", "b"] * 50
+    pairs = sc.parallelize([(t, "1") for t in toks], 4)
+
+    plain = dict(mr_run_pairs(pairs, wordcount_reducer, num_partitions=3).collect())
+    combined = dict(
+        mr_run_pairs(
+            pairs,
+            wordcount_sum_reducer,
+            num_partitions=3,
+            combiner=wordcount_sum_reducer,
+        ).collect()
+    )
+    assert combined == plain == {"a": "150", "b": "100", "c": "50"}
+
+    # Shuffle-volume bound: after map-side combine, each of the 4 map
+    # partitions contributes at most |distinct keys| pairs.
+    pre_shuffle = pairs.mapPartitions(
+        _combine_partition(wordcount_sum_reducer)
+    ).count()
+    assert pre_shuffle <= 4 * 3
+    assert pre_shuffle < len(toks)
