@@ -389,3 +389,96 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "mean_qnorm", "min_rank0", "max_rank0")
     )
+
+
+@register(
+    "token_zipf_table",
+    oracle="""
+        WITH tok AS (SELECT unnest(string_split_regex(text, '[ \t\r\n]')) AS w
+                     FROM documents),
+        c AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),
+        r AS (SELECT w, freq,
+                     CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank
+              FROM c)
+        SELECT rank, w AS token, freq, rank * freq AS zipf_product
+        FROM r
+    """,
+    tags=("text-analysis", "zipf", "corpus-stats"),
+)
+def token_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table of the corpus vocabulary: tokens ranked
+    by frequency with the rank x frequency product — under Zipf's law the
+    product is roughly constant, and its drift across ranks is the
+    standard natural-language sanity check on a training corpus (a flat
+    product curve on synthetic data is itself a finding). Integer-only
+    (the log-log regression variant needs libm; the product ranks
+    identically), deterministic tiebreak on token.
+
+    Scale design: the vocabulary aggregate is the only wide shuffle; the
+    global rank over the vocabulary (not the corpus) is dimension-scale.
+    At 100 TB vocabularies still fit one partition after aggregation —
+    and if not, rank over (freq band, token) ranges first."""
+    from multithreaded_map_reduce_library_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("w"))
+    return c.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("w").alias("token"),
+        "freq",
+    ).withColumn("zipf_product", F.col("rank") * F.col("freq"))
+
+
+@register(
+    "rolling_24h_distinct_users",
+    oracle="""
+        WITH e AS (SELECT user_id,
+                          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h
+                   FROM events),
+        expanded AS (SELECT DISTINCT user_id, unnest(generate_series(h, h + 23)) AS wh
+                     FROM e),
+        bounds AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM e)
+        SELECT wh AS window_end_hour, COUNT(*) AS n_distinct_users
+        FROM expanded, bounds
+        WHERE wh >= hmin + 23 AND wh <= hmax
+        GROUP BY wh
+    """,
+    tags=("timeseries", "sliding-window", "distinct", "events"),
+)
+def rolling_24h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour distinct users, evaluated every hour — the DAU-
+    style engagement metric that is notoriously expensive because COUNT
+    DISTINCT does not decompose over sliding windows. Expressed exactly:
+    each (user, active hour) pair expands to the 24 hourly windows it
+    falls in, then one distinct count per window; edge windows without a
+    full 24 h of history are excluded.
+
+    Scale design: the expansion is a generated sequence (x24, map-side)
+    over the DEDUPED (user, hour) activity table — far smaller than raw
+    events — and the per-window distinct is one partial-agg shuffle on
+    the window hour. The approximate twin at 100 TB is
+    ``hll_distinct_users_daily`` (mergeable sketches); this exact form is
+    the auditing oracle for it."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+        ).cast("long").alias("h"),
+    )
+    active = e.distinct()
+    expanded = active.select(
+        "user_id", F.explode(F.sequence("h", F.col("h") + 23)).alias("wh")
+    ).distinct()
+    bounds = e.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter((F.col("wh") >= F.col("hmin") + 23) & (F.col("wh") <= F.col("hmax")))
+        .groupBy(F.col("wh").alias("window_end_hour"))
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
