@@ -79,3 +79,98 @@ def cogroup_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             "user_id bigint, n_clicks bigint, has_purchase boolean, n_before bigint",
         )
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc(user_id, anc_id, depth) AS (
+        SELECT user_id, user_id, 0
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id >= 1) u
+        UNION ALL
+        SELECT user_id, CAST(FLOOR(anc_id / 2.0) AS BIGINT), depth + 1
+        FROM anc WHERE anc_id > 1
+    )
+    SELECT user_id, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           COUNT(*) AS n_ancestors
+    FROM anc GROUP BY user_id
+"""
+
+
+@register(
+    "sql_recursive_user_ancestry",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql-api", "recursive-cte", "iterative", "hierarchy"),
+)
+def sql_recursive_user_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE in the engine's SQL surface (Spark 4 recursive
+    CTEs): walk each user id up the implicit binary hierarchy
+    (parent = floor(id/2)) to the root, reporting depth and ancestor
+    count — the org-chart/BOM traversal pattern, expressed in ONE ANSI
+    string that both Catalyst and the DuckDB oracle execute (the
+    dedup-clusters oracle already used a recursive CTE; this puts the
+    construct in the engine itself). floor(x/2.0) is used instead of
+    integer div so the same text parses in both dialects.
+
+    Scale design: each recursion step is a distributed self-join on the
+    frontier only (rows still above the root), and depth is bounded by
+    log2(max id) — the same bounded-iteration shape as connected
+    components, but planned by Catalyst's UnionLoop instead of a Python
+    driver loop."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+@register(
+    "grouped_agg_trimmed_mean",
+    oracle="""
+        WITH q AS (SELECT event_type,
+                          CAST(FLOOR(value * 10000) AS BIGINT) AS v
+                   FROM events),
+        r AS (SELECT event_type, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM q)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) / 10000.0 AS trimmed_mean
+        FROM r
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY event_type
+    """,
+    tags=("udf", "pandas", "grouped-agg", "udaf", "events"),
+)
+def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas_udf: the 10%-trimmed mean of
+    event values per type (drop the lowest and highest decile by count,
+    average the rest) — the robust-statistics reduction built-ins don't
+    offer, in the vectorized Arrow form (whole group as one pandas
+    Series, returns a scalar). Values are quantized to integer
+    ten-thousandths before the UDAF so the trim boundary and the sum are
+    engine-exact; equal values are interchangeable under positional
+    trimming, so no tiebreak is needed.
+
+    Scale design: GROUPED_AGG ships each group once through the Python
+    worker (Arrow-batched). The oracle shows the same trim as pure
+    window SQL — the JVM-only fallback when a group is too large for one
+    worker (at 100 TB, pre-aggregate or use the SQL form)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed annotation
+    # evaluation, which defeats pandas_udf's signature-based inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = v.sort_values().to_numpy()
+        k = len(s) // 10
+        kept = s[k : len(s) - k]
+        return float(kept.sum()) / len(kept) / 10000.0
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def kept_count(v):
+        return int(len(v) - 2 * (len(v) // 10))
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 10000).cast("long").alias("v")
+    )
+    return e.groupBy("event_type").agg(
+        kept_count("v").alias("n_kept"),
+        trimmed_mean("v").alias("trimmed_mean"),
+    )

@@ -75,3 +75,19 @@ def test_xml_roundtrip(spark, tmp_path):
         "id bigint, name string, score double"
     ).load(out)
     assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.25)}
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: a dataset whose later files add a column must
+    read with mergeSchema=true as the superset schema, nulls for the
+    files written before the column existed — the append-only contract
+    of a long-lived 100 TB table."""
+    out = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(out + "/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"]).write.parquet(
+        out + "/p=2"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"id", "name", "score", "p"}
+    rows = {(r.id, r.name, r.score) for r in back.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
