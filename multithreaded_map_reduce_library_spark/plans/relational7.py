@@ -336,3 +336,132 @@ def approx_topk_tokens_exact_capacity(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rk") <= 10)
         .select("token", "n", "rk")
     )
+
+
+@register(
+    "contribution_wow_by_segment",
+    oracle="""
+        WITH wk AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        mx AS (SELECT MAX(week) AS wlast FROM wk),
+        cur AS (SELECT seg, rev FROM wk, mx WHERE week = wlast),
+        prev AS (SELECT seg, rev FROM wk, mx WHERE week = wlast - INTERVAL 7 DAY),
+        d AS (SELECT COALESCE(cur.seg, prev.seg) AS seg,
+                     COALESCE(cur.rev, 0) AS cur_cents,
+                     COALESCE(prev.rev, 0) AS prev_cents
+              FROM cur FULL OUTER JOIN prev ON cur.seg = prev.seg),
+        t AS (SELECT SUM(cur_cents - prev_cents) AS total_delta FROM d)
+        SELECT seg, cur_cents, prev_cents,
+               cur_cents - prev_cents AS delta_cents,
+               CAST(cur_cents - prev_cents AS DOUBLE)
+                   / CAST(total_delta AS DOUBLE) AS share_of_change
+        FROM d CROSS JOIN t
+    """,
+    tags=("analytics", "contribution", "root-cause", "window"),
+)
+def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (root-cause decomposition): which market
+    segment drove the latest week-over-week revenue change. Each
+    segment's delta between the last two weeks is attributed as a share
+    of the total delta — the first question any metrics regression
+    triggers. Integer cents throughout; the share is one IEEE division
+    of exact integers.
+
+    Scale design: revenue collapses to |segment x week| rows in one
+    partial-agg shuffle (the customer dim broadcasts); the last-week
+    scalar and the total-delta scalar are one-row broadcasts. The
+    full-outer segment merge handles segments present in only one
+    week."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    wk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("seg", "week")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    mx = wk.agg(F.max("week").alias("wlast"))
+    wkx = wk.crossJoin(F.broadcast(mx))
+    cur = wkx.filter(F.col("week") == F.col("wlast")).select("seg", F.col("rev").alias("cur_cents"))
+    prev = wkx.filter(F.col("week") == F.date_sub(F.col("wlast"), 7)).select(
+        F.col("seg").alias("pseg"), F.col("rev").alias("prev_cents")
+    )
+    d = (
+        cur.join(prev, cur.seg == prev.pseg, "full_outer")
+        .select(
+            F.coalesce("seg", "pseg").alias("seg"),
+            F.coalesce("cur_cents", F.lit(0)).alias("cur_cents"),
+            F.coalesce("prev_cents", F.lit(0)).alias("prev_cents"),
+        )
+    )
+    t = d.agg(F.sum(F.col("cur_cents") - F.col("prev_cents")).alias("total_delta"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "seg",
+        "cur_cents",
+        "prev_cents",
+        (F.col("cur_cents") - F.col("prev_cents")).alias("delta_cents"),
+        (
+            (F.col("cur_cents") - F.col("prev_cents")).cast("double")
+            / F.col("total_delta").cast("double")
+        ).alias("share_of_change"),
+    )
+
+
+@register(
+    "orderkey_skew_profile",
+    oracle="""
+        WITH g AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+        s AS (SELECT COUNT(*) AS n_groups,
+                     SUM(n) AS n_rows,
+                     MIN(n) AS min_n, MAX(n) AS max_n
+              FROM g)
+        SELECT n_groups, n_rows, min_n, max_n,
+               CAST(n_rows AS DOUBLE) / n_groups AS avg_n,
+               (SELECT COUNT(*) FROM g, s WHERE n * n_groups > 2 * n_rows)
+                   AS n_hot_groups
+        FROM s
+    """,
+    tags=("profiling", "skew", "diagnostics"),
+)
+def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_orderkey: group-count
+    envelope (min/avg/max rows per key) plus the number of 'hot' keys
+    carrying more than 2x the mean — the measurement that decides
+    whether a join needs salting or AQE skew splitting BEFORE it runs at
+    100 TB (the companion diagnostic to `salted_skew_join_revenue`).
+    All integer counts; the average is one exact division.
+
+    Scale design: one partial-agg shuffle builds the per-key counts; the
+    profile is a grand aggregate over key-count rows (never raw data),
+    and the hot-key count reuses the same aggregate against two
+    broadcast scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    s = g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+    )
+    hot = (
+        g.crossJoin(F.broadcast(s))
+        .filter(F.col("n") * F.col("n_groups") > 2 * F.col("n_rows"))
+        .agg(F.count("*").alias("n_hot_groups"))
+    )
+    return s.crossJoin(F.broadcast(hot)).select(
+        "n_groups",
+        "n_rows",
+        "min_n",
+        "max_n",
+        (F.col("n_rows").cast("double") / F.col("n_groups")).alias("avg_n"),
+        "n_hot_groups",
+    )

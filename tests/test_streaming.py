@@ -31,3 +31,34 @@ def test_sliding_windows_double_count(spark):
 
     n_events = load_table(spark, SF_SMALL, "events").count()
     assert sum(r["n_events"] for r in rows) == 2 * n_events
+
+
+def test_rate_source_produces_monotonic_rows(spark):
+    """The built-in rate source (load/soak-test generator): a bounded
+    drain must yield consecutive values with event-time timestamps — the
+    synthetic-ingest tool for exercising a streaming topology without
+    real data."""
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() < 100:
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 100
+    vals = sorted(r["value"] for r in rows)
+    assert vals == list(range(vals[0], vals[0] + len(vals)))
