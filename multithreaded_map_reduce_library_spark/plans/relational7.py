@@ -465,3 +465,51 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows").cast("double") / F.col("n_groups")).alias("avg_n"),
         "n_hot_groups",
     )
+
+
+@register(
+    "null_semantics_priority_report",
+    oracle="""
+        WITH x AS (SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pri,
+                          o_orderstatus,
+                          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT pri, COUNT(*) AS n_rows, COUNT(pri) AS n_non_null,
+               SUM(cents) AS cents,
+               SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL
+                        THEN cents ELSE 0 END) AS null_bucket_cents
+        FROM x
+        GROUP BY pri
+        ORDER BY pri NULLS FIRST
+    """,
+    tags=("nulls", "semantics", "aggregation", "global-sort"),
+)
+def null_semantics_priority_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics corner cases in one report: NULLIF derives a
+    nullable priority ('not specified' becomes NULL), COUNT(*) vs
+    COUNT(col) split the null bucket, IS NOT DISTINCT FROM (null-safe
+    equality, `<=>`) routes null-bucket money, and the output orders
+    NULLS FIRST explicitly — the semantics every engine must pin down
+    and the reference's typeless strings never face (mapreduce.h:8-12
+    has no null at all).
+
+    Scale design: one partial-agg shuffle over a 6-value key; the sort
+    is dimension-sized. Null grouping keys hash to one group like any
+    other value."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        x.groupBy("pri")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("pri").alias("n_non_null"),
+            F.sum("cents").alias("cents"),
+            F.sum(
+                F.when(F.col("pri").eqNullSafe(F.lit(None)), F.col("cents")).otherwise(0)
+            ).alias("null_bucket_cents"),
+        )
+        .orderBy(F.col("pri").asc_nulls_first())
+    )

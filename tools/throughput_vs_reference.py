@@ -1,0 +1,105 @@
+"""Head-to-head single-node throughput: this engine vs the compiled C
+reference on the reference's OWN workload (word count over
+sample_inputs/, 105,000 tokens, 21 keys).
+
+The reference is compiled out-of-tree (/tmp) from /root/reference and
+executed as a black box — no reference code enters this repo. Our side
+runs the registry wordcount on a warm session (a resident engine
+amortizes JVM boot exactly as the C process would amortize nothing — its
+4.5s is pure compute, dominated by the O(n^2) insertion-sort emit,
+mapreduce.c:123-141) twice: aggregate-only, and with the DJB2-sharded
+text sink for byte-comparable output (result-<p> shards).
+
+Prints one JSON line; measured values are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REF = "/root/reference"
+INPUTS = sorted(glob.glob(f"{REF}/sample_inputs/*.txt"))
+
+
+def time_reference(runs: int = 3) -> float:
+    build = tempfile.mkdtemp(prefix="refbuild-")
+    for f in glob.glob(f"{REF}/*.c") + glob.glob(f"{REF}/*.h") + [f"{REF}/Makefile"]:
+        shutil.copy(f, build)
+    subprocess.run(["make"], cwd=build, check=True, capture_output=True)
+    best = float("inf")
+    for _ in range(runs):
+        for f in glob.glob(os.path.join(build, "result-*.txt")):
+            os.remove(f)
+        t0 = time.perf_counter()
+        subprocess.run([os.path.join(build, "wordcount"), *INPUTS], cwd=build, check=True)
+        best = min(best, time.perf_counter() - t0)
+    shutil.rmtree(build, ignore_errors=True)
+    return best
+
+
+def time_engine(runs: int = 3) -> tuple[float, float]:
+    import pyspark.sql.functions as F
+
+    from multithreaded_map_reduce_library_spark.operators.wordcount import wordcount
+    from multithreaded_map_reduce_library_spark.session import get_spark
+    from multithreaded_map_reduce_library_spark.sources.sinks import (
+        write_partitioned_text,
+    )
+
+    spark = get_spark(app_name="throughput-vs-reference")
+    spark.sparkContext.setLogLevel("ERROR")
+    wordcount(spark.read.text(INPUTS)).write.format("noop").mode("overwrite").save()
+
+    agg = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        wordcount(spark.read.text(INPUTS)).write.format("noop").mode("overwrite").save()
+        agg = min(agg, time.perf_counter() - t0)
+
+    sink = float("inf")
+    for _ in range(runs):
+        out = tempfile.mkdtemp(prefix="wc-shards-")
+        df = wordcount(spark.read.text(INPUTS))
+        t0 = time.perf_counter()
+        write_partitioned_text(
+            df.select("key", F.col("cnt").cast("string").alias("value")),
+            out,
+            num_partitions=10,
+        )
+        sink = min(sink, time.perf_counter() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+
+    res = wordcount(spark.read.text(INPUTS)).collect()
+    assert len(res) == 21 and all(r.cnt == 5000 for r in res), "golden invariant"
+    spark.stop()
+    return agg, sink
+
+
+def main() -> None:
+    ref = time_reference()
+    agg, sink = time_engine()
+    print(
+        json.dumps(
+            {
+                "workload": "wordcount sample_inputs (105k tokens, 21 keys)",
+                "reference_c_sec": round(ref, 3),
+                "engine_agg_sec": round(agg, 3),
+                "engine_with_djb2_shard_sink_sec": round(sink, 3),
+                "speedup_agg": round(ref / agg, 1),
+                "speedup_sink": round(ref / sink, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
