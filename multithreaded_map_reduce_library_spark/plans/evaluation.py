@@ -482,3 +482,84 @@ def rolling_24h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wh").alias("window_end_hour"))
         .agg(F.count("*").alias("n_distinct_users"))
     )
+
+
+def _keep_best_oracle() -> str:
+    from multithreaded_map_reduce_library_spark.plans.pipeline import (
+        _duck_band_exprs,
+        _duck_minhash_sig_cte,
+        _duck_quality_sql,
+    )
+
+    return f"""
+        WITH RECURSIVE {_duck_minhash_sig_cte().strip()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+        reach(u, w) AS (
+            SELECT DISTINCT u, u FROM e
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.w
+        ),
+        comp AS (SELECT u AS doc, MIN(w) AS cluster FROM reach GROUP BY u),
+        q AS ({_duck_quality_sql()}),
+        allq AS (SELECT d.doc_id,
+                        COALESCE(comp.cluster, d.doc_id) AS cluster,
+                        q.quality
+                 FROM documents d
+                 LEFT JOIN comp ON comp.doc = d.doc_id
+                 JOIN q ON q.doc_id = d.doc_id),
+        r AS (SELECT doc_id, cluster, quality,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY quality DESC, doc_id) AS rk
+              FROM allq)
+        SELECT doc_id, cluster, quality, rk = 1 AS keep FROM r
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "quality", "clustering", "decision"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION list — the operator a corpus build actually
+    ships: every document labeled with its near-dup cluster (LSH
+    candidate graph -> connected components; edge-free documents are
+    their own singleton cluster) and a keep flag marking the
+    highest-QUALITY member per cluster (quality-argmax, tie to lowest
+    doc_id) rather than the naive min-id keeper. Composes three
+    production operators (minhash_lsh_candidates, dedup_clusters,
+    doc_quality_score) into one auditable output.
+
+    Scale design: clustering cost is the LSH band shuffle + a
+    diameter-bounded label-propagation loop (near-dup graphs are
+    shallow); the quality join is map-side per doc; the keep flag is one
+    per-cluster window with O(1) state via WindowGroupLimit. Nothing
+    touches the quadratic pair space."""
+    from multithreaded_map_reduce_library_spark.operators import dedup as D
+    from multithreaded_map_reduce_library_spark.operators import textstats as T
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    comp = D.connected_components(cand)
+    q = docs.select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    )
+    allq = (
+        q.join(comp, q.doc_id == comp.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+            "quality",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    )
+    return allq.select(
+        "doc_id", "cluster", "quality", (rk == 1).alias("keep")
+    )
