@@ -513,3 +513,61 @@ def null_semantics_priority_report(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy(F.col("pri").asc_nulls_first())
     )
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle="""
+        WITH s AS (SELECT o_custkey,
+                          SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+                   FROM orders GROUP BY o_custkey),
+        t AS (SELECT SUM(cents) AS total, COUNT(*) AS n_customers FROM s),
+        r AS (SELECT cents,
+                     SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+              FROM s)
+        SELECT t.n_customers,
+               (SELECT COUNT(*) FROM r, t
+                WHERE r.cum - r.cents < (4 * t.total + 4) // 5) AS n_for_80pct,
+               t.total AS total_cents
+        FROM t
+    """,
+    tags=("analytics", "pareto", "concentration", "window", "global-sort"),
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 check): how many customers,
+    taken from the top, cover 80% of total order revenue — the
+    concentration diagnostic behind whale-account risk and long-tail
+    pruning decisions. All integer cents: the 80% threshold is the
+    integer ceiling (4*total+4) div 5 and the prefix test compares exact
+    running sums, so the cut is engine-stable.
+
+    Scale design: the fact table collapses to per-customer cents in one
+    partial-agg shuffle; the running sum orders the |customers|-sized
+    aggregate (dimension-scale sort), and the two scalars broadcast. At
+    100 TB the same query runs on the pre-aggregated revenue table."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    t = s.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_customers")
+    )
+    cum = F.sum("cents").over(
+        Window.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    r = s.select("cents", cum.alias("cum"))
+    n80 = (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") - F.col("cents") < F.expr("(4 * total + 4) div 5"))
+        .agg(F.count("*").alias("n_for_80pct"))
+    )
+    return (
+        t.crossJoin(F.broadcast(n80))
+        .select("n_customers", "n_for_80pct", F.col("total").alias("total_cents"))
+    )
