@@ -199,6 +199,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from MinHash-LSH banding.
 
@@ -207,8 +208,26 @@ def minhash_lsh_pairs(
     join anywhere. The banded side is (doc_id, band_key) only — 2 narrow
     columns regardless of document size, so the self-join shuffles a tiny
     projection of the corpus, never the text.
+
+    ``band_cap`` is the HOT-BUCKET cap (the O(n^2)-per-bucket guard the
+    round-1 SCALING.md promised): within each band key only the ``cap``
+    lowest doc ids participate in pair generation. A band key shared by
+    millions of boilerplate documents otherwise produces a quadratic pair
+    set on one shuffle partition; the cap bounds every bucket's fan-out at
+    cap*(cap-1)/2 pairs. Deterministic (ordered by doc id), so the SQL
+    oracle reproduces the exact candidate set. The ROW_NUMBER shuffles on
+    the same band_key as the self-join, so AQE reuses the partitioning.
     """
     banded = minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    if band_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_key").orderBy(F.asc("doc"))
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= band_cap)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -268,6 +287,90 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         if n_changed == 0:
             break
     return labels.select("doc", F.col("lbl").alias("cluster"))
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the 100 TB replacement for plain min-label propagation
+    (:func:`connected_components`), whose round count is bounded by the
+    graph DIAMETER. Star rounds contract paths doubly-exponentially-ish
+    (O(log^2 n) rounds in the worst case, ~log n in practice), so a
+    million-node duplicate chain converges in a dozen rounds instead of a
+    million.
+
+    large-star(u): every neighbor v > u is re-pointed at
+    m = min(neighbors(u) + {u}).
+    small-star(u, over edges directed larger->smaller): every smaller
+    neighbor and u itself re-point at the minimum smaller neighbor.
+    Both are one groupBy (min) + one join per round, all on the node key
+    — fully distributed, no driver state beyond the convergence counter.
+    The fixpoint is a forest of stars: every node points directly at its
+    component's minimum id, which is the same canonical labeling
+    min-label propagation produces (tests assert equality on the LSH
+    graph and on an adversarial long chain).
+    """
+    # Canonical undirected edge set, self-loops dropped.
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("v"), F.greatest("id_a", "id_b").alias("u")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        e.select(F.col("u").alias("doc"))
+        .union(e.select(F.col("v").alias("doc")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # --- large-star: neighbors in both directions ---
+        both = e.selectExpr("u", "v").union(e.selectExpr("v AS u", "u AS v"))
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # --- small-star over larger->smaller direction ---
+        dire = (
+            large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins_s = dire.groupBy("u").agg(F.min("v").alias("m"))
+        joined = dire.join(mins_s, "u")
+        small = (
+            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e_new = (
+            small.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            e_new.exceptAll(e).limit(1).count() + e.exceptAll(e_new).limit(1).count()
+        )
+        e = e_new
+        if changed == 0:
+            break
+    # Fixpoint: e is a star forest (u -> component min). Roots self-label.
+    # groupBy-min guards the (max_iter hit, not yet a forest) case where a
+    # node could still carry two outgoing edges.
+    stars = e.groupBy(F.col("u").alias("doc")).agg(F.min("v").alias("cluster"))
+    return (
+        vertices.join(stars, "doc", "left")
+        .select("doc", F.coalesce(F.col("cluster"), F.col("doc")).alias("cluster"))
+    )
 
 
 def _hex_digit_value(h: Column, pos: int) -> Column:

@@ -230,8 +230,8 @@ def _novelty_oracle() -> str:
         first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM d GROUP BY shingle)
         SELECT d.doc_id, COUNT(*) AS n_shingles,
                SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel,
-               CAST(SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-                   / COUNT(*) AS novelty
+               ROUND(CAST(SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS novelty
         FROM d JOIN first USING (shingle)
         GROUP BY d.doc_id
     """
@@ -253,7 +253,11 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash to find first owners (partial MIN combines map-side), then
     joins back to the same-keyed index — AQE reuses the partitioning.
     The first-seen table persists as state in production, making
-    novelty an incremental per-batch score."""
+    novelty an incremental per-batch score.
+
+    The displayed ratio is rounded to 6dp in BOTH the plan and the
+    oracle (like every sibling query's floats) so the driver's value
+    hash is byte-stable regardless of its float normalization."""
     from multithreaded_map_reduce_library_spark.plans.pipeline import (
         _shingle_hash_index,
     )
@@ -270,7 +274,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             novel.alias("n_novel"),
-            (novel.cast("double") / F.count("*")).alias("novelty"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
 

@@ -220,6 +220,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(cand)
 
 
+@register(
+    "dedup_clusters_star",
+    oracle=f"""
+        WITH RECURSIVE {_duck_minhash_sig_cte().strip()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+        reach(u, w) AS (
+            SELECT DISTINCT u, u FROM e
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.w
+        )
+        SELECT u AS doc, MIN(w) AS cluster FROM reach GROUP BY u
+    """,
+    tags=("dedup", "clustering", "iterative", "graph", "star"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the SAME MinHash-LSH candidate graph as
+    dedup_clusters, computed with the LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al.) instead of min-label propagation — the round count
+    drops from O(diameter) to ~O(log^2 n), which is what survives a
+    high-diameter duplicate graph at 100 TB. Identical labels (cluster =
+    component min), identical oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
+    )
+    return D.connected_components_star(cand)
+
+
+_BAND_CAP = 2
+
+
+@register(
+    "minhash_lsh_candidates_capped",
+    oracle=f"""
+        WITH {_duck_minhash_sig_cte()},
+        bands AS (SELECT doc_id, unnest({_duck_band_exprs()}) AS band_key FROM sig),
+        kept AS (SELECT doc_id, band_key FROM (
+                     SELECT doc_id, band_key,
+                            ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+                     FROM bands)
+                 WHERE rn <= {_BAND_CAP}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM kept a JOIN kept b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b FROM cand
+    """,
+    tags=("dedup", "minhash", "lsh", "hot-bucket-cap"),
+)
+def minhash_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates with the HOT-BUCKET CAP active (cap=2 so the
+    driver corpus exercises both branches): within each band key only the
+    cap lowest doc ids participate, bounding any bucket's pair fan-out at
+    cap*(cap-1)/2 — the guard that stops a boilerplate band key shared by
+    millions of documents from producing a quadratic pair set on one
+    shuffle partition. Deterministic keep-lowest rule, exact SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_K,
+        bands=_LSH_BANDS,
+        shingle_n=_SHINGLE_N,
+        band_cap=_BAND_CAP,
+    )
+
+
 def _shingle_hash_index(docs: DataFrame) -> DataFrame:
     """(doc, shingle) inverted index over 32-bit shingle *hashes*: Arrow
     pandas-UDF hashing (hashlib md5 — bit-exact twin of the expression
@@ -846,25 +914,38 @@ def stream_stream_left_outer_purchases(spark: SparkSession, sf_dir: str) -> Data
     clicks, where a purchase with NO click still emits (with nulls) once
     the watermark proves no match can arrive — the state-eviction
     semantics that make outer joins possible on unbounded streams at all.
-    Emission of the null rows happens in the no-data flush batch after
-    the watermark passes the purchase.
 
-    The tail of the input is excluded on BOTH sides via a static cut:
-    the global watermark is the MIN across both inputs' event-time maxima
-    minus the 2 h delay (measured: null rows flush exactly for
-    p_ts < watermark), so purchases newer than
-    least(max click, max purchase) - 3 h (1 h safety) are not yet
-    releasable at end-of-stream; the cut makes the drained stream equal
-    the batch oracle exactly.
+    Determinism (round-1 driver flake, fixed two ways):
+
+    1. The session time zone is pinned to UTC *before* the static side is
+       read: ``ts`` is ``timestamp_ntz`` and the ntz→ltz cast is
+       session-tz-dependent, so in a shared driver session the cut (and
+       join keys) would otherwise depend on whether a streaming query ran
+       earlier and already pinned UTC — execution-order nondeterminism.
+    2. The final aggregate is built ONLY from eagerly-emitted matched
+       rows plus the static purchase set: null-padded rows flush in the
+       post-data no-data micro-batch, whose execution relative to
+       AvailableNow termination is timing-dependent, so any aggregate
+       reading them is run-unstable. Matched rows emit as both sides
+       arrive (all input is processed), so ``n_pairs`` per purchase
+       instance is exact; ``n_unmatched`` is reconstructed as the
+       below-cut purchase instances with zero matched rows — identical to
+       the batch left-outer semantics, invariant to which batch a null
+       row lands in (or whether it flushed at all).
+
+    The tail of the input is excluded via a static cut
+    (least(max click, max purchase) − 3 h) mirroring the oracle.
 
     Scale design: state per side is bounded by watermark + range width
     (3 h of clicks, 1 h of purchases per user partition); the join
-    shuffles both streams once on user_id."""
+    shuffles both streams once on user_id; the reconstruction side is a
+    single (user, ts) aggregate of the purchases slice."""
     from multithreaded_map_reduce_library_spark.streaming.windows import (
         events_stream,
         run_stream_to_df,
     )
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load_table(spark, sf_dir, "events")
     cut = (
         e.filter(F.col("event_type").isin("click", "purchase"))
@@ -890,12 +971,31 @@ def stream_stream_left_outer_purchases(spark: SparkSession, sf_dir: str) -> Data
         "left_outer",
     )
     drained = run_stream_to_df(spark, joined, "append")
+    below_cut = F.col("p_ts") < F.lit(cut) - F.expr("INTERVAL 3 HOURS")
+    # Matched pairs per purchase event-time (eager emission => complete and
+    # run-stable). A duplicated purchase row emits its clicks once per
+    # instance, so this count already carries instance multiplicity.
+    matched = (
+        drained.filter(F.col("c_user").isNotNull())
+        .filter(below_cut)
+        .groupBy("p_user", "p_ts")
+        .agg(F.count("*").alias("n_m"))
+    )
+    p_static = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").cast("timestamp").alias("p_ts"))
+        .filter(below_cut)
+        .groupBy("p_user", "p_ts")
+        .agg(F.count("*").alias("mult"))
+    )
     return (
-        drained.filter(F.col("p_ts") < F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
+        p_static.join(matched, ["p_user", "p_ts"], "left")
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(
-            F.count("c_user").alias("n_pairs"),
-            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+            F.sum(F.coalesce(F.col("n_m"), F.lit(0))).alias("n_pairs"),
+            F.sum(F.when(F.col("n_m").isNull(), F.col("mult")).otherwise(0)).alias(
+                "n_unmatched"
+            ),
         )
     )
 

@@ -182,6 +182,108 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 
+_ADAPT_BASE = 4
+_ADAPT_EXT = 8
+_ADAPT_CAP = 24
+
+
+def _adaptive_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql("v", _ADAPT_BASE)} AS b0,
+                     {_bucket_sql("v", _ADAPT_EXT)} AS b1 FROM e),
+        hist AS (SELECT b0, COUNT(*) AS n FROM b GROUP BY b0),
+        fb AS (SELECT vec_id, v,
+                      CASE WHEN hist.n > {_ADAPT_CAP} THEN b1 ELSE b0 END AS bucket
+               FROM b JOIN hist USING (b0)),
+        p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                     ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
+              FROM fb a JOIN fb x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+        SELECT id_a, id_b, ROUND(sim, 6) AS sim_r
+        FROM p WHERE sim >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_adaptive",
+    oracle=_adaptive_oracle(),
+    tags=("dedup", "similarity", "embedding", "lsh", "adaptive"),
+)
+def dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with HOT-BUCKET RE-SPLIT (the scale-safe
+    successor of dedup_embedding_cosine's fixed 16 buckets): 4-plane base
+    buckets whose population exceeds {cap} are re-split by extending the
+    code to 8 planes (prefix-preserving), bounding the within-bucket pair
+    space; exact cosine >= 0.3 confirms. The re-split rule is a
+    deterministic function of bucket populations, so the oracle reproduces
+    it in SQL — a correctness-checked scale mechanism, not a heuristic."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        embedding_neardup_adaptive,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_adaptive(
+        emb,
+        dim=_DIM,
+        threshold=_NEARDUP_THRESHOLD,
+        base_planes=_ADAPT_BASE,
+        ext_planes=_ADAPT_EXT,
+        cap=_ADAPT_CAP,
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+
+
+def _probe_sql(bucket: str, num_planes: int) -> str:
+    """list of bucket + its Hamming-1 neighbors, mirroring probe_buckets."""
+    probes = [bucket]
+    for i in range(1, num_planes + 1):
+        flip = f"(CASE WHEN substr({bucket}, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        probes.append(
+            f"(substr({bucket}, 1, {i - 1}) || {flip} || substr({bucket}, {i + 1}, {num_planes - i}))"
+        )
+    return "[" + ", ".join(probes) + "]"
+
+
+def _multiprobe_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv,
+                     unnest({_probe_sql("bucket", _LSH_PLANES)}) AS bucket
+              FROM b WHERE vec_id < {_KNN_QUERIES}),
+        p AS (SELECT q.q_id, x.vec_id AS n_id,
+                     ({_dot("q.qv", "x.v")}) / (sqrt({_dot("q.qv", "q.qv")}) * sqrt({_dot("x.v", "x.v")})) AS sim
+              FROM q JOIN b x ON q.bucket = x.bucket AND q.q_id <> x.vec_id),
+        r AS (SELECT q_id, n_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              FROM p)
+        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        FROM r WHERE rank <= {_LSH_K}
+    """
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=_multiprobe_oracle(),
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own 8-plane bucket plus
+    all 8 Hamming-distance-1 buckets — the recall mechanism that lets the
+    plane count scale with the corpus (small buckets) without single-probe
+    recall collapse. Queries are exploded to probe keys and broadcast; the
+    corpus is never shuffled."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_lsh_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn_lsh_multiprobe(
+        emb, dim=_DIM, k=_LSH_K, num_planes=_LSH_PLANES, num_queries=_KNN_QUERIES
+    )
+    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
 def _norm_sql() -> str:
     return f"sqrt({_dot('v', 'v')})"
 

@@ -141,3 +141,54 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert ham(out[0], out[3]) == 0
     assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+
+# --- large-star/small-star connected components (round-2) -----------------
+
+
+def test_star_cc_equals_minlabel_on_lsh_graph(spark):
+    from multithreaded_map_reduce_library_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    a = {(r["doc"], r["cluster"]) for r in connected_components(cand).collect()}
+    b = {(r["doc"], r["cluster"]) for r in connected_components_star(cand).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_star_cc_long_chain(spark):
+    """Adversarial high-diameter graph: a 200-edge path. Min-label needs
+    ~200 rounds (its max_iter would truncate); star rounds contract it in
+    O(log^2 n) — must still produce the exact component labeling."""
+    from multithreaded_map_reduce_library_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.range(0, 200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = {(r["doc"], r["cluster"]) for r in connected_components_star(chain, max_iter=20).collect()}
+    assert got == {(i, 0) for i in range(201)}
+
+
+def test_band_cap_bounds_bucket_pairs(spark, docs):
+    """With band_cap=1 no band can produce any pair; with a generous cap
+    the candidate set equals the uncapped one."""
+    from multithreaded_map_reduce_library_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    capped1 = minhash_lsh_pairs(docs, shingle_n=3, band_cap=1)
+    assert capped1.count() == 0
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, shingle_n=3).collect()}
+    big_cap = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, shingle_n=3, band_cap=1000).collect()
+    }
+    assert big_cap == uncapped and len(uncapped) > 0

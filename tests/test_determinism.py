@@ -1,0 +1,45 @@
+"""Repeat-run hash-stability gate over the FULL registry.
+
+The driver samples different queries each round and compares a value
+hash; a query that is only *sometimes* hash-stable will eventually burn
+a correctness row (round 1: ``doc_ngram_novelty``,
+``stream_stream_left_outer_purchases`` — both passed single local runs
+but mismatched in the driver). This test runs every registered query
+twice in the same session and asserts the canonical value hash —
+the same columns-sorted-by-name, rows-sorted canonicalization the
+driver uses — is byte-identical. Runs at sf0.001 to stay cheap; any
+timing-, batch-, or partition-dependent output shows up here first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+from tests.oracle_util import _canon
+
+_QUERIES = all_queries()
+
+
+def canonical_hash(df) -> tuple[str, int]:
+    rows = [tuple(r) for r in df.collect()]
+    cols = [f.name for f in df.schema.fields]
+    canon = _canon(rows, cols)
+    lines = sorted("\x01".join(t) + f"\x02{n}" for t, n in canon.items())
+    return (
+        hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16],
+        len(rows),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_hash_stable_across_runs(spark, name):
+    q = _QUERIES[name]
+    h1, n1 = canonical_hash(q.fn(spark, SF_SMALL))
+    h2, n2 = canonical_hash(q.fn(spark, SF_SMALL))
+    assert (h1, n1) == (h2, n2), (
+        f"{name} is run-unstable: run1=({h1}, {n1} rows) run2=({h2}, {n2} rows)"
+    )

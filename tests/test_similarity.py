@@ -71,3 +71,64 @@ def test_lsh_buckets_and_knn(spark, emb):
     # identical vectors share a bucket by construction
     res = knn_lsh(emb, dim=4, k=2, num_planes=2)
     assert res.count() >= 0  # plan executes; recall checked at corpus scale
+
+
+# --- scale-parameterized LSH (round-2: adaptive re-split, multi-probe) ----
+
+
+def test_planes_for_corpus_scaling():
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        planes_for_corpus,
+    )
+
+    assert planes_for_corpus(10) == 4              # floor
+    assert planes_for_corpus(64 * 2**10) == 10     # exact log2
+    assert planes_for_corpus(64 * 2**30) == 24     # ceiling clamp
+    # monotone non-decreasing in corpus size
+    vals = [planes_for_corpus(n) for n in (100, 10_000, 1_000_000, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_adaptive_buckets_bound_fanout(spark):
+    """Hot base buckets must re-split: max adaptive bucket strictly below
+    max base bucket, and every re-split bucket extends its base prefix."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        adaptive_hyperplane_buckets,
+        random_hyperplane_bucket,
+    )
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cap = 24
+    base_max = (
+        emb.select(random_hyperplane_bucket("embedding", 64, 4).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    ad = adaptive_hyperplane_buckets(emb, 64, 4, 8, cap)
+    ad_max = ad.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert base_max > cap  # the corpus actually exercises the re-split
+    assert ad_max < base_max
+    # buckets are 4-bit or 8-bit codes only
+    lens = {r[0] for r in ad.select(F.length("bucket")).distinct().collect()}
+    assert lens <= {4, 8}
+
+
+def test_multiprobe_recall_superset(spark):
+    """Multi-probe candidates must contain every single-probe candidate
+    (probe set includes the exact bucket), so recall can only improve."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_lsh,
+        knn_lsh_multiprobe,
+    )
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    single = knn_lsh(emb, dim=64, k=3, num_planes=8)
+    single_pairs = {
+        (r["q_id"], r["n_id"])
+        for r in single.filter(F.col("q_id") < 10).collect()
+    }
+    multi = knn_lsh_multiprobe(emb, dim=64, k=1000, num_planes=8, num_queries=10)
+    multi_pairs = {(r["q_id"], r["n_id"]) for r in multi.collect()}
+    assert single_pairs <= multi_pairs
+    assert len(multi_pairs) > len(single_pairs)  # probes add candidates
