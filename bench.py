@@ -65,17 +65,29 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # Append to the tracked per-round history so round-over-round
+    # per-query regressions are mechanically diffable (judge request).
+    try:
+        import datetime
+
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(
+                json.dumps(
+                    {"ts": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"), **result}
+                )
+                + "\n"
+            )
+    except OSError:
+        pass  # read-only checkout: history is best-effort
     spark.stop()
 
 

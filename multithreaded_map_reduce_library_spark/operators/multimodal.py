@@ -15,6 +15,8 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -50,21 +52,43 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-HAVE_REAL_CODECS = False  # PIL / ffmpeg are not in this container.
+try:  # pragma: no cover - container has no PIL; branch kept for clusters that do
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+#: True decode exists for PNG always (stdlib codec); PIL widens it to
+#: every format PIL knows.
+HAVE_REAL_CODECS = True
 
 
 def _decode_image_bytes(payload: bytes) -> "object":
-    """Decode an image payload. STUB: no codec libs in this container.
+    """Decode an image payload to an (h, w, c) or (h, w) float array.
 
-    The deterministic fake derives an 8x8 'pixel' grid from md5(payload) so
-    downstream plumbing (shapes, batching, feature math) is exercised with
-    reproducible values. Replace with PIL.Image.open for production.
+    Real decode order: PIL when installed (any format), else the
+    dependency-free PNG codec (functions/png.py — 8-bit gray/RGB/RGBA).
+    Non-image payloads fall back to the deterministic md5-seeded fake
+    grid, which keeps the feature plumbing exercised on opaque bytes
+    (the round-1 behavior, now the fallback instead of the only path).
     """
-    if HAVE_REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
     import numpy as np
 
-    seed = hashlib.md5(payload or b"").digest()
+    from multithreaded_map_reduce_library_spark.functions.png import (
+        decode_png,
+        is_png,
+    )
+
+    raw = payload or b""
+    if HAVE_PIL and raw[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        import io  # pragma: no cover
+
+        return np.asarray(PIL.Image.open(io.BytesIO(raw)), dtype=np.float64)
+    if is_png(raw):
+        _w, _h, _c, arr = decode_png(raw)
+        return arr.astype(np.float64)
+    seed = hashlib.md5(raw).digest()
     rng = np.frombuffer((seed * 4)[:64], dtype=np.uint8)
     return rng.reshape(8, 8).astype("float64")
 
@@ -157,6 +181,88 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
+
+
+def embeddings_as_png_assets(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", width: int = 8
+) -> DataFrame:
+    """Fabricate REAL image payloads from driver data: each embedding is
+    quantized to 8-bit grey JVM-side (floor(clip((x+1)/2)*255) — plain SQL
+    double math a DuckDB oracle reproduces bit-for-bit), then an
+    Arrow-batched pandas UDF encodes the grid as an actual PNG byte
+    stream (functions/png.py). Gives the decode path genuine bytes to
+    chew on without any external image fixture."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            F.least(F.greatest((x.cast("double") + 1.0) / 2.0, F.lit(0.0)), F.lit(1.0))
+            * 255.0
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_png(pxs: pd.Series) -> pd.Series:
+        out = []
+        for p in pxs:
+            a = np.asarray(list(p), dtype=np.uint8)
+            out.append(encode_png(a.reshape(len(a) // width, width)))
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col).alias("asset_id"), q.alias("_px")).select(
+        "asset_id", to_png("_px").alias("payload")
+    )
+
+
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sum_px", LongType(), True),
+    ]
+)
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """mapInPandas REAL image decode: each payload is parsed as PNG
+    (stdlib codec / PIL) and reduced to its decoded geometry plus the
+    exact integer pixel sum — pure-int outputs, so an oracle that knows
+    how the pixels were produced can value-hash the result. The 100 TB
+    plan shape: parquet scan of binary column -> Arrow batches ->
+    per-batch decode -> tiny typed rows out; no driver involvement."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = _decode_image_bytes(bytes(payload) if payload is not None else b"")
+                a = np.asarray(arr)
+                if a.ndim == 2:
+                    h, w, c = a.shape[0], a.shape[1], 1
+                else:
+                    h, w, c = a.shape
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "sum_px": int(a.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, DECODE_META_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

@@ -730,6 +730,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_roundtrip",
+    oracle="""
+        SELECT vec_id AS asset_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(len(embedding) // 8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               list_aggregate(
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(least(greatest((x + 1.0) / 2.0, 0.0), 1.0) * 255.0)
+                                 AS BIGINT)),
+                   'sum') AS sum_px
+        FROM embeddings
+    """,
+    tags=("multimodal", "image-decode", "png", "mapInPandas"),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: embeddings are quantized to 8-bit
+    grey JVM-side, encoded to genuine PNG byte streams in an Arrow pandas
+    UDF (functions/png.py), then DECODED back by the mapInPandas decode
+    stage (operators/multimodal.decode_image_meta — stdlib zlib codec, or
+    PIL where installed). Output is the decoded geometry plus the exact
+    integer pixel sum; the oracle computes the same quantization directly
+    from the embedding, so any codec bug breaks the value hash. Replaces
+    the round-1 NotImplementedError decode stub with a tested path."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_png_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decode_image_meta(embeddings_as_png_assets(emb))
+
+
+@register(
     "stream_session_windows",
     oracle="""
         WITH g AS (

@@ -172,22 +172,46 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_distinct_users_daily",
-    oracle=None,  # approx sketch values are engine-specific; rows-only check
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS est_in_bound
+        FROM events
+        GROUP BY 1
+    """,
     tags=("approx", "sketch", "datetime"),
 )
 def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct users via HyperLogLog++ (approx_count_distinct,
     rsd=0.01). Sketches merge associatively, so partial aggregation
     crosses the shuffle as fixed-size registers instead of user-id
-    sets — THE distinct-count strategy at 100 TB. No SQL oracle:
-    sketch estimates are engine-specific (exactness is asserted within
-    ±rsd against exact counts in tests/test_approx.py)."""
+    sets — THE distinct-count strategy at 100 TB.
+
+    The raw estimate is engine-specific, so it can't be value-hashed
+    against DuckDB; instead the output carries the CHECKABLE claim:
+    ``est_in_bound`` = |estimate − exact| / exact ≤ 3·rsd, which the
+    oracle asserts as TRUE for every day (a 3-sigma error bound — a real
+    correctness row, not rows-only). The exact count rides along for the
+    bound; at 100 TB you'd compute it on a sampled slice instead."""
     e = load_table(spark, sf_dir, "events")
+    rsd = 0.01
     return (
         e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
             F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 3 * rsd
+            ).alias("est_in_bound"),
         )
     )
 

@@ -95,16 +95,48 @@ class MRResultStreamReader(SimpleDataSourceStreamReader):
     ~40 lines of the Python DS API, for a format Spark has no reader
     for).
 
-    Offsets are JSON dicts ``{"files": [basenames...]}`` — replayable:
-    ``readBetweenOffsets(start, end)`` re-reads exactly the files in
-    ``end - start``, which makes restart recovery deterministic (shard
-    files are immutable once written, like any sane log)."""
+    Offsets: standard contiguous ``result-<p>.txt`` shard sets commit as
+    the COMPACT form ``{"shard_max": p}`` (shard indices are monotone, so
+    one integer replaces the cumulative basename list the round-1 version
+    stored — offsets no longer grow with the number of ingested files);
+    directories with gaps or non-standard names fall back to the explicit
+    ``{"files": [basenames...]}`` form. ``readBetweenOffsets(start, end)``
+    re-reads exactly the files in ``end - start`` and RAISES if any is
+    missing on disk — silently skipping (round-1 behavior) would return
+    fewer rows after file loss and break the deterministic-recovery
+    contract (shard files are immutable once written, like any sane
+    log)."""
 
     def __init__(self, options) -> None:
         self._batch = MRResultReader(options)
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"shard_max": -1}
+
+    _STD_RE = re.compile(r"^result-(\d+)\.txt$")
+
+    def _basenames(self, offset: dict) -> set[str]:
+        """Expand either offset form to the set of covered basenames."""
+        names = set(offset.get("files", []))
+        if "shard_max" in offset:
+            names |= {f"result-{i}.txt" for i in range(offset["shard_max"] + 1)}
+        return names
+
+    def _commit_form(self, basenames: set[str]) -> dict:
+        """Compact to shard_max when the numeric shard set is contiguous
+        from 0; otherwise keep the explicit list (correct for gaps /
+        foreign names at the cost of offset size)."""
+        idx = []
+        other = []
+        for b in sorted(basenames):
+            m = self._STD_RE.match(b)
+            (idx if m else other).append(int(m.group(1)) if m else b)
+        if idx and sorted(idx) == list(range(max(idx) + 1)):
+            out: dict = {"shard_max": max(idx)}
+            if other:
+                out["files"] = other
+            return out
+        return {"files": sorted(basenames)}
 
     def _rows(self, files: list[str]) -> list[tuple]:
         # Materialized (not a generator): the runtime pickles the batch for
@@ -115,17 +147,24 @@ class MRResultStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        seen = set(start.get("files", []))
+        seen = self._basenames(start)
         now = self._batch._files()
         new = [f for f in now if os.path.basename(f) not in seen]
-        end = {"files": sorted(seen | {os.path.basename(f) for f in new})}
+        end = self._commit_form(seen | {os.path.basename(f) for f in new})
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        seen = set(start.get("files", []))
-        want = [b for b in end.get("files", []) if b not in seen]
+        seen = self._basenames(start)
+        want = sorted(self._basenames(end) - seen)
         by_base = {os.path.basename(f): f for f in self._batch._files()}
-        return iter(self._rows([by_base[b] for b in want if b in by_base]))
+        missing = [b for b in want if b not in by_base]
+        if missing:
+            raise FileNotFoundError(
+                f"mr_result replay: committed shard files missing on disk: "
+                f"{missing} — recovery cannot be deterministic; restore the "
+                f"files or reset the checkpoint"
+            )
+        return iter(self._rows([by_base[b] for b in want]))
 
 
 def register(spark) -> None:

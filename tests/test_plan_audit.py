@@ -18,7 +18,8 @@ def test_no_scale_hostile_plan_shapes(spark):
         tags = set(q.tags)
         if "streaming" in tags or name.startswith("stream_"):
             continue
-        flags = audit(name, tags, plan_of(q.fn(spark, SF_SMALL)))
+        df = q.fn(spark, SF_SMALL)
+        flags = audit(name, tags, df, plan_of(df))
         if flags:
             failures[name] = flags
     assert not failures, failures

@@ -91,3 +91,60 @@ def test_mr_result_streaming_incremental(spark, tmp_path):
     # Restart from the same checkpoint: only result-2.txt is new.
     got2 = drain()
     assert got2 == got1 | {("d", "4", 2)}
+
+
+# --- round-2: compact offsets + fail-loud replay --------------------------
+
+
+def _mk_shards(tmp_path, indices, rows=2):
+    for i in indices:
+        (tmp_path / f"result-{i}.txt").write_text(
+            "".join(f"k{i}_{j}: {j}\n" for j in range(rows))
+        )
+
+
+def test_stream_offsets_compact_to_shard_max(tmp_path):
+    from multithreaded_map_reduce_library_spark.sources.python_ds import (
+        MRResultStreamReader,
+    )
+
+    _mk_shards(tmp_path, [0, 1, 2])
+    r = MRResultStreamReader({"path": str(tmp_path)})
+    rows, end = r.read(r.initialOffset())
+    assert end == {"shard_max": 2}
+    assert len(rows) == 6
+    # growing directory: next batch covers only the new shard
+    _mk_shards(tmp_path, [3])
+    rows2, end2 = r.read(end)
+    assert end2 == {"shard_max": 3}
+    assert {t[2] for t in rows2} == {3}
+
+
+def test_stream_offsets_gap_falls_back_to_list(tmp_path):
+    from multithreaded_map_reduce_library_spark.sources.python_ds import (
+        MRResultStreamReader,
+    )
+
+    _mk_shards(tmp_path, [0, 2])  # gap at 1
+    r = MRResultStreamReader({"path": str(tmp_path)})
+    _rows, end = r.read(r.initialOffset())
+    assert end == {"files": ["result-0.txt", "result-2.txt"]}
+
+
+def test_replay_raises_on_missing_shard(tmp_path):
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_library_spark.sources.python_ds import (
+        MRResultStreamReader,
+    )
+
+    _mk_shards(tmp_path, [0, 1])
+    r = MRResultStreamReader({"path": str(tmp_path)})
+    _rows, end = r.read(r.initialOffset())
+    # replay works while files exist
+    replayed = list(r.readBetweenOffsets(r.initialOffset(), end))
+    assert len(replayed) == 4
+    # losing a committed shard must fail the replay, not shrink it
+    (tmp_path / "result-1.txt").unlink()
+    with _pytest.raises(FileNotFoundError, match="result-1.txt"):
+        r.readBetweenOffsets(r.initialOffset(), end)

@@ -30,11 +30,21 @@ REF = "/root/reference"
 INPUTS = sorted(glob.glob(f"{REF}/sample_inputs/*.txt"))
 
 
-def time_reference(runs: int = 3) -> float:
+def time_reference(runs: int = 3, optimized: bool = True) -> float:
+    """Compile and time the C reference. ``optimized=True`` builds with
+    -O2 (the honest head-to-head; the reference's own Makefile ships
+    ``-g -O0``, and the round-1 numbers measured against that debug
+    binary overstated the engine's architectural win — judge's note).
+    ``optimized=False`` reproduces the Makefile's default for the
+    as-shipped comparison; BASELINE.md reports both."""
     build = tempfile.mkdtemp(prefix="refbuild-")
     for f in glob.glob(f"{REF}/*.c") + glob.glob(f"{REF}/*.h") + [f"{REF}/Makefile"]:
         shutil.copy(f, build)
-    subprocess.run(["make"], cwd=build, check=True, capture_output=True)
+    cmd = ["make"]
+    if optimized:
+        # Override the Makefile's CFLAGS, keeping its -std/-pthread needs.
+        cmd = ["make", "CFLAGS=-Wall -Werror -std=c11 -pthread -O2"]
+    subprocess.run(cmd, cwd=build, check=True, capture_output=True)
     best = float("inf")
     for _ in range(runs):
         for f in glob.glob(os.path.join(build, "result-*.txt")):
@@ -85,17 +95,20 @@ def time_engine(runs: int = 3) -> tuple[float, float]:
 
 
 def main() -> None:
-    ref = time_reference()
+    ref_o2 = time_reference(optimized=True)
+    ref_o0 = time_reference(optimized=False)
     agg, sink = time_engine()
     print(
         json.dumps(
             {
                 "workload": "wordcount sample_inputs (105k tokens, 21 keys)",
-                "reference_c_sec": round(ref, 3),
+                "reference_c_O2_sec": round(ref_o2, 3),
+                "reference_c_O0_makefile_sec": round(ref_o0, 3),
                 "engine_agg_sec": round(agg, 3),
                 "engine_with_djb2_shard_sink_sec": round(sink, 3),
-                "speedup_agg": round(ref / agg, 1),
-                "speedup_sink": round(ref / sink, 1),
+                "speedup_agg_vs_O2": round(ref_o2 / agg, 1),
+                "speedup_sink_vs_O2": round(ref_o2 / sink, 1),
+                "speedup_agg_vs_O0": round(ref_o0 / agg, 1),
             }
         )
     )
