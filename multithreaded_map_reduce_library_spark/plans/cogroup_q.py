@@ -131,7 +131,7 @@ def sql_recursive_user_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM q)
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_kept,
-               CAST(SUM(v) AS DOUBLE) / COUNT(*) / 10000.0 AS trimmed_mean
+               ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS trimmed_mean
         FROM r
         WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY event_type
@@ -172,5 +172,5 @@ def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type").agg(
         kept_count("v").alias("n_kept"),
-        trimmed_mean("v").alias("trimmed_mean"),
+        F.round(trimmed_mean("v"), 6).alias("trimmed_mean"),
     )

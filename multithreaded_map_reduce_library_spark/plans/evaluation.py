@@ -56,7 +56,7 @@ def _recall_oracle() -> str:
                 FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id AND ann.n_id = ex.n_id
                 GROUP BY ex.q_id)
         SELECT q_id, n_matched,
-               CAST(n_matched AS DOUBLE) / CAST({_K} AS DOUBLE) AS recall
+               ROUND(CAST(n_matched AS DOUBLE) / CAST({_K} AS DOUBLE), 6) AS recall
         FROM hit
     """
 
@@ -103,7 +103,7 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "q_id",
         "n_matched",
-        (F.col("n_matched").cast("double") / F.lit(float(_K))).alias("recall"),
+        F.round(F.col("n_matched").cast("double") / F.lit(float(_K)), 6).alias("recall"),
     )
 
 
@@ -139,7 +139,7 @@ def _mh_est_oracle() -> str:
               JOIN sizes zb ON zb.doc_id = cand.id_b
               LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
         )
-        SELECT id_a, id_b, est, exact_j, ABS(est - exact_j) AS err FROM x
+        SELECT id_a, id_b, est, ROUND(exact_j, 6) AS exact_j, ROUND(ABS(est - exact_j), 6) AS err FROM x
     """
 
 
@@ -212,8 +212,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         est.alias("est"),
-        exact_j.alias("exact_j"),
-        F.abs(est - exact_j).alias("err"),
+        F.round(exact_j, 6).alias("exact_j"),
+        F.round(F.abs(est - exact_j), 6).alias("err"),
     )
 
 
@@ -289,10 +289,10 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, week,
                CAST(s_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_value,
-               (CAST(s_e4 AS DOUBLE)
+               ROUND((CAST(s_e4 AS DOUBLE)
                 - CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE))
-               / CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
-                   AS wow_growth
+               / CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE),
+                   6) AS wow_growth
         FROM w
     """,
     tags=("timeseries", "growth", "window", "events"),
@@ -322,9 +322,9 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "week",
         (F.col("s_e4").cast("double") / F.lit(10000.0)).alias("sum_value"),
-        ((F.col("s_e4").cast("double") - lag.cast("double")) / lag.cast("double")).alias(
-            "wow_growth"
-        ),
+        F.round(
+            (F.col("s_e4").cast("double") - lag.cast("double")) / lag.cast("double"), 6
+        ).alias("wow_growth"),
     )
 
 
@@ -340,8 +340,8 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS rk0
               FROM x)
         SELECT vec_id,
-               CAST(SUM(rk0) AS DOUBLE)
-                   / (CAST(64 AS DOUBLE) * (n_vecs - 1)) AS mean_qnorm,
+               ROUND(CAST(SUM(rk0) AS DOUBLE)
+                   / (CAST(64 AS DOUBLE) * (n_vecs - 1)), 6) AS mean_qnorm,
                MIN(rk0) AS min_rank0, MAX(rk0) AS max_rank0
         FROM r CROSS JOIN n
         GROUP BY vec_id, n_vecs
@@ -384,9 +384,10 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(n))
         .groupBy("vec_id", "n_vecs")
         .agg(
-            (
+            F.round(
                 F.sum("rk0").cast("double")
-                / (F.lit(64.0) * (F.col("n_vecs") - 1))
+                / (F.lit(64.0) * (F.col("n_vecs") - 1)),
+                6,
             ).alias("mean_qnorm"),
             F.min("rk0").alias("min_rank0"),
             F.max("rk0").alias("max_rank0"),

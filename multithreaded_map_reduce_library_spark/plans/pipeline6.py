@@ -102,11 +102,16 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g
         )
         SELECT user_id, h,
-               CASE WHEN v_obs IS NOT NULL THEN v_obs
+               -- expression rounding, NOT native ROUND: Spark round()
+               -- goes through the double's shortest decimal repr while
+               -- DuckDB rounds the exact binary value, and they disagree
+               -- on boundary values; floor(x*1e6 + 0.5)/1e6 is the same
+               -- IEEE op sequence in both engines -> identical bits
+               FLOOR((CASE WHEN v_obs IS NOT NULL THEN v_obs
                     WHEN vp IS NULL THEN vn
                     WHEN vn IS NULL THEN vp
                     ELSE vp + (vn - vp) * (h - hp) / (hn - hp)
-               END AS v,
+               END) * 1000000.0 + 0.5) / 1000000.0 AS v,
                CASE WHEN v_obs IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
         FROM w
     """,
@@ -171,7 +176,7 @@ def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_obs", ignorenulls=True).over(fwd).alias("vn"),
         F.last(h_if_obs, ignorenulls=True).over(fwd).alias("hn"),
     )
-    v = (
+    v_raw = (
         F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
         .when(F.col("vp").isNull(), F.col("vn"))
         .when(F.col("vn").isNull(), F.col("vp"))
@@ -182,6 +187,11 @@ def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("hn") - F.col("hp"))
         )
     )
+    # Expression rounding (floor(x*1e6+0.5)/1e6), NOT F.round: Spark's
+    # round() rounds the double's shortest decimal repr (BigDecimal
+    # .valueOf) while DuckDB rounds the exact binary value — they diverge
+    # on boundary values; this op sequence is bit-identical cross-engine.
+    v = F.floor(v_raw * 1000000.0 + F.lit(0.5)) / 1000000.0
     src = F.when(F.col("v_obs").isNotNull(), "obs").otherwise("interp")
     # v is emitted unrounded: every input is exact (integer sums, integer
     # hour gaps), so both engines produce bit-identical doubles — while a

@@ -358,8 +358,8 @@ def approx_topk_tokens_exact_capacity(spark: SparkSession, sf_dir: str) -> DataF
         t AS (SELECT SUM(cur_cents - prev_cents) AS total_delta FROM d)
         SELECT seg, cur_cents, prev_cents,
                cur_cents - prev_cents AS delta_cents,
-               CAST(cur_cents - prev_cents AS DOUBLE)
-                   / CAST(total_delta AS DOUBLE) AS share_of_change
+               ROUND(CAST(cur_cents - prev_cents AS DOUBLE)
+                   / CAST(total_delta AS DOUBLE), 6) AS share_of_change
         FROM d CROSS JOIN t
     """,
     tags=("analytics", "contribution", "root-cause", "window"),
@@ -409,9 +409,10 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_cents",
         "prev_cents",
         (F.col("cur_cents") - F.col("prev_cents")).alias("delta_cents"),
-        (
+        F.round(
             (F.col("cur_cents") - F.col("prev_cents")).cast("double")
-            / F.col("total_delta").cast("double")
+            / F.col("total_delta").cast("double"),
+            6,
         ).alias("share_of_change"),
     )
 
@@ -425,7 +426,7 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      MIN(n) AS min_n, MAX(n) AS max_n
               FROM g)
         SELECT n_groups, n_rows, min_n, max_n,
-               CAST(n_rows AS DOUBLE) / n_groups AS avg_n,
+               ROUND(CAST(n_rows AS DOUBLE) / n_groups, 6) AS avg_n,
                (SELECT COUNT(*) FROM g, s WHERE n * n_groups > 2 * n_rows)
                    AS n_hot_groups
         FROM s
@@ -462,7 +463,7 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "min_n",
         "max_n",
-        (F.col("n_rows").cast("double") / F.col("n_groups")).alias("avg_n"),
+        F.round(F.col("n_rows").cast("double") / F.col("n_groups"), 6).alias("avg_n"),
         "n_hot_groups",
     )
 
