@@ -211,6 +211,77 @@ def knn_ivf(
     )
 
 
+def stride_for_corpus(n_rows: int, min_stride: int = 16) -> int:
+    """Centroid stride so the centroid count grows as sqrt(n): with
+    n/stride centroids and ~stride vectors per cell, stride = sqrt(n)
+    balances the broadcast-assignment cost (n x n/stride comparisons)
+    against per-cell candidate-list size — the standard IVF sizing. The
+    round-1 fixed stride made the centroid count linear in corpus size
+    (fine) but cell population constant-bounded only if stride grows;
+    this makes both ~sqrt(n). Deterministic given the corpus count."""
+    import math
+
+    return max(min_stride, int(math.isqrt(max(n_rows, 1))))
+
+
+def knn_ivf_multiprobe(
+    emb: DataFrame,
+    stride: int = 50,
+    k: int = 3,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF ANN with ``nprobe`` > 1: each query searches its ``nprobe``
+    nearest cells instead of only its own — the recall/cost dial every
+    IVF index exposes (faiss's nprobe). The corpus keeps its single-cell
+    assignment (each vector lives in exactly one posting list, so a
+    neighbor meets a query at most once — no dedup pass); only the tiny
+    query set fans out, to nprobe cells each, and joins the cell index
+    by plain equi-key. At 100 TB the posting lists are bucketed by cell
+    at rest and a probe touches nprobe buckets."""
+    from pyspark.sql import Window
+
+    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim)
+    centroids = emb.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col, dim).alias("c_norm"),
+    )
+    q_scored = (
+        emb.filter(F.col(id_col) < num_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col, dim).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(centroids))
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc(_cos_pre("q_vec", "c_vec", "q_norm", "c_norm", dim)), F.asc("c_id")
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", F.col("c_id").alias("cell"))
+    )
+    cand = F.broadcast(probes).join(
+        cells.withColumnRenamed("id", "n_id")
+        .withColumnRenamed("vec", "n_vec")
+        .withColumnRenamed("norm", "n_norm"),
+        "cell",
+    ).filter(F.col("n_id") != F.col("q_id"))
+    sims = cand.select(
+        "q_id", "n_id", _cos_pre("q_vec", "n_vec", "q_norm", "n_norm", dim).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     dim: int,

@@ -304,6 +304,51 @@ def _shingle_hash_index(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "duplicate_ngram_coverage",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {_duck_shingles(_SHINGLE_N)} AS s FROM documents),
+        hs AS (SELECT doc_id, list_transform(s, x -> {_duck_h32("x")}) AS hv FROM sh),
+        d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
+        owners AS (SELECT shingle, COUNT(*) AS n_docs FROM d GROUP BY shingle)
+        SELECT d.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN owners.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared,
+               ROUND(CAST(SUM(CASE WHEN owners.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_coverage
+        FROM d JOIN owners USING (shingle)
+        GROUP BY d.doc_id
+    """,
+    tags=("dedup", "text-analysis", "evaluation", "documents"),
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-DOC duplicate n-gram coverage: the fraction of a
+    document's distinct 3-gram shingles that appear in at least one OTHER
+    document — the cheap scalable surrogate for suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a document mostly made of shingles shared with the rest of
+    the corpus is boilerplate or a near-copy even when no single pair
+    crosses a Jaccard threshold. Complements doc_ngram_novelty (which
+    credits only the FIRST owner): novelty is an ingest-order metric,
+    coverage is order-free.
+
+    Scale design: same single shuffle on the 8-byte shingle hash as the
+    novelty query (map-side partial counts), joined back on the same key
+    — AQE reuses the partitioning; document text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hash_index(docs)
+    owners = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        sh.join(owners, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias("dup_coverage"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
         WITH sh AS (SELECT doc_id, {_duck_shingles(_SHINGLE_N)} AS s FROM documents),

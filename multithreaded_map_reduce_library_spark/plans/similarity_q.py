@@ -284,6 +284,57 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
 
 
+_NPROBE = 2
+
+
+def _ivf_nprobe_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        scored AS (SELECT e.vec_id, e.v, c.c_id,
+                          ({_dot("e.v", "c.cv")}) / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("c.cv", "c.cv")})) AS csim
+                   FROM e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, v, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rn
+                FROM scored),
+        cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
+        probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM asg
+                   WHERE rn <= {_NPROBE} AND vec_id < {_KNN_QUERIES}),
+        s AS (SELECT p.q_id, c.vec_id AS n_id,
+                     ({_dot("p.qv", "c.v")}) / (sqrt({_dot("p.qv", "p.qv")}) * sqrt({_dot("c.v", "c.v")})) AS sim
+              FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id),
+        r AS (SELECT q_id, n_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        FROM r WHERE rank <= {_IVF_K}
+    """
+
+
+@register(
+    "ann_ivf_nprobe2",
+    oracle=_ivf_nprobe_oracle(),
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (each query searches its two nearest cells)
+    — the recall/cost dial of a production IVF index. The corpus keeps
+    its one-cell assignment so a neighbor meets a query at most once;
+    only the broadcast query set fans out. Complements ann_ivf_cosine
+    (nprobe=1) and knn_bruteforce_cosine (the exact baseline);
+    operators/similarity.stride_for_corpus sizes the centroid count as
+    sqrt(n) for a real corpus."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_ivf_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn_ivf_multiprobe(
+        emb, stride=_IVF_STRIDE, k=_IVF_K, nprobe=_NPROBE, num_queries=_KNN_QUERIES
+    )
+    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
 def _norm_sql() -> str:
     return f"sqrt({_dot('v', 'v')})"
 

@@ -132,3 +132,36 @@ def test_multiprobe_recall_superset(spark):
     multi_pairs = {(r["q_id"], r["n_id"]) for r in multi.collect()}
     assert single_pairs <= multi_pairs
     assert len(multi_pairs) > len(single_pairs)  # probes add candidates
+
+
+def test_ivf_nprobe2_superset_of_nprobe1(spark):
+    """nprobe=2 candidates must contain every nprobe=1 candidate (the
+    probe list includes the query's own cell), so recall only improves."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_multiprobe,
+    )
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one = {
+        (r["q_id"], r["n_id"])
+        for r in knn_ivf(emb, stride=50, k=1000, num_queries=5).collect()
+    }
+    two = {
+        (r["q_id"], r["n_id"])
+        for r in knn_ivf_multiprobe(emb, stride=50, k=1000, nprobe=2, num_queries=5).collect()
+    }
+    assert one <= two
+    assert len(two) > len(one)
+
+
+def test_stride_for_corpus_sqrt_scaling():
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        stride_for_corpus,
+    )
+
+    assert stride_for_corpus(100) == 16          # floor
+    assert stride_for_corpus(1_000_000) == 1000  # sqrt
+    vals = [stride_for_corpus(n) for n in (10**4, 10**6, 10**8)]
+    assert vals == sorted(vals)
