@@ -105,6 +105,102 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "corpus_build_end_to_end",
+    bench=True,
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, lang, source, md5(text) AS h,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+            FROM documents
+            WHERE n_chars >= 100
+              AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        ),
+        kept AS (SELECT * FROM q
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1),
+        train AS (SELECT * FROM kept WHERE doc_id % 10 <> 0),
+        tq AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+               FROM documents d JOIN train USING (doc_id)),
+        g_tr AS (SELECT doc_id,
+                        unnest(list_transform(
+                            generate_series(1, len(toks) - {_NGRAM_N - 1}),
+                            i -> array_to_string(toks[i:i + {_NGRAM_N - 1}], ' '))) AS gram
+                 FROM tq WHERE len(toks) >= {_NGRAM_N}),
+        te AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 10 = 0),
+        g_ev AS (SELECT DISTINCT
+                        unnest(list_transform(
+                            generate_series(1, len(toks) - {_NGRAM_N - 1}),
+                            i -> array_to_string(toks[i:i + {_NGRAM_N - 1}], ' '))) AS gram
+                 FROM te WHERE len(toks) >= {_NGRAM_N}),
+        contam AS (SELECT DISTINCT g_tr.doc_id FROM g_tr JOIN g_ev USING (gram)),
+        clean AS (SELECT * FROM train
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                     / SUM(SUM(n_tok)) OVER (), 6) AS token_share
+        FROM clean
+        GROUP BY lang, source
+    """,
+    tags=("pipeline", "dedup", "decontamination", "corpus-stats", "documents"),
+)
+def corpus_build_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus build — the flagship shape every
+    stage-query in this repo exists to serve, run end to end in one
+    Catalyst plan: quality gate (length + token floor) -> exact dedup
+    (keep lowest doc_id per md5) -> eval-set decontamination (drop any
+    training doc sharing an 8-gram with the doc_id%10 eval slice) ->
+    per-(lang, source) corpus mix report with token shares.
+
+    Scale design: each stage keeps the narrow projection of the one
+    before it — the quality gate pushes n_chars to the parquet scan,
+    dedup is one md5-key shuffle (QUALIFY keep-first), decontamination
+    broadcasts the eval-suite n-gram set against the training scan
+    (no shuffle of the big side), and the final mix report is a tiny
+    (lang x source) aggregate. Nothing rescans documents more than the
+    two passes (text hash + n-grams) the semantics require."""
+    from pyspark.sql import Window
+
+    from multithreaded_map_reduce_library_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.withColumn("n_tok", F.size(tokens("text")))
+        .filter((F.col("n_chars") >= 100) & (F.col("n_tok") >= 20))
+        .withColumn("h", F.md5("text"))
+    )
+    wdup = Window.partitionBy("h").orderBy("doc_id")
+    kept = q.withColumn("_rn", F.row_number().over(wdup)).filter(F.col("_rn") == 1)
+    train = kept.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "lang", "source", "n_tok"
+    )
+    tr_grams = _token_ngrams(docs.join(train.select("doc_id"), "doc_id"))
+    ev_grams = (
+        _token_ngrams(docs.filter(F.col("doc_id") % 10 == 0))
+        .select("gram")
+        .distinct()
+    )
+    contaminated = (
+        tr_grams.join(F.broadcast(ev_grams), "gram").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    mix = clean.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
+        Window.partitionBy()
+    )
+    return mix.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+    )
+
+
+@register(
     "user_day_streaks",
     oracle="""
         WITH d AS (SELECT DISTINCT user_id,

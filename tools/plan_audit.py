@@ -65,6 +65,7 @@ ALLOW_PYTHON = {
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
+    "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
     "simhash_fingerprint": "simhash pandas UDF",
     "udtf_chunk_documents": "Python UDTF chunker",
     "mr_api_wordcount": "RDD Mapper/Reducer parity facade",
@@ -79,6 +80,7 @@ ALLOW_PYTHON = {
 ALLOW_BNLJ = {
     "knn_bruteforce_cosine": "broadcast fixed query set x corpus",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
+    "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
     "embedding_centroid_assign": "broadcast centroid set",
     "theta_band_join_orders": "theta band join (non-equi by contract)",
