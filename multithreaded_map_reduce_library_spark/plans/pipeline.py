@@ -160,7 +160,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_lsh_pairs(
         docs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, shingle_n=_SHINGLE_N
     )
-    sh = _shingle_hash_index(docs)
+    # Verification shingles are hashed ONLY for documents that appear in
+    # some candidate pair (broadcast semi-join before the pandas-UDF
+    # hasher): at 100 TB the candidate docs are a sliver of the corpus,
+    # so the second text pass — the expensive md5-per-shingle one —
+    # touches that sliver instead of every document. The candidate set is
+    # materialized once (localCheckpoint, tiny) because it feeds both the
+    # semi-join and the verification broadcast — without it the banding
+    # UDF would run twice.
+    cand = cand.localCheckpoint()
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_hash_index(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")

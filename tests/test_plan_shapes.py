@@ -321,3 +321,53 @@ def test_simpson_is_pure_aggregation_tree(spark, queries):
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("HashAggregate") >= 3, plan
+
+
+# --- round-2 operators: the scale mechanisms as executable shapes ---------
+
+
+def test_adaptive_buckets_histogram_broadcasts(spark, queries):
+    """The base-bucket histogram (<= 2^base_planes rows) must come back as
+    a broadcast join — the corpus side is never shuffled for re-split."""
+    plan = plan_str(_df(queries, spark, "dedup_embedding_adaptive"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # pure-expression bucketing
+
+
+def test_multiprobe_queries_broadcast_corpus_stays(spark, queries):
+    """Probe keys explode on the (tiny) query side and broadcast; the
+    corpus joins by bucket equi-key — no corpus shuffle, no BNLJ."""
+    plan = plan_str(_df(queries, spark, "ann_lsh_multiprobe"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_cap_windows_on_band_key(spark, queries):
+    """The hot-band cap's ROW_NUMBER partitions by band_key — the same key
+    the candidate self-join shuffles on, so no extra exchange is added
+    beyond the banding shuffle."""
+    plan = plan_str(_df(queries, spark, "minhash_lsh_candidates_capped"))
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    assert "band_key" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_build_pushdown_and_broadcast(spark, queries):
+    """Composed corpus build: the quality gate reaches the parquet scan
+    (n_chars pushed) and the eval n-gram set broadcasts."""
+    plan = plan_str(_df(queries, spark, "corpus_build_end_to_end"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed, pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_png_roundtrip_python_is_batched_only(spark, queries):
+    """The PNG query's Python surfaces are Arrow-batched (pandas UDF +
+    mapInPandas) — no row-at-a-time BatchEvalPython."""
+    plan = plan_str(_df(queries, spark, "multimodal_png_roundtrip"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
