@@ -568,3 +568,140 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allq.select(
         "doc_id", "cluster", "quality", (rk == 1).alias("keep")
     )
+
+
+def _recall_cmp_oracle() -> str:
+    from multithreaded_map_reduce_library_spark.plans.similarity_q import (
+        _IVF_STRIDE,
+        _bucket_sql,
+        _dot,
+        _probe_sql,
+    )
+
+    cos = lambda a, b: (  # noqa: E731
+        f"({_dot(a, b)}) / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+    )
+    denom = _NQ * _K
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_NQ}),
+        xs AS (SELECT q_id, vec_id AS n_id, {cos("qv", "v")} AS sim
+               FROM q JOIN e ON vec_id <> q_id),
+        ex AS (SELECT q_id, n_id FROM (
+                   SELECT q_id, n_id,
+                          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                   FROM xs) WHERE rk <= {_K}),
+        b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+        ls1 AS (SELECT a.vec_id AS q_id, x.vec_id AS n_id, {cos("a.v", "x.v")} AS sim
+                FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+                WHERE a.vec_id < {_NQ}),
+        ann_lsh AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                    FROM ls1) WHERE rk <= {_K}),
+        qp AS (SELECT vec_id AS q_id, v AS qv,
+                      unnest({_probe_sql("bucket", _PLANES)}) AS bucket
+               FROM b WHERE vec_id < {_NQ}),
+        ls2 AS (SELECT qp.q_id, x.vec_id AS n_id, {cos("qp.qv", "x.v")} AS sim
+                FROM qp JOIN b x ON qp.bucket = x.bucket AND qp.q_id <> x.vec_id),
+        ann_mp AS (SELECT q_id, n_id FROM (
+                   SELECT q_id, n_id,
+                          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                   FROM ls2) WHERE rk <= {_K}),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        scored AS (SELECT e.vec_id, e.v, c.c_id, {cos("e.v", "c.cv")} AS csim
+                   FROM e CROSS JOIN cent c),
+        asg AS (SELECT vec_id, v, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rn
+                FROM scored),
+        cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
+        p1 AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM asg
+               WHERE rn = 1 AND vec_id < {_NQ}),
+        s1 AS (SELECT p1.q_id, c.vec_id AS n_id, {cos("p1.qv", "c.v")} AS sim
+               FROM p1 JOIN cells c ON p1.cell = c.cell AND c.vec_id <> p1.q_id),
+        ann_ivf1 AS (SELECT q_id, n_id FROM (
+                     SELECT q_id, n_id,
+                            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                     FROM s1) WHERE rk <= {_K}),
+        p2 AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM asg
+               WHERE rn <= 2 AND vec_id < {_NQ}),
+        s2 AS (SELECT p2.q_id, c.vec_id AS n_id, {cos("p2.qv", "c.v")} AS sim
+               FROM p2 JOIN cells c ON p2.cell = c.cell AND c.vec_id <> p2.q_id),
+        ann_ivf2 AS (SELECT q_id, n_id FROM (
+                     SELECT q_id, n_id,
+                            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+                     FROM s2) WHERE rk <= {_K})
+        SELECT 'lsh_p8' AS method, COUNT(*) AS n_hits,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6) AS recall
+        FROM ex JOIN ann_lsh USING (q_id, n_id)
+        UNION ALL
+        SELECT 'lsh_multiprobe', COUNT(*),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+        FROM ex JOIN ann_mp USING (q_id, n_id)
+        UNION ALL
+        SELECT 'ivf_nprobe1', COUNT(*),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+        FROM ex JOIN ann_ivf1 USING (q_id, n_id)
+        UNION ALL
+        SELECT 'ivf_nprobe2', COUNT(*),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+        FROM ex JOIN ann_ivf2 USING (q_id, n_id)
+    """
+
+
+@register(
+    "ann_recall_comparison",
+    oracle=_recall_cmp_oracle(),
+    tags=("evaluation", "similarity", "ann", "recall", "multiprobe", "ivf"),
+)
+def ann_recall_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of all four ANN variants against exact brute force in ONE
+    table — the index-selection evidence a production deployment needs:
+    single-probe LSH vs multi-probe LSH (recall recovered by probing
+    Hamming-1 buckets) and IVF nprobe=1 vs nprobe=2 (recall recovered by
+    probing the second-nearest cell). Each method's candidate generation
+    is the registered production operator, not a reimplementation.
+
+    Scale design: the exact pass is bounded by the query sample; every
+    approximate pass reuses its production plan shape (bucket equi-joins,
+    broadcast query fan-out); the four one-row aggregates union at the
+    end."""
+    from multithreaded_map_reduce_library_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_ivf_multiprobe,
+        knn_lsh,
+        knn_lsh_multiprobe,
+    )
+    from multithreaded_map_reduce_library_spark.plans.similarity_q import _IVF_STRIDE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < _NQ)
+    exact = knn_bruteforce(emb, query_ids=qset, k=_K).select("q_id", "n_id")
+    methods = {
+        "lsh_p8": knn_lsh(emb, dim=_DIM, k=_K, num_planes=_PLANES).filter(
+            F.col("q_id") < _NQ
+        ),
+        "lsh_multiprobe": knn_lsh_multiprobe(
+            emb, dim=_DIM, k=_K, num_planes=_PLANES, num_queries=_NQ
+        ),
+        "ivf_nprobe1": knn_ivf(emb, stride=_IVF_STRIDE, k=_K, num_queries=_NQ),
+        "ivf_nprobe2": knn_ivf_multiprobe(
+            emb, stride=_IVF_STRIDE, k=_K, nprobe=2, num_queries=_NQ
+        ),
+    }
+    denom = float(_NQ * _K)
+    parts = []
+    for name, ann in methods.items():
+        hits = exact.join(ann.select("q_id", "n_id"), ["q_id", "n_id"])
+        parts.append(
+            hits.agg(F.count("*").alias("n_hits")).select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / denom, 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

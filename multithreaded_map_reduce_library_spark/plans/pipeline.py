@@ -1094,6 +1094,49 @@ def stream_stream_left_outer_purchases(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "stream_doc_dedup_by_lang",
+    oracle="""
+        SELECT lang,
+               COUNT(DISTINCT md5(text)) AS n_unique,
+               COUNT(*) AS n_ingested
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("streaming", "dedup", "dropDuplicates", "documents", "stateful"),
+)
+def stream_doc_dedup_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup of the document corpus — dedup at ingest,
+    the way a production pipeline actually runs it: documents arrive as
+    a stream, ``dropDuplicates`` on (lang, md5(text)) keeps one row per
+    distinct text per language in the state store, and the drained
+    unique set aggregates to per-language unique counts. Ingested totals
+    come from a second windowless pass (a plain streaming count). The
+    dedup key includes lang so the surviving row's attribution is
+    deterministic regardless of arrival order — which duplicate
+    instance wins is arrival-dependent, but its (lang, hash) key is not.
+
+    Scale design: state is one 32-byte hash per distinct (lang, text) —
+    the streaming twin of dedup_exact's hash-shuffle, with the state
+    store (RocksDB on a cluster) holding the seen-set instead of a
+    shuffle; at 100 TB/day you'd add a TTL watermark to bound the
+    seen-set to the dedup horizon."""
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        documents_stream,
+        run_stream_to_df,
+    )
+
+    docs = documents_stream(spark, sf_dir)
+    uniq = docs.select("lang", F.md5("text").alias("h")).dropDuplicates(["lang", "h"])
+    drained = run_stream_to_df(spark, uniq, "append")
+    counts = drained.groupBy("lang").agg(F.count("*").alias("n_unique"))
+    totals_stream = documents_stream(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("n_ingested")
+    )
+    totals = run_stream_to_df(spark, totals_stream, "complete")
+    return counts.join(totals, "lang").select("lang", "n_unique", "n_ingested")
+
+
+@register(
     "stream_events_hourly",
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

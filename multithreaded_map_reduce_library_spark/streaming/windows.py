@@ -64,6 +64,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over documents.parquet — the ingest-time view of the
+    corpus for streaming dedup/quality gating (a production pipeline
+    deduplicates at ingest, not in nightly batch)."""
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
+
+
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregate (late rows beyond the watermark
     are dropped and their window state evicted — bounded state at 100 TB/day

@@ -82,6 +82,7 @@ ALLOW_BNLJ = {
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
+    "ann_recall_comparison": "composes knn_bruteforce + all four ANN variants",
     "embedding_centroid_assign": "broadcast centroid set",
     "theta_band_join_orders": "theta band join (non-equi by contract)",
     "skyline_pareto_customers": "skyline dominance theta self-join",
