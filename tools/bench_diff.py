@@ -1,0 +1,55 @@
+"""Per-query bench regression diff over BENCH_HISTORY.jsonl.
+
+bench.py appends one record per run; this prints the per-query delta
+between the last two records (or any two by index), so round-over-round
+regressions are one command to see:
+
+    python tools/bench_diff.py            # last two runs
+    python tools/bench_diff.py 0 -1       # first vs latest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HIST = os.path.join(
+    os.environ.get(
+        "MTMRL_REPO_ROOT", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ),
+    "BENCH_HISTORY.jsonl",
+)
+
+
+def main() -> int:
+    with open(HIST) as f:
+        runs = [json.loads(line) for line in f if line.strip()]
+    if len(runs) < 2:
+        print(f"need >= 2 runs in {HIST}, have {len(runs)}")
+        return 1
+    ia, ib = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) == 3 else (-2, -1)
+    a, b = runs[ia], runs[ib]
+    print(
+        f"A: {a.get('ts', '?')} total={a['value']}s sf={a['sf']}   "
+        f"B: {b.get('ts', '?')} total={b['value']}s sf={b['sf']}"
+    )
+    rows = []
+    for q in sorted(set(a["queries"]) | set(b["queries"])):
+        ta, tb = a["queries"].get(q), b["queries"].get(q)
+        delta = (tb - ta) if (ta is not None and tb is not None) else None
+        rows.append((q, ta, tb, delta))
+    rows.sort(key=lambda r: -(r[3] if r[3] is not None else float("inf")))
+    for q, ta, tb, delta in rows:
+        mark = ""
+        if delta is not None and ta and delta > max(0.2, 0.5 * ta):
+            mark = "  <-- regression"
+        print(f"{q:40s} A={ta} B={tb} delta={delta if delta is None else round(delta, 3)}{mark}")
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # piped through head
+        raise SystemExit(0) from None
