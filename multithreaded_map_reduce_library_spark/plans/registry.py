@@ -81,6 +81,7 @@ def _load_all() -> None:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
         relational,
         relational2,
         relational3,
