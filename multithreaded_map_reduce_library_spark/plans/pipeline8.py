@@ -238,6 +238,7 @@ _BOILER_MIN_DOCS = 3
         GROUP BY e.doc_id
     """,
     tags=("dedup", "boilerplate", "text-cleaning", "documents"),
+    bench=True,
 )
 def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level dedup / boilerplate removal — the C4/RefinedWeb step
@@ -305,6 +306,7 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY doc_id
     """,
     tags=("quality", "language-model", "text-analysis", "documents"),
+    bench=True,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy — per document, the mean

@@ -82,6 +82,7 @@ def _load_all() -> None:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         relational,
         relational2,
         relational3,
