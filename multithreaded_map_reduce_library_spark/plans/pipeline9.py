@@ -136,11 +136,15 @@ def weighted_reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFram
     u deterministic from md5(doc_id); the K largest keys win.
 
     Scale design: one pass computes keys map-side; the per-group top-K
-    is a window over lang — at 100 TB you'd swap the full sort for a
-    bounded per-partition top-K (TakeOrderedAndProject per group /
-    two-phase partial top-K), same answers. The displayed columns are
-    integers only; the float key is compared, never shown, and ties
-    break on doc_id, so ranks are run- and engine-stable.
+    runs TWO-PHASE — a salted pre-top-K over (lang, doc_id%16) bounds
+    every reducer at K rows per salt, then the final window ranks only
+    16*K survivors per language. The global top-K of the union of
+    per-salt top-Ks is exactly the global top-K (any global winner also
+    wins its salt), so the answer is identical to the single-window form
+    while no reducer ever sorts a whole language — the skew fix for a
+    corpus that is 90% one language. The displayed columns are integers
+    only; the float key is compared, never shown, and ties break on
+    doc_id, so ranks are run- and engine-stable.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
@@ -148,11 +152,21 @@ def weighted_reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFram
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
     keyed = docs.select(
-        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars").cast("double")).alias("k")
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("k"),
+        (F.col("doc_id") % 16).alias("salt"),
+    )
+    w_pre = Window.partitionBy("lang", "salt").orderBy(F.col("k").desc(), F.col("doc_id"))
+    survivors = (
+        keyed.withColumn("rk_pre", F.row_number().over(w_pre))
+        .filter(F.col("rk_pre") <= _WRS_K)
+        .drop("rk_pre", "salt")
     )
     w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
     return (
-        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _WRS_K)
         .select("lang", "doc_id", "n_chars", "rk")
     )

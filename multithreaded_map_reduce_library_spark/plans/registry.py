@@ -83,6 +83,9 @@ def _load_all() -> None:
         pipeline7,
         pipeline8,
         pipeline9,
+        pipeline10,
+        pipeline11,
+        pipeline12,
         relational,
         relational2,
         relational3,

@@ -65,6 +65,7 @@ ALLOW_PYTHON = {
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
+    "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
     "simhash_fingerprint": "simhash pandas UDF",
     "udtf_chunk_documents": "Python UDTF chunker",
@@ -91,7 +92,7 @@ ALLOW_BNLJ = {
     "events_peak_concurrency": "broadcast distinct-day list range join (sweep carry-in)",
 }
 
-GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming"}
+GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
 
 #: Unary nodes we look through to find the build side's producing operator.
 _PASS_THROUGH = (
