@@ -1,0 +1,148 @@
+"""Pipeline batch 13: distributed iterative ML — Lloyd's k-means over
+the embedding table, the canonical "ML training loop as dataflow"
+workload (and the training step that produces the IVF centroids the ANN
+family consumes). Two full Lloyd iterations (assign → recompute) run as
+DataFrame ops with the oracle unrolled CTE-per-iteration, the same
+pattern as ``pagerank_dedup_graph``.
+
+Cross-engine exactness: embeddings are float32 in (-1, 1), so
+``FLOOR(x * 2^20)`` is EXACT (a float32 times a power of two is exactly
+representable; no FLOOR-boundary risk) — every vector becomes an integer
+grid point. Centroids stay as (component-sum array, count) in exact
+BIGINTs; squared distances compare as ``sum((n*v_i - s_i)^2) / n^2`` in
+doubles computed in identical left-fold order on both engines, so
+argmins (ties broken by cluster id) agree bit-for-bit. Displayed
+columns are integers only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 1 << 20
+_KM_DIM = 64
+
+
+def _duck_kmeans_sql(iters: int = _KM_ITERS) -> str:
+    dist = (
+        "(list_reduce(list_prepend(0.0, list_transform(range({dim}), i -> "
+        "CAST(c.n * q.v[i + 1] - c.s[i + 1] AS DOUBLE)"
+        " * CAST(c.n * q.v[i + 1] - c.s[i + 1] AS DOUBLE))), (a, b) -> a + b)"
+        " / CAST(c.n * c.n AS DOUBLE))"
+    ).format(dim=_KM_DIM)
+    sums = ", ".join(f"SUM(v[{i + 1}])" for i in range(_KM_DIM))
+    ctes = [
+        f"""q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS cluster, v AS s, CAST(1 AS BIGINT) AS n
+            FROM q WHERE vec_id < {_KM_K}
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+                SELECT vec_id, v, cluster FROM (
+                    SELECT q.vec_id, q.v, c.cluster,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY {dist}, c.cluster) AS rn
+                    FROM q CROSS JOIN {prev} c
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+                SELECT cluster, [{sums}] AS s, COUNT(*) AS n
+                FROM a{it} GROUP BY cluster
+            )"""
+        )
+        prev = f"c{it}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+               MAX(vec_id) AS max_vec, SUM(v[1]) AS s0
+        FROM a{iters} GROUP BY cluster
+    """
+    )
+
+
+@register(
+    "kmeans_lloyd_embeddings",
+    oracle=_duck_kmeans_sql(),
+    tags=("ml", "iterative", "kmeans", "clustering", "embeddings"),
+)
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=8, 2 iterations) over the embedding corpus —
+    the distributed training loop that produces IVF/quantization
+    codebooks. Init: the K lowest vec_ids as singleton centroids
+    (deterministic); each iteration assigns every vector to its nearest
+    centroid (squared L2 on the exact integer grid, ties to the lowest
+    cluster id) and recomputes centroids as exact (sum, count) pairs.
+    Output: per-cluster membership stats after the final assignment.
+
+    Scale design: the centroid table (K rows) BROADCASTS into the
+    assignment join each iteration — the corpus never shuffles for
+    assignment; the only wide movement is the skinny per-cluster
+    component-sum aggregate (map-side partial sums over 64 columns).
+    This is exactly how MLlib's k-means iterates at cluster scale;
+    expressing it in the engine keeps the whole loop in Tungsten codegen
+    with no Python. Driver never collects anything.
+
+    Exactness: see module docstring — integer-grid vectors, exact
+    integer centroid sums, fold-ordered double distances, deterministic
+    tie-breaks; the displayed columns are all BIGINT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
+        ).alias("v"),
+    )
+    cents = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("s"), F.lit(1).cast("bigint").alias("n")
+    )
+
+    def dist_expr():
+        def term(i):
+            d = (F.col("n") * F.element_at("v", i) - F.element_at("s", i)).cast("double")
+            return d * d
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_KM_DIM)), F.lit(0.0), lambda acc, i: acc + term(i)
+        )
+        return fold / (F.col("n") * F.col("n")).cast("double")
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        w = Window.partitionBy("vec_id").orderBy(dist_expr().asc(), F.col("cluster").asc())
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(_KM_DIM)]).alias("s"),
+            F.count("*").alias("n"),
+        )
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+        F.sum(F.element_at("v", 1)).alias("s0"),
+    )

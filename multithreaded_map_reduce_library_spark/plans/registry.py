@@ -86,6 +86,7 @@ def _load_all() -> None:
         pipeline10,
         pipeline11,
         pipeline12,
+        pipeline13,
         relational,
         relational2,
         relational3,

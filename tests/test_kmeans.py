@@ -1,0 +1,62 @@
+"""Behavior tests for the Lloyd k-means query: partition property,
+determinism of init, and SSE monotonicity across the two iterations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.plans import pipeline13 as p13
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def test_kmeans_partitions_every_vector(spark):
+    out = _Q["kmeans_lloyd_embeddings"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    total = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == total
+    assert 1 <= len(rows) <= p13._KM_K
+    assert all(0 <= r["cluster"] < p13._KM_K for r in rows)
+
+
+def test_kmeans_sse_decreases_across_iterations(spark):
+    """Lloyd's guarantee: total within-cluster SSE is non-increasing
+    per iteration. Recompute SSE after iteration 1 and 2 in plain
+    Python on the collected (tiny at sf0.001) data."""
+    import numpy as np
+
+    emb = {r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * p13._KM_SCALE)
+           for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
+
+    def lloyd(iters):
+        cents = {j: (emb[j].copy(), 1) for j in sorted(emb) if j < p13._KM_K}
+        assign = {}
+        for _ in range(iters):
+            assign = {}
+            for vid, v in emb.items():
+                best = min(
+                    ((float(np.sum((n * v - s) ** 2)) / (n * n), j) for j, (s, n) in cents.items())
+                )
+                assign[vid] = best[1]
+            cents = {}
+            for vid, j in assign.items():
+                s, n = cents.get(j, (np.zeros_like(emb[vid]), 0))
+                cents[j] = (s + emb[vid], n + 1)
+        sse = 0.0
+        for vid, j in assign.items():
+            s, n = cents[j]
+            sse += float(np.sum((emb[vid] - s / n) ** 2))
+        return sse, assign
+
+    sse1, _ = lloyd(1)
+    sse2, a2 = lloyd(2)
+    assert sse2 <= sse1 + 1e-6
+
+    # the Spark result's per-cluster counts equal the reference Lloyd's
+    out = {r["cluster"]: r["n_vecs"]
+           for r in _Q["kmeans_lloyd_embeddings"].fn(spark, SF_SMALL).collect()}
+    from collections import Counter
+    ref = Counter(a2.values())
+    assert out == dict(ref)

@@ -80,6 +80,7 @@ ALLOW_PYTHON = {
 #: size — the shape survives 100x data.
 ALLOW_BNLJ = {
     "knn_bruteforce_cosine": "broadcast fixed query set x corpus",
+    "kmeans_lloyd_embeddings": "broadcast K centroids x corpus per Lloyd iteration",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
