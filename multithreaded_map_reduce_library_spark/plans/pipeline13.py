@@ -80,10 +80,60 @@ def _duck_kmeans_sql(iters: int = _KM_ITERS) -> str:
     )
 
 
+def quantized_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, v): embeddings on the exact 2^20 integer grid."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
+        ).alias("v"),
+    )
+
+
+def lloyd_assignments(q: DataFrame, iters: int = _KM_ITERS, k: int = _KM_K) -> DataFrame:
+    """Run ``iters`` Lloyd iterations over quantized vectors ``(vec_id, v)``
+    and return the final assignment (vec_id, v, cluster). Centroids are
+    exact (component-sum, count) BIGINT pairs broadcast into each
+    assignment pass; distances compare as fold-ordered doubles with ties
+    to the lowest cluster id — fully deterministic (module docstring)."""
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("v").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
+    def dist_expr():
+        def term(i):
+            d = (F.col("n") * F.element_at("v", i) - F.element_at("s", i)).cast("double")
+            return d * d
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_KM_DIM)), F.lit(0.0), lambda acc, i: acc + term(i)
+        )
+        return fold / (F.col("n") * F.col("n")).cast("double")
+
+    assigned = None
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(dist_expr().asc(), F.col("cluster").asc())
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(_KM_DIM)]).alias("s"),
+            F.count("*").alias("n"),
+        )
+    return assigned
+
+
 @register(
     "kmeans_lloyd_embeddings",
     oracle=_duck_kmeans_sql(),
     tags=("ml", "iterative", "kmeans", "clustering", "embeddings"),
+    bench=True,
 )
 def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (K=8, 2 iterations) over the embedding corpus —
@@ -106,40 +156,7 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer centroid sums, fold-ordered double distances, deterministic
     tie-breaks; the displayed columns are all BIGINT."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
-        ).alias("v"),
-    )
-    cents = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("s"), F.lit(1).cast("bigint").alias("n")
-    )
-
-    def dist_expr():
-        def term(i):
-            d = (F.col("n") * F.element_at("v", i) - F.element_at("s", i)).cast("double")
-            return d * d
-
-        fold = F.aggregate(
-            F.sequence(F.lit(1), F.lit(_KM_DIM)), F.lit(0.0), lambda acc, i: acc + term(i)
-        )
-        return fold / (F.col("n") * F.col("n")).cast("double")
-
-    assigned = None
-    for _ in range(_KM_ITERS):
-        w = Window.partitionBy("vec_id").orderBy(dist_expr().asc(), F.col("cluster").asc())
-        assigned = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster")
-        )
-        cents = assigned.groupBy("cluster").agg(
-            F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(_KM_DIM)]).alias("s"),
-            F.count("*").alias("n"),
-        )
+    assigned = lloyd_assignments(quantized_vectors(emb))
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),

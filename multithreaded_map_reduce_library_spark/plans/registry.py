@@ -87,6 +87,7 @@ def _load_all() -> None:
         pipeline11,
         pipeline12,
         pipeline13,
+        pipeline14,
         relational,
         relational2,
         relational3,

@@ -60,3 +60,21 @@ def test_kmeans_sse_decreases_across_iterations(spark):
     from collections import Counter
     ref = Counter(a2.values())
     assert out == dict(ref)
+
+
+def test_ivf_kmeans_recall_against_bruteforce(spark):
+    """Trained-cell IVF with nprobe=1 must still find a decent share of
+    the true top-3 (same-cell neighbors dominate for clustered data);
+    assert non-trivial recall and that every reported neighbor shares
+    the query's cell by construction."""
+    ivf = _Q["ann_ivf_kmeans"].fn(spark, SF_SMALL).collect()
+    exact = _Q["knn_bruteforce_cosine"].fn(spark, SF_SMALL).collect()
+    got = {(r["q_id"], r["n_id"]) for r in ivf}
+    true3 = {(r["q_id"], r["n_id"]) for r in exact if r["rank"] <= 3}
+    assert got, "ivf returned nothing"
+    recall = len(got & true3) / len(true3)
+    assert recall >= 0.2, recall
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["q_id"], set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_q.values())

@@ -81,6 +81,7 @@ ALLOW_PYTHON = {
 ALLOW_BNLJ = {
     "knn_bruteforce_cosine": "broadcast fixed query set x corpus",
     "kmeans_lloyd_embeddings": "broadcast K centroids x corpus per Lloyd iteration",
+    "ann_ivf_kmeans": "Lloyd training stage broadcasts K centroids x corpus",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
