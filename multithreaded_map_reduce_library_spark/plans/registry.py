@@ -88,6 +88,7 @@ def _load_all() -> None:
         pipeline12,
         pipeline13,
         pipeline14,
+        pipeline15,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,51 @@
+"""Behavior tests for the product-quantization codebook."""
+
+from __future__ import annotations
+
+from multithreaded_map_reduce_library_spark.plans import pipeline15 as p15
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def test_pq_codes_cover_all_vectors_and_ranges(spark):
+    rows = _Q["embedding_pq_codebook"].fn(spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert len(rows) == total
+    for r in rows:
+        cs = [r[f"c{m}"] for m in range(p15._PQ_M)]
+        assert all(0 <= c < p15._PQ_K for c in cs)
+        assert r["code"] == sum(c * (p15._PQ_K ** m) for m, c in enumerate(cs))
+
+
+def test_pq_codebook_is_discriminative(spark):
+    """PQ is useless if every vector lands on one codeword: each
+    subspace must use several codewords, and the packed code space must
+    be well-populated relative to corpus size."""
+    rows = _Q["embedding_pq_codebook"].fn(spark, SF_SMALL).collect()
+    for m in range(p15._PQ_M):
+        assert len({r[f"c{m}"] for r in rows}) >= 3, f"subspace {m} degenerate"
+    distinct_codes = len({r["code"] for r in rows})
+    assert distinct_codes >= min(len(rows) // 4, 16)
+
+
+def test_adc_approximates_exact_ranking(spark):
+    """ADC distances are approximations; assert the top-3 ADC neighbors
+    overlap non-trivially with the exact cosine top-10 (coarse 8^4-code
+    quantization can't match exact rank order, but it must not be
+    random), and output shape invariants hold."""
+    adc = _Q["ann_adc_pq"].fn(spark, SF_SMALL).collect()
+    exact = _Q["knn_bruteforce_cosine"].fn(spark, SF_SMALL).collect()
+    assert adc and len({r["q_id"] for r in adc}) >= 5
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r["ad_r"] >= 0 for r in rs)
+    true10 = {(r["q_id"], r["n_id"]) for r in exact}
+    got = {(r["q_id"], r["n_id"]) for r in adc}
+    # knn_bruteforce returns top-5; any overlap >= 15% beats chance by far
+    overlap = len(got & true10) / len(got)
+    assert overlap >= 0.15, overlap

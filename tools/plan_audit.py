@@ -82,6 +82,8 @@ ALLOW_BNLJ = {
     "knn_bruteforce_cosine": "broadcast fixed query set x corpus",
     "kmeans_lloyd_embeddings": "broadcast K centroids x corpus per Lloyd iteration",
     "ann_ivf_kmeans": "Lloyd training stage broadcasts K centroids x corpus",
+    "embedding_pq_codebook": "4 subspace Lloyd trainings broadcast K codewords each",
+    "ann_adc_pq": "PQ training + per-query distance-table broadcasts",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
