@@ -89,6 +89,7 @@ def _load_all() -> None:
         pipeline13,
         pipeline14,
         pipeline15,
+        pipeline16,
         relational,
         relational2,
         relational3,

@@ -53,3 +53,27 @@ def test_split_assignment_proportions_and_stability(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # every (lang, split) pair appears at most once
     assert len({(r["lang"], r["split"]) for r in rows}) == len(rows)
+
+
+def test_temperature_mix_allocates_budget_exactly(spark):
+    from multithreaded_map_reduce_library_spark.plans import pipeline16 as p16
+
+    rows = _Q["corpus_temperature_mix"].fn(spark, SF_SMALL).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == p16._MIX_BUDGET
+    # temperature flattening: smallest language's share of the budget
+    # exceeds its raw token share
+    tot_toks = sum(r["n_toks"] for r in rows)
+    small = min(rows, key=lambda r: r["n_toks"])
+    assert small["alloc_tokens"] / p16._MIX_BUDGET >= small["n_toks"] / tot_toks
+
+
+def test_threshold_sweep_is_monotone(spark):
+    rows = sorted(_Q["minhash_threshold_sweep"].fn(spark, SF_SMALL).collect(),
+                  key=lambda r: r["t"])
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_est_pos"] >= b["n_est_pos"]
+        assert a["n_exact_pos"] >= b["n_exact_pos"]
+    for r in rows:
+        assert r["n_true_pos"] <= min(r["n_est_pos"], r["n_exact_pos"])
+        assert r["n_pairs"] == rows[0]["n_pairs"]

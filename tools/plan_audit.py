@@ -60,6 +60,7 @@ ALLOW_PYTHON = {
     "doc_ngram_novelty": "shingle_hash32 pandas UDF index",
     "grouped_pandas_top_docs": "applyInPandas per-group kernel",
     "minhash_estimate_error": "minhash band-keys pandas UDF",
+    "minhash_threshold_sweep": "minhash band-keys pandas UDF (est/exact audit base)",
     "minhash_lsh_candidates": "minhash band-keys pandas UDF",
     "minhash_lsh_candidates_capped": "minhash band-keys pandas UDF",
     "multimodal_features": "mapInPandas decode stage",
@@ -84,6 +85,7 @@ ALLOW_BNLJ = {
     "ann_ivf_kmeans": "Lloyd training stage broadcasts K centroids x corpus",
     "embedding_pq_codebook": "4 subspace Lloyd trainings broadcast K codewords each",
     "ann_adc_pq": "PQ training + per-query distance-table broadcasts",
+    "minhash_threshold_sweep": "4-row broadcast threshold relation x candidate pairs",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
