@@ -90,6 +90,7 @@ def _load_all() -> None:
         pipeline14,
         pipeline15,
         pipeline16,
+        pipeline17,
         relational,
         relational2,
         relational3,
