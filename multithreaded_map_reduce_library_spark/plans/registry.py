@@ -91,6 +91,7 @@ def _load_all() -> None:
         pipeline15,
         pipeline16,
         pipeline17,
+        pipeline18,
         relational,
         relational2,
         relational3,

@@ -77,3 +77,22 @@ def test_threshold_sweep_is_monotone(spark):
     for r in rows:
         assert r["n_true_pos"] <= min(r["n_est_pos"], r["n_exact_pos"])
         assert r["n_pairs"] == rows[0]["n_pairs"]
+
+
+def test_contrastive_pairs_structure(spark):
+    from multithreaded_map_reduce_library_spark.plans import pipeline18 as p18
+
+    rows = _Q["contrastive_training_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    for r in rows:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert 0 <= r["negative"] < n_docs
+        assert 1 <= r["slot"] <= p18._NEG_K
+    # content-addressed: re-run is identical
+    again = _Q["contrastive_training_pairs"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # each anchor contributes at most K negatives per positive
+    from collections import Counter
+    per = Counter((r["anchor"], r["positive"]) for r in rows)
+    assert all(v <= p18._NEG_K for v in per.values())

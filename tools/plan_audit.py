@@ -61,6 +61,7 @@ ALLOW_PYTHON = {
     "grouped_pandas_top_docs": "applyInPandas per-group kernel",
     "minhash_estimate_error": "minhash band-keys pandas UDF",
     "minhash_threshold_sweep": "minhash band-keys pandas UDF (est/exact audit base)",
+    "contrastive_training_pairs": "minhash band-keys pandas UDF (positive-pair source)",
     "minhash_lsh_candidates": "minhash band-keys pandas UDF",
     "minhash_lsh_candidates_capped": "minhash band-keys pandas UDF",
     "multimodal_features": "mapInPandas decode stage",
@@ -86,6 +87,7 @@ ALLOW_BNLJ = {
     "embedding_pq_codebook": "4 subspace Lloyd trainings broadcast K codewords each",
     "ann_adc_pq": "PQ training + per-query distance-table broadcasts",
     "minhash_threshold_sweep": "4-row broadcast threshold relation x candidate pairs",
+    "contrastive_training_pairs": "3-row broadcast slot relation x positive pairs",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
     "ann_ivf_nprobe2": "broadcast centroids + broadcast probe set",
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
