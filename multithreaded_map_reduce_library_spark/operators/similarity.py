@@ -151,9 +151,13 @@ def assign_ivf_cells(
     once and never shuffled for assignment.
 
     Returns (id, vec, cell) where cell is the centroid's id.
-    """
-    from pyspark.sql import Window
 
+    The argmax is MIN over a (-cosine, c_id) struct — a hash aggregate
+    whose map-side partial collapses the per-centroid candidate rows
+    before any shuffle (no sort), with lexicographic struct ordering as
+    the deterministic tie-break; identical assignments to the
+    row_number-window form (see SCALING.md, kmeans entry).
+    """
     centroids = emb.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
@@ -164,13 +168,15 @@ def assign_ivf_cells(
         F.col(vec_col).alias("vec"),
         l2_norm(vec_col, dim).alias("v_norm"),
     ).crossJoin(F.broadcast(centroids))
-    w = Window.partitionBy("id").orderBy(
-        F.desc(_cos_pre("vec", "c_vec", "v_norm", "c_norm", dim)), F.asc("c_id")
-    )
+    negsim = -_cos_pre("vec", "c_vec", "v_norm", "c_norm", dim)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", F.col("v_norm").alias("norm"), F.col("c_id").alias("cell"))
+        scored.groupBy("id")
+        .agg(
+            F.min(F.struct(negsim.alias("ns"), F.col("c_id").alias("c_id"))).alias("best"),
+            F.first("vec").alias("vec"),
+            F.first("v_norm").alias("norm"),
+        )
+        .select("id", "vec", "norm", F.col("best.c_id").alias("cell"))
     )
 
 

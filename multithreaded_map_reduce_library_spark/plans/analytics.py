@@ -336,8 +336,18 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "c_id", cosine("embedding", "cv").alias("sim")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    asg = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # argmax as MAX(struct(sim, -c_id)) — hash aggregate with map-side
+    # combine, no sort (see SCALING.md kmeans entry); negating the
+    # INTEGER id (not the double) keeps the tie-break at lowest c_id
+    # without any -0.0 sign hazard on the re-exposed similarity.
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("sim").alias("sim"), (-F.col("c_id")).alias("nc"))
+        ).alias("b")
+    )
+    asg = best.select(
+        "vec_id", (-F.col("b.nc")).alias("c_id"), F.col("b.sim").alias("sim")
+    )
     return asg.groupBy("c_id").agg(
         F.count("*").alias("n_assigned"),
         F.round(F.min("sim"), 6).alias("min_sim"),

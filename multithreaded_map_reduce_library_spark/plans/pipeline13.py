@@ -115,12 +115,23 @@ def lloyd_assignments(q: DataFrame, iters: int = _KM_ITERS, k: int = _KM_K) -> D
 
     assigned = None
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(dist_expr().asc(), F.col("cluster").asc())
+        # argmin via MIN over a (dist, cluster) struct — lexicographic
+        # struct ordering IS the tie-break (lowest distance, then lowest
+        # cluster id), identical to the ORDER BY dist, cluster window
+        # form but as a hash aggregate: map-side partial min collapses
+        # the K candidate rows per vector BEFORE the shuffle and nothing
+        # sorts — the shape that survives 100x (the window form shuffles
+        # K rows per vector into a sort).
         assigned = (
             q.crossJoin(F.broadcast(cents))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster")
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(dist_expr().alias("d"), F.col("cluster").alias("cluster"))
+                ).alias("best"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("best.cluster").alias("cluster"))
         )
         cents = assigned.groupBy("cluster").agg(
             F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(_KM_DIM)]).alias("s"),

@@ -54,12 +54,18 @@ def _lloyd_subspace(q: DataFrame, dim: int, k: int = _PQ_K, iters: int = _PQ_ITE
 
     assigned = None
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(dist_expr().asc(), F.col("cluster").asc())
+        # argmin as MIN(struct(dist, cluster)) — hash aggregate with
+        # map-side combine, no sort; see pipeline13.lloyd_assignments.
         assigned = (
             q.crossJoin(F.broadcast(cents))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster")
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(dist_expr().alias("d"), F.col("cluster").alias("cluster"))
+                ).alias("best"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("best.cluster").alias("cluster"))
         )
         cents = assigned.groupBy("cluster").agg(
             F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(dim)]).alias("s"),
