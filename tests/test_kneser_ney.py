@@ -50,3 +50,42 @@ def test_perplexity_flags_surprising_docs(spark):
     # vocabulary ~31 tokens -> conditional bits/bigram must be below
     # log2(vocab^1) and above 0
     assert max(bits) < math.log2(2048)
+
+
+def test_kn_matches_independent_python_reference(spark):
+    """The Spark KN probabilities (via the registered query's integer
+    grid) must match an independently-written Python implementation of
+    interpolated KN on the same corpus — the strongest check short of
+    the DuckDB oracle, because it shares no code with the plan."""
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    cab = Counter()
+    for r in docs:
+        toks = [t for t in r["text"].replace("\t", " ").split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            cab[(a, b)] += 1
+    ca = Counter()
+    n1p_fwd = Counter()
+    n1p_rev = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        n1p_fwd[a] += 1
+        n1p_rev[b] += 1
+    n_types = len(cab)
+    d = 0.75
+
+    def kn(a, b):
+        return max(cab[(a, b)] - d, 0.0) / ca[a] + (d * n1p_fwd[a] / ca[a]) * (
+            n1p_rev[b] / n_types
+        )
+
+    got = {(r["a"], r["b"]): r["prob_e6"]
+           for r in _Q["bigram_lm_kneser_ney"].fn(spark, SF_SMALL).collect()}
+    assert got
+    for (a, b), pe6 in got.items():
+        assert cab[(a, b)] >= 2
+        ref = math.floor(kn(a, b) * 1_000_000 + 0.5)
+        assert pe6 == ref, (a, b, pe6, ref)
+    # and the query covers exactly the c>=2 bigrams
+    assert set(got) == {k for k, c in cab.items() if c >= 2}
