@@ -122,3 +122,24 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jl_projection_matches_exact_python_fold(spark):
+    """Bit-exact cross-check against a shared-nothing Python
+    implementation of the same left fold (0.0 seed, index order, 0.25
+    scale): the rounded outputs must be IDENTICAL, not just close —
+    the projection contains no libm, so any difference is a real fold
+    or sign-matrix bug."""
+    emb = {r["vec_id"]: r["embedding"]
+           for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
+    got = {r["vec_id"]: r["proj"]
+           for r in _Q["jl_random_projection"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(emb)
+    for vid, proj in got.items():
+        v = emb[vid]
+        for j, out in enumerate(proj):
+            acc = 0.0
+            for i in range(64):
+                acc = acc + float(v[i]) * p9._SIGNS[j][i]
+            ref = round(0.25 * acc, 6)
+            assert out == ref, (vid, j, out, ref)
