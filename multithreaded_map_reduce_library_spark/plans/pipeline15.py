@@ -312,3 +312,146 @@ def ann_adc_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_K)
         .select("q_id", "n_id", "rank", F.round("ad", 6).alias("ad_r"))
     )
+
+
+def _duck_ivfpq_oracle() -> str:
+    """Compose the full-vector k-means cells (pipeline13's CTE chain,
+    names q/c0/a1../aN — disjoint from the PQ chain's qv/q{m}/c{it}_{m})
+    with the PQ codebooks and per-query ADC tables, probing only the
+    query's own cell — the FAISS IVFPQ layout end to end."""
+    from multithreaded_map_reduce_library_spark.plans.pipeline13 import (
+        _duck_kmeans_sql,
+        _KM_ITERS,
+    )
+
+    pq = _duck_pq_oracle()
+    pq_block = pq[pq.index("WITH ") + 5 : pq.rindex("SELECT vec_id,")].rstrip().rstrip("\n")
+    km = _duck_kmeans_sql(_KM_ITERS)
+    km_block = km[km.index("WITH ") + 5 : km.rindex("SELECT cluster, COUNT(*)")].rstrip().rstrip("\n")
+    dist = (
+        "(list_reduce(list_prepend(0.0, list_transform(range({dim}), i -> "
+        "CAST(c.n * q.v[i + 1] - c.s[i + 1] AS DOUBLE)"
+        " * CAST(c.n * q.v[i + 1] - c.s[i + 1] AS DOUBLE))), (a, b) -> a + b)"
+        " / CAST(c.n * c.n AS DOUBLE))"
+    ).format(dim=_PQ_SUB)
+    extra = [
+        f"cells AS (SELECT vec_id, cluster AS cell FROM a{_KM_ITERS})",
+        "codes AS (SELECT vec_id, "
+        + ", ".join(f"t{m}.cluster AS cl{m}" for m in range(_PQ_M))
+        + f" FROM a{_PQ_ITERS}_0 t0 "
+        + " ".join(f"JOIN a{_PQ_ITERS}_{m} t{m} USING (vec_id)" for m in range(1, _PQ_M))
+        + ")",
+        f"qmeta AS (SELECT vec_id AS q_id, cell FROM cells WHERE vec_id < {_ADC_Q})",
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        extra.append(
+            f"qs{m} AS (SELECT vec_id AS q_id, list_slice(fv, {lo}, {hi}) AS v "
+            f"FROM qv WHERE vec_id < {_ADC_Q})"
+        )
+        extra.append(
+            f"dt{m} AS (SELECT q.q_id, c.cluster, {dist} AS d "
+            f"FROM qs{m} q CROSS JOIN c{_PQ_ITERS}_{m} c)"
+        )
+    dsum = " + ".join(f"dt{m}.d" for m in range(_PQ_M))
+    dt_joins = " ".join(
+        f"JOIN dt{m} ON dt{m}.q_id = qm.q_id AND dt{m}.cluster = x.cl{m}"
+        for m in range(_PQ_M)
+    )
+    return (
+        "WITH "
+        + pq_block
+        + ",\n"
+        + km_block
+        + ",\n"
+        + ",\n".join(extra)
+        + f""",
+        pairs AS (
+            SELECT qm.q_id, x.vec_id AS n_id, qm.cell,
+                   ({dsum}) / {_ADC_NORM} AS ad
+            FROM qmeta qm
+            JOIN cells xc ON xc.cell = qm.cell
+            JOIN codes x ON x.vec_id = xc.vec_id AND x.vec_id <> qm.q_id
+            {dt_joins}
+        ),
+        r AS (
+            SELECT q_id, n_id, cell, ad,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY ad ASC, n_id ASC) AS BIGINT) AS rank
+            FROM pairs
+        )
+        SELECT q_id, n_id, cell, rank, ROUND(ad, 6) AS ad_r
+        FROM r WHERE rank <= {_ADC_K}
+    """
+    )
+
+
+@register(
+    "ann_ivfpq",
+    oracle=_duck_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "adc", "ml", "embeddings"),
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-vector ANN layout end to end:
+    a full-vector k-means coarse quantizer partitions the corpus into
+    cells (the inverted lists), PQ codes compress every vector to 12
+    bits, and a query probes ONLY its own cell, ranking members by ADC
+    table lookups over the codes. Composes `kmeans_lloyd_embeddings`
+    (coarse cells) + `embedding_pq_codebook` (codes) + `ann_adc_pq`
+    (distance tables), all oracle-verified pieces.
+
+    Scale design: at query time the corpus contributes 4-byte codes in
+    one cell — scan cost is |cell| code lookups, no vector touched; the
+    cell equi-join is the bucketed-at-rest layout. Training (k-means +
+    4 subspace codebooks) is the same broadcast-centroid shape as the
+    component queries. At 100 TB: sqrt-n coarse cells, nprobe>1, PQ
+    re-rank refined by exact distances on the short list — each knob
+    demonstrated in a sibling query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from multithreaded_map_reduce_library_spark.plans.pipeline13 import (
+        lloyd_assignments,
+        quantized_vectors,
+    )
+
+    cells = lloyd_assignments(quantized_vectors(emb)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    fv, codes, books = _pq_codes_and_books(emb)
+
+    def dist_fold(dim):
+        def term(i):
+            d = (F.col("n") * F.element_at("v", i) - F.element_at("s", i)).cast("double")
+            return d * d
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), lambda acc, i: acc + term(i)
+        )
+        return fold / (F.col("n") * F.col("n")).cast("double")
+
+    qmeta = cells.filter(F.col("vec_id") < _ADC_Q).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    pairs = codes.join(cells, "vec_id").join(
+        F.broadcast(qmeta), "cell"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    dcols = []
+    for m in range(_PQ_M):
+        qs = fv.filter(F.col("vec_id") < _ADC_Q).select(
+            F.col("vec_id").alias("q_id"),
+            F.slice("fv", m * _PQ_SUB + 1, _PQ_SUB).alias("v"),
+        )
+        dt = qs.crossJoin(F.broadcast(books[m])).select(
+            "q_id", F.col("cluster").alias(f"c{m}"), dist_fold(_PQ_SUB).alias(f"d{m}")
+        )
+        pairs = pairs.join(F.broadcast(dt), ["q_id", f"c{m}"])
+        dcols.append(F.col(f"d{m}"))
+    ad = sum(dcols[1:], dcols[0]) / F.lit(_ADC_NORM)
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("n_id"), "cell", ad.alias("ad")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("ad").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("q_id", "n_id", "cell", "rank", F.round("ad", 6).alias("ad_r"))
+    )
