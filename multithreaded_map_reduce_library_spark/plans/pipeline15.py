@@ -455,3 +455,138 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_K)
         .select("q_id", "n_id", "cell", "rank", F.round("ad", 6).alias("ad_r"))
     )
+
+
+_RERANK_SHORTLIST = 10
+
+
+def _duck_ivfpq_rerank_oracle() -> str:
+    base = _duck_ivfpq_oracle()
+    with_block = base[: base.rindex("SELECT q_id, n_id, cell,")]
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, 65))
+
+    return (
+        with_block.rstrip().rstrip(",")
+        + f""",
+        shortlist AS (
+            SELECT q_id, n_id FROM r WHERE rank <= {_RERANK_SHORTLIST}
+        ),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        exact AS (
+            SELECT s.q_id, s.n_id,
+                   ({dot("qe.v", "ne.v")})
+                   / (sqrt({dot("qe.v", "qe.v")}) * sqrt({dot("ne.v", "ne.v")})) AS sim
+            FROM shortlist s
+            JOIN ev qe ON qe.vec_id = s.q_id
+            JOIN ev ne ON ne.vec_id = s.n_id
+        ),
+        rr AS (
+            SELECT q_id, n_id, sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
+            FROM exact
+        )
+        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        FROM rr WHERE rank <= {_ADC_K}
+    """
+    )
+
+
+@register(
+    "ann_ivfpq_rerank",
+    oracle=_duck_ivfpq_rerank_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "rerank", "ml", "embeddings"),
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production pattern that makes PQ's
+    lossy distances safe: stage 1 scans only 4-byte codes in the query's
+    coarse cell and keeps an ADC top-10 shortlist; stage 2 fetches the
+    ORIGINAL vectors for just those 10 candidates and re-ranks by exact
+    cosine (left-fold discipline), returning the top-3. Recall comes
+    from the cheap wide stage, precision from the expensive narrow one.
+
+    Scale design: stage 2's vector fetch is a 10-rows-per-query id join
+    against the at-rest corpus — the only point where full vectors are
+    read at query time, and it is shortlist-sized regardless of corpus
+    size. Everything upstream is the verified `ann_ivfpq` plan."""
+    # Stage 1: the composed IVF-PQ plan, widened to a top-10 shortlist.
+    emb = load_table(spark, sf_dir, "embeddings")
+    from multithreaded_map_reduce_library_spark.plans.pipeline13 import (
+        lloyd_assignments,
+        quantized_vectors,
+    )
+
+    cells = lloyd_assignments(quantized_vectors(emb)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    fv, codes, books = _pq_codes_and_books(emb)
+
+    def dist_fold(dim):
+        def term(i):
+            d = (F.col("n") * F.element_at("v", i) - F.element_at("s", i)).cast("double")
+            return d * d
+
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), lambda acc, i: acc + term(i)
+        )
+        return fold / (F.col("n") * F.col("n")).cast("double")
+
+    qmeta = cells.filter(F.col("vec_id") < _ADC_Q).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    pairs = codes.join(cells, "vec_id").join(
+        F.broadcast(qmeta), "cell"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    dcols = []
+    for m in range(_PQ_M):
+        qs = fv.filter(F.col("vec_id") < _ADC_Q).select(
+            F.col("vec_id").alias("q_id"),
+            F.slice("fv", m * _PQ_SUB + 1, _PQ_SUB).alias("v"),
+        )
+        dt = qs.crossJoin(F.broadcast(books[m])).select(
+            "q_id", F.col("cluster").alias(f"c{m}"), dist_fold(_PQ_SUB).alias(f"d{m}")
+        )
+        pairs = pairs.join(F.broadcast(dt), ["q_id", f"c{m}"])
+        dcols.append(F.col(f"d{m}"))
+    ad = sum(dcols[1:], dcols[0]) / F.lit(_ADC_NORM)
+    w1 = Window.partitionBy("q_id").orderBy(ad.asc(), F.col("vec_id").asc())
+    shortlist = (
+        pairs.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _RERANK_SHORTLIST)
+        .select("q_id", F.col("vec_id").alias("n_id"))
+    )
+
+    # Stage 2: exact cosine on the shortlist only.
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+        )
+
+    qe = ev.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    ne = ev.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv"))
+    exact = (
+        shortlist.join(qe, "q_id")
+        .join(ne, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                dot(F.col("qv"), F.col("nv"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv"))))
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )

@@ -101,3 +101,17 @@ def test_pq_codes_match_independent_python_reference(spark):
     got = {r["vec_id"]: [r[f"c{m}"] for m in range(p15._PQ_M)]
            for r in _Q["embedding_pq_codebook"].fn(spark, SF_SMALL).collect()}
     assert got == ref_codes
+
+
+def test_rerank_recall_at_least_matches_adc_ranking(spark):
+    """Exact re-rank of the ADC shortlist must recover at least as much
+    of the exact top-3 as raw ADC ranking does (stage 2 can only fix
+    orderings inside the shortlist, never hurt them)."""
+    rr = {(r["q_id"], r["n_id"])
+          for r in _Q["ann_ivfpq_rerank"].fn(spark, SF_SMALL).collect()}
+    adc_cell = {(r["q_id"], r["n_id"])
+                for r in _Q["ann_ivfpq"].fn(spark, SF_SMALL).collect()}
+    exact = _Q["knn_bruteforce_cosine"].fn(spark, SF_SMALL).collect()
+    true3 = {(r["q_id"], r["n_id"]) for r in exact if r["rank"] <= 3}
+    assert rr
+    assert len(rr & true3) >= len(adc_cell & true3)

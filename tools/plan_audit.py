@@ -87,6 +87,7 @@ ALLOW_BNLJ = {
     "embedding_pq_codebook": "4 subspace Lloyd trainings broadcast K codewords each",
     "ann_adc_pq": "PQ training + per-query distance-table broadcasts",
     "ann_ivfpq": "coarse k-means + PQ trainings broadcast centroids/codewords",
+    "ann_ivfpq_rerank": "coarse k-means + PQ trainings broadcast centroids/codewords",
     "minhash_threshold_sweep": "4-row broadcast threshold relation x candidate pairs",
     "contrastive_training_pairs": "3-row broadcast slot relation x positive pairs",
     "ann_ivf_cosine": "broadcast centroids + broadcast query set",
