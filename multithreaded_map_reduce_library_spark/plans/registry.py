@@ -92,6 +92,8 @@ def _load_all() -> None:
         pipeline16,
         pipeline17,
         pipeline18,
+        pipeline19,
+        pipeline20,
         relational,
         relational2,
         relational3,

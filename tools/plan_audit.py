@@ -95,6 +95,8 @@ ALLOW_BNLJ = {
     "ann_recall_vs_exact": "composes knn_bruteforce + ann variants",
     "ann_recall_comparison": "composes knn_bruteforce + all four ANN variants",
     "embedding_centroid_assign": "broadcast centroid set",
+    "semdedup_within_cell": "broadcast stride-bounded centroid set (assign_ivf_cells)",
+    "hybrid_rrf_retrieval": "broadcast single dense query vector x corpus",
     "theta_band_join_orders": "theta band join (non-equi by contract)",
     "skyline_pareto_customers": "skyline dominance theta self-join",
     "cross_join_status_priority_grid": "intentional tiny dims grid",
