@@ -94,6 +94,8 @@ def _load_all() -> None:
         pipeline18,
         pipeline19,
         pipeline20,
+        pipeline21,
+        pipeline22,
         relational,
         relational2,
         relational3,
