@@ -34,7 +34,11 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 _BPE_MERGES = 8
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql() -> tuple[str, str, list[str]]:
+    """The shared CTE chain learning the merges: returns (chain_body,
+    final_vocab_cte_name, per-step merge selects). Reused by
+    pipeline23's tokenizer-application query so both oracles replay the
+    IDENTICAL training."""
     steps = []
     prev = "w0"
     selects = []
@@ -59,15 +63,23 @@ def _bpe_oracle() -> str:
             f"SELECT {k} AS rank, a AS tok_a, b AS tok_b, cnt AS pair_count FROM m{k}"
         )
         prev = f"w{k}"
-    return f"""
-        WITH t AS (SELECT lower(unnest(list_filter(string_split_regex(text, '[ \t\r\n]'),
-                                                   x -> x <> ''))) AS word
-                   FROM documents),
+    chain = f"""
+        t AS (SELECT lower(unnest(list_filter(string_split_regex(text, '[ \t\r\n]'),
+                                              x -> x <> ''))) AS word
+              FROM documents),
         wf AS (SELECT word, COUNT(*) AS freq FROM t GROUP BY word),
         w0 AS (SELECT word, freq,
                       ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS rep
                FROM wf),
         {",".join(steps)}
+    """
+    return chain, prev, selects
+
+
+def _bpe_oracle() -> str:
+    chain, _, selects = _bpe_chain_sql()
+    return f"""
+        WITH {chain}
         {" UNION ALL ".join(selects)}
     """
 
@@ -96,6 +108,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame folded back in via broadcast cross-join, so the full
     8-round computation is one declarative plan.
     """
+    _, merges = _bpe_learn(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Spark twin of _bpe_chain_sql: returns (final vocab with merged
+    reps, the per-round 1-row merge DataFrames)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", "[ \t\r\n]"), lambda t: t != F.lit(""))
     wf = (
@@ -140,10 +162,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rpl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
         rep3 = F.replace(F.replace(F.replace("rep", pat, rpl), pat, rpl), pat, rpl)
         w = w.crossJoin(F.broadcast(m)).select("word", "freq", rep3.alias("rep"))
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return w, merges
 
 
 _LR_ITERS = 3

@@ -96,6 +96,7 @@ def _load_all() -> None:
         pipeline20,
         pipeline21,
         pipeline22,
+        pipeline23,
         relational,
         relational2,
         relational3,
