@@ -1,7 +1,8 @@
-"""Pipeline batch 21: sketch-based distinct counting (KMV), semantic
-dedup over embedding clusters (SemDeDup), DSIR-style importance
-weighting, and letter-entropy quality — four staples of a large-scale
-training-corpus pipeline, each with a full DuckDB oracle.
+"""Pipeline batch 21: sketch-based distinct counting (KMV), DSIR-style
+importance weighting, and letter-entropy quality — staples of a
+large-scale training-corpus pipeline, each with a full DuckDB oracle.
+(Semantic dedup over embedding cells already lives in pipeline19's
+``semdedup_within_cell``.)
 
 Float discipline (pipeline8 rule): every per-item float contribution is
 quantized round-to-nearest onto a 1e4 integer grid and summed as
@@ -20,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from multithreaded_map_reduce_library_spark.operators.similarity import assign_ivf_cells
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
@@ -116,101 +116,6 @@ def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
             "rel_err_r"
         ),
-    )
-
-
-_SEM_STRIDE = 50
-_SEM_TAU = 0.3
-_SEM_DIM = 64
-
-
-def _dot64(a: str, b: str) -> str:
-    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, _SEM_DIM + 1))
-
-
-@register(
-    "semdedup_embedding_cells",
-    oracle=f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_SEM_STRIDE} = 0),
-        scored AS (SELECT e.vec_id, e.v, c.c_id,
-                          ({_dot64("e.v", "c.cv")})
-                          / (sqrt({_dot64("e.v", "e.v")}) * sqrt({_dot64("c.cv", "c.cv")})) AS csim
-                   FROM e CROSS JOIN cent c),
-        asg AS (SELECT vec_id, v, c_id,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rn
-                FROM scored),
-        cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
-        p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b, a.cell,
-                     ({_dot64("a.v", "x.v")})
-                     / (sqrt({_dot64("a.v", "a.v")}) * sqrt({_dot64("x.v", "x.v")})) AS sim
-              FROM cells a JOIN cells x
-                ON a.cell = x.cell AND a.vec_id <> x.vec_id),
-        nb AS (SELECT id_a AS vec_id,
-                      COUNT(*) FILTER (WHERE sim >= {_SEM_TAU}) AS n_neardup,
-                      COUNT(*) FILTER (WHERE sim >= {_SEM_TAU} AND id_b < id_a) AS n_smaller
-               FROM p GROUP BY id_a)
-        SELECT c.vec_id, c.cell,
-               COALESCE(nb.n_neardup, 0) AS n_neardup,
-               COALESCE(nb.n_smaller, 0) = 0 AS keep
-        FROM cells c LEFT JOIN nb USING (vec_id)
-    """,
-    tags=("dedup", "semantic", "embedding", "clustering"),
-)
-def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): cluster embeddings into coarse
-    cells, then near-duplicates are detected ONLY within a cell (pairs
-    in different cells are by construction not compared — that is the
-    paper's whole scaling trick), and each near-dup group keeps its
-    lowest-id member (deterministic decision list). Output: per vector,
-    its cell, its near-dup degree, and the keep/drop verdict.
-
-    Scale design: the all-pairs cosine join never exists — candidates
-    are an equi-join on the cell id, exactly the IVF layout
-    (ann_ivf_cosine), so at 100 TB the corpus is bucketed by cell at
-    rest and the pair space is bounded per cell (hot cells re-split via
-    the dedup_embedding_adaptive mechanism). Assignment is one broadcast
-    of the centroid set over a single corpus scan.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cells = assign_ivf_cells(emb, stride=_SEM_STRIDE, dim=_SEM_DIM)
-    a = cells.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"),
-        F.col("norm").alias("na"), "cell",
-    )
-    b = cells.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"), "cell",
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("va").cast("array<double>"),
-            F.col("vb").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "cell", (dot / (F.col("na") * F.col("nb"))).alias("sim"))
-    )
-    nb = pairs.groupBy(F.col("id_a").alias("vec_id")).agg(
-        F.count(F.when(F.col("sim") >= _SEM_TAU, 1)).alias("n_neardup"),
-        F.count(
-            F.when((F.col("sim") >= _SEM_TAU) & (F.col("id_b") < F.col("id_a")), 1)
-        ).alias("n_smaller"),
-    )
-    return (
-        cells.select(F.col("id").alias("vec_id"), "cell")
-        .join(nb, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
-            (F.coalesce("n_smaller", F.lit(0)) == 0).alias("keep"),
-        )
     )
 
 

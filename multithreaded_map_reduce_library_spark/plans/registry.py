@@ -97,6 +97,7 @@ def _load_all() -> None:
         pipeline21,
         pipeline22,
         pipeline23,
+        pipeline24,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,155 @@
+"""Invariant tests for the pipeline21-23 families beyond oracle parity:
+KMV mergeability (the sketch law that makes it a sketch), DSIR
+separation of target vs non-target,
+BPE first-merge ground truth + compression, logreg sanity bounds,
+Hilbert key mass conservation, funnel monotonicity, Theil-Sen pair
+accounting."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def _md5_48(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+
+def test_kmv_merge_law():
+    """Union-then-sketch == sketch-then-merge: the property that lets a
+    1000-executor cluster build per-partition KMV states and merge them
+    without ever seeing the raw distinct set."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, user_id FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    con.close()
+    k = 16
+    whole = sorted({_md5_48(u) for _, u in rows})[:k]
+    half_a = sorted({_md5_48(u) for e, u in rows if e % 2 == 0})[:k]
+    half_b = sorted({_md5_48(u) for e, u in rows if e % 2 == 1})[:k]
+    merged = sorted(set(half_a) | set(half_b))[:k]
+    assert merged == whole
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    """K=16 KMV has rsd ~ 1/sqrt(K-2) ~ 27%; every daily estimate must
+    sit inside a generous 4-sigma band (the query also exposes the
+    observed error as a column — here we gate on it)."""
+    df = _Q["kmv_distinct_users_daily"].fn(spark, SF_SMALL).collect()
+    assert len(df) > 0
+    for r in df:
+        assert r.rel_err_r <= 4 * (1.0 / (16 - 2) ** 0.5), r
+
+
+def test_dsir_separates_target_language(spark):
+    """The entire point of DSIR weights: target-distribution (en) docs
+    must score higher on average than non-target docs."""
+    df = _Q["dsir_importance_weights"].fn(spark, SF_SMALL)
+    con = duckdb.connect()
+    langs = dict(
+        con.execute(
+            f"SELECT doc_id, lang FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    en, rest = [], []
+    for r in df.collect():
+        (en if langs[r.doc_id] == "en" else rest).append(r.avg_logratio)
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_letter_entropy_bounds(spark):
+    import math
+
+    rows = _Q["letter_entropy_quality"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(26) + 1e-9, r
+
+
+def test_bpe_first_merge_is_top_char_bigram(spark):
+    """Ground-truth the first BPE round against an independent pure-
+    Python count of frequency-weighted adjacent char pairs."""
+    con = duckdb.connect()
+    words = con.execute(
+        f"""SELECT lower(unnest(list_filter(string_split_regex(text, '[ \t\r\n]'),
+                                            x -> x <> ''))) AS w
+            FROM '{SF_SMALL}/documents.parquet'"""
+    ).fetchall()
+    con.close()
+    from collections import Counter
+
+    freq = Counter(w for (w,) in words)
+    pc: Counter = Counter()
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += f
+    best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = {r.rank: r for r in _Q["bpe_learn_merges"].fn(spark, SF_SMALL).collect()}
+    assert (rows[1].tok_a, rows[1].tok_b) == best[0]
+    assert rows[1].pair_count == best[1]
+
+
+def test_bpe_tokenization_compresses(spark):
+    rows = _Q["bpe_tokenize_corpus"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert all(0 < r.n_sym_bpe <= r.n_sym_char for r in rows)
+    # 8 merges on a tiny vocab must buy real compression in aggregate
+    assert sum(r.n_sym_bpe for r in rows) < sum(r.n_sym_char for r in rows)
+
+
+def test_logreg_bounds_and_direction(spark):
+    [r] = _Q["logreg_quality_classifier"].fn(spark, SF_SMALL).collect()
+    assert 0 <= r.n_correct <= r.n_docs
+    for w in (r.w0_r, r.w1_r, r.w2_r, r.w3_r):
+        assert abs(w) < 100.0
+
+
+def test_hilbert_mass_and_range(spark):
+    rows = _Q["hilbert_locality_events"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    [(n_events,)] = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    con.close()
+    assert sum(r.n for r in rows) == n_events
+    # tiny sf keeps the whole (user, hour) grid inside one curve region,
+    # so >=1 bucket; the sf0.01 oracle-parity run checks exact values
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 <= r.h_bucket < (1 << 32) >> 20
+
+
+def test_funnel_monotone(spark):
+    [r] = _Q["funnel_3step_conversion"].fn(spark, SF_SMALL).collect()
+    assert r.n_step1 >= r.n_step2 >= r.n_step3 >= 0
+    assert r.n_step1 > 0
+
+
+def test_theil_sen_pair_accounting(spark):
+    rows = _Q["theil_sen_user_trend"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            f"""SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE))
+                FROM '{SF_SMALL}/events.parquet' GROUP BY user_id"""
+        ).fetchall()
+    )
+    con.close()
+    seen = set()
+    for r in rows:
+        assert r.user_id not in seen  # exactly one slope per user
+        seen.add(r.user_id)
+        d = days[r.user_id]
+        assert r.n_pairs == d * (d - 1) // 2
+    # users with >=2 distinct days all get a slope
+    assert seen == {u for u, d in days.items() if d >= 2}

@@ -133,13 +133,19 @@ def _iter_nodes(n):
 
 
 def _is_scalar_subtree(node) -> bool:
-    """True iff the subtree's topmost row-producing operator is a
-    grand aggregate (grouping keys []) — i.e. the broadcast is one row."""
+    """True iff the subtree provably produces ONE row: a grand aggregate
+    (grouping keys []), or a cross/BNLJ join of two one-row subtrees
+    (the broadcast-scalar-state chain iterative queries build, e.g. a
+    weight vector folded through gradient-descent rounds), behind any
+    chain of pass-through unaries."""
     cur = node
     while True:
         name = cur.nodeName()
         if "Aggregate" in name:
             return "keys=[]" in cur.simpleString(500)
+        if "NestedLoopJoin" in name or "CartesianProduct" in name:
+            kids = _children(cur)
+            return len(kids) >= 2 and all(_is_scalar_subtree(k) for k in kids[:2])
         if any(name.startswith(p) for p in _PASS_THROUGH):
             kids = _children(cur)
             if len(kids) != 1:
