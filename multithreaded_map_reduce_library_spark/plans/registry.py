@@ -98,6 +98,7 @@ def _load_all() -> None:
         pipeline22,
         pipeline23,
         pipeline24,
+        pipeline25,
         relational,
         relational2,
         relational3,
