@@ -277,3 +277,52 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return assets.select(
         "asset_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("ahash", StringType(), True),
+    ]
+)
+
+
+def ahash_assets(assets: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over decoded image
+    payloads: decode, take the 8x8 grid, set bit i iff pixel_i is
+    strictly above the grid mean, pack MSB-first into 16 hex chars.
+    Identical fingerprints = perceptual duplicates — the image-tier
+    analogue of the text SimHash.
+
+    Arrow-batched mapInPandas like extract_features: the decode kernel
+    runs per columnar batch, nothing touches the driver, and the output
+    is a 2-column skinny relation ready for the dedup group-by. The
+    deterministic fallback decoder makes the hash oracle-replayable
+    (pipeline26) while a real codec drops in without changing the plan.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                img = np.asarray(_decode_image_bytes(raw), dtype=np.float64)
+                if img.ndim == 3:  # RGB(A) -> luma-free mean collapse
+                    img = img.mean(axis=2)
+                # downsample to 8x8 by block mean when larger (real codec
+                # path); the fake decoder is already 8x8
+                if img.shape != (8, 8):
+                    h, w = img.shape
+                    img = img[: h - h % 8, : w - w % 8]
+                    img = img.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                flat = img.ravel()
+                bits = flat > flat.mean()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                ids.append(asset_id)
+                hashes.append(f"{val:016x}")
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    return assets.mapInPandas(batches, AHASH_SCHEMA)

@@ -178,7 +178,10 @@ _LR_RATE = 0.25  # dyadic learning rate: 0.25*x is exact scaling
 _LR_GRID = 1_000_000.0
 
 
-def _logreg_oracle() -> str:
+def _logreg_chain_sql() -> tuple[str, str]:
+    """Shared CTE chain training the classifier: (chain_body,
+    final_iteration_cte). Reused by pipeline26's decile-lift evaluation
+    so both oracles replay the IDENTICAL training."""
     # features: exact dyadic scalings of integer counts (module docstring)
     feat = """
         feat AS (
@@ -221,9 +224,17 @@ def _logreg_oracle() -> str:
             FROM g{k} CROSS JOIN {prev} CROSS JOIN n
         )""")
         prev = f"it{k}"
-    return f"""
-        WITH {feat},
+    chain = f"""
+        {feat},
         {",".join(steps)}
+    """
+    return chain, prev
+
+
+def _logreg_oracle() -> str:
+    chain, prev = _logreg_chain_sql()
+    return f"""
+        WITH {chain}
         SELECT n.n AS n_docs,
                ROUND(w0, 6) AS w0_r, ROUND(w1, 6) AS w1_r,
                ROUND(w2, 6) AS w2_r, ROUND(w3, 6) AS w3_r,
@@ -260,6 +271,43 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap re-reads. Output: one row (n_docs, trained weights, training
     accuracy).
     """
+    feat, n, w = _logreg_train(spark, sf_dir)
+    final = feat.crossJoin(F.broadcast(w))
+    acc = final.agg(
+        F.count(
+            F.when(
+                (F.floor(_z_expr() * _LR_GRID + 0.5).cast("bigint") >= 0)
+                == (F.col("y") == 1.0),
+                1,
+            )
+        ).alias("n_correct")
+    )
+    return (
+        w.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(acc))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round("w0", 6).alias("w0_r"),
+            F.round("w1", 6).alias("w1_r"),
+            F.round("w2", 6).alias("w2_r"),
+            F.round("w3", 6).alias("w3_r"),
+            "n_correct",
+        )
+    )
+
+
+def _z_expr():
+    """The sigmoid argument with the FIXED association order shared by
+    both engines (module docstring)."""
+    return (
+        (F.col("w0") + F.col("w1") * F.col("x1")) + F.col("w2") * F.col("x2")
+    ) + F.col("w3") * F.col("x3")
+
+
+def _logreg_train(spark: SparkSession, sf_dir: str):
+    """Spark twin of _logreg_chain_sql: returns (feat, n, trained w) —
+    all lazy DataFrames; w is the 1-row weight vector after the unrolled
+    GD iterations."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", "[ \t\r\n]"), lambda t: t != F.lit(""))
     feat = docs.select(
@@ -281,14 +329,9 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("w2"), F.lit(0.0).alias("w3"),
     )
 
-    def z_expr():
-        return (
-            (F.col("w0") + F.col("w1") * F.col("x1")) + F.col("w2") * F.col("x2")
-        ) + F.col("w3") * F.col("x3")
-
     for _ in range(_LR_ITERS):
         scored = feat.crossJoin(F.broadcast(w))
-        p_minus_y = 1.0 / (1.0 + F.exp(-z_expr())) - F.col("y")
+        p_minus_y = 1.0 / (1.0 + F.exp(-_z_expr())) - F.col("y")
 
         def gq(x):
             return F.sum(
@@ -310,25 +353,4 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_w("w0", "g0").alias("w0"), new_w("w1", "g1").alias("w1"),
             new_w("w2", "g2").alias("w2"), new_w("w3", "g3").alias("w3"),
         )
-    final = feat.crossJoin(F.broadcast(w))
-    acc = final.agg(
-        F.count(
-            F.when(
-                (F.floor(z_expr() * _LR_GRID + 0.5).cast("bigint") >= 0)
-                == (F.col("y") == 1.0),
-                1,
-            )
-        ).alias("n_correct")
-    )
-    return (
-        w.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(acc))
-        .select(
-            F.col("n").alias("n_docs"),
-            F.round("w0", 6).alias("w0_r"),
-            F.round("w1", 6).alias("w1_r"),
-            F.round("w2", 6).alias("w2_r"),
-            F.round("w3", 6).alias("w3_r"),
-            "n_correct",
-        )
-    )
+    return feat, n, w

@@ -99,6 +99,7 @@ def _load_all() -> None:
         pipeline23,
         pipeline24,
         pipeline25,
+        pipeline26,
         relational,
         relational2,
         relational3,

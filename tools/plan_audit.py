@@ -65,6 +65,7 @@ ALLOW_PYTHON = {
     "minhash_lsh_candidates": "minhash band-keys pandas UDF",
     "minhash_lsh_candidates_capped": "minhash band-keys pandas UDF",
     "multimodal_features": "mapInPandas decode stage",
+    "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
