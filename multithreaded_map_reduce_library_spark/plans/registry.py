@@ -100,6 +100,7 @@ def _load_all() -> None:
         pipeline24,
         pipeline25,
         pipeline26,
+        pipeline27,
         relational,
         relational2,
         relational3,
