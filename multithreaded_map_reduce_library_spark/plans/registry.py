@@ -101,6 +101,7 @@ def _load_all() -> None:
         pipeline25,
         pipeline26,
         pipeline27,
+        pipeline28,
         relational,
         relational2,
         relational3,
