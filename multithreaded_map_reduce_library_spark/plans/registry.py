@@ -102,6 +102,7 @@ def _load_all() -> None:
         pipeline26,
         pipeline27,
         pipeline28,
+        pipeline29,
         relational,
         relational2,
         relational3,
