@@ -103,6 +103,7 @@ def _load_all() -> None:
         pipeline27,
         pipeline28,
         pipeline29,
+        pipeline30,
         relational,
         relational2,
         relational3,
