@@ -209,7 +209,9 @@ _LB_BATCH = 8
                (bucket + 1) * {_LB_WIDTH} AS len_hi,
                COUNT(*) AS n_docs,
                (COUNT(*) + {_LB_BATCH} - 1) // {_LB_BATCH} AS n_batches,
-               SUM((bucket + 1) * {_LB_WIDTH} - n_toks) AS pad_bucketed,
+               -- pad to the LONGEST sequence in the bucket (what a real
+               -- loader does), not the bucket's nominal upper bound
+               COUNT(*) * MAX(n_toks) - SUM(n_toks) AS pad_bucketed,
                SUM(g.max_len - n_toks) AS pad_unbucketed
         FROM b CROSS JOIN g
         GROUP BY bucket
@@ -219,11 +221,11 @@ _LB_BATCH = 8
 def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching audit: bucket documents by token count
     (width 32), batch within buckets (size 8), and report per bucket
-    the padding tokens paid when padding to the bucket's upper bound vs
-    padding everything to the global max — the quantified win of
-    bucketed batching for seq2seq/fine-tune loaders (complements
-    ``sequence_pack_docs``, which eliminates padding by packing
-    instead).
+    the padding tokens paid when padding to the bucket's LONGEST
+    sequence (what a real loader pads to) vs padding everything to the
+    global max — the quantified win of bucketed batching for
+    seq2seq/fine-tune loaders (complements ``sequence_pack_docs``,
+    which eliminates padding by packing instead).
 
     Scale design: one token-count scan, a 1-row global max broadcast,
     and a |buckets|-row rollup — all integers, map-side combined.
@@ -242,10 +244,12 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("bucket") + 1) * _LB_WIDTH - F.col("n_toks")).alias(
-                "pad_bucketed"
-            ),
+            F.max("n_toks").alias("bmax"),
+            F.sum("n_toks").alias("sum_n"),
             F.sum(F.col("max_len") - F.col("n_toks")).alias("pad_unbucketed"),
+        )
+        .withColumn(
+            "pad_bucketed", F.col("n_docs") * F.col("bmax") - F.col("sum_n")
         )
         .select(
             "bucket",

@@ -1,0 +1,121 @@
+"""Structural invariants for the pipeline24-30 families: properties the
+oracle-parity hash can't express — reconstruction round-trips, sketch
+guarantees, pruning losslessness counts, statistic ranges."""
+
+from __future__ import annotations
+
+import duckdb
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def _docs_tokens():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT doc_id, list_filter(string_split_regex(text, '[ \t\r\n]'),
+                                       x -> x <> '')
+            FROM '{SF_SMALL}/documents.parquet'"""
+    ).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def test_span_corruption_roundtrip(spark):
+    """Splicing the target span back over the sentinel must reproduce
+    the original token sequence exactly — the property that makes the
+    pair usable as a denoising example."""
+    toks = _docs_tokens()
+    rows = _Q["span_corruption_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        span = r.target.replace("<extra_id_0> ", "", 1).split(" ")
+        rebuilt = r.corrupted.replace("<extra_id_0>", " ".join(span), 1).split()
+        assert rebuilt == toks[r.doc_id], r.doc_id
+        assert len(span) == 3
+
+
+def test_bloom_guarantees(spark):
+    [r] = _Q["bloom_filter_semijoin"].fn(spark, SF_SMALL).collect()
+    assert r.n_false_neg == 0  # the Bloom guarantee
+    assert r.n_bloom_pass >= r.n_true
+    assert r.n_bloom_pass == r.n_true + r.n_false_pos
+    # the filter must actually prune (FP rate well under the pass-all 100%)
+    assert r.n_bloom_pass < r.n_lineitems
+
+
+def test_prefix_filter_equals_allpairs(spark):
+    """The pruned join must equal the naive all-pairs join computed
+    independently in Python — the AllPairs prefix theorem, end to end."""
+    toks = {k: set(map(str.lower, v)) for k, v in _docs_tokens().items()}
+    expected = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            if 5 * inter >= 4 * union:
+                expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in _Q["prefix_filter_jaccard_join"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_gini_range_and_pareto_consistency(spark):
+    [r] = _Q["gini_revenue_concentration"].fn(spark, SF_SMALL).collect()
+    assert 0.0 <= r.gini_r <= 1.0
+    assert r.n_customers > 0 and r.total_rev_q > 0
+
+
+def test_ols_and_theil_sen_cover_same_users(spark):
+    ols = {r.user_id for r in _Q["ols_user_trend"].fn(spark, SF_SMALL).collect()}
+    ts = {r.user_id for r in _Q["theil_sen_user_trend"].fn(spark, SF_SMALL).collect()}
+    # OLS needs x-variance (>=2 distinct days) — exactly Theil-Sen's domain
+    assert ols == ts
+
+
+def test_cusum_picks_a_day(spark):
+    [r] = _Q["cusum_changepoint_daily"].fn(spark, SF_SMALL).collect()
+    assert r.n_days >= 1 and r.max_dev_r >= 0.0
+
+
+def test_sorted_neighborhood_pairs_ordered(spark):
+    rows = _Q["sorted_neighborhood_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows  # synthetic names repeat: near pairs must exist
+    for r in rows:
+        assert r.key_a != r.key_b
+        assert 0 <= r.dist <= 4
+
+
+def test_skipgram_symmetry(spark):
+    """A +/-w window is symmetric: count(a,b) == count(b,a)."""
+    rows = _Q["skipgram_training_pairs"].fn(spark, SF_SMALL).collect()
+    c = {(r.center, r.context): r.n_pairs for r in rows}
+    assert c
+    for (a, b), n in c.items():
+        assert c.get((b, a)) == n, (a, b)
+
+
+def test_kcenter_distances_decrease(spark):
+    """Greedy farthest-point: the pick distance is non-increasing
+    round over round (each selection can only shrink min-distances)."""
+    rows = sorted(
+        _Q["kcenter_coreset_selection"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    dists = [r.dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_length_buckets_partition_docs(spark):
+    rows = _Q["length_bucketed_batching"].fn(spark, SF_SMALL).collect()
+    toks = _docs_tokens()
+    n_nonempty = sum(1 for v in toks.values() if len(v) > 0)
+    assert sum(r.n_docs for r in rows) == n_nonempty
+    for r in rows:
+        assert r.pad_bucketed <= r.pad_unbucketed
