@@ -104,6 +104,7 @@ def _load_all() -> None:
         pipeline28,
         pipeline29,
         pipeline30,
+        pipeline31,
         relational,
         relational2,
         relational3,
