@@ -166,7 +166,9 @@ def kmv_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("rk_b"),
         F.count("*").over(Window.partitionBy()).alias("n_union"),
     )
-    kth = ranked.where(F.col("rk_u") == _KI_K).select(F.col("h").alias("h_k"))
+    # grand aggregate (one row, NULL when the union has < K hashes) so the
+    # broadcast build side is structurally a one-row aggregate for the audit
+    kth = ranked.where(F.col("rk_u") == _KI_K).agg(F.max("h").alias("h_k"))
     rho = ranked.agg(
         F.count(
             F.when(
@@ -184,7 +186,7 @@ def kmv_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     est = (
-        rho.join(kth, F.lit(True), "left")
+        rho.crossJoin(F.broadcast(kth))
         .select(
             "exact_both",
             "k_both",

@@ -103,6 +103,8 @@ ALLOW_BNLJ = {
     "cross_join_status_priority_grid": "intentional tiny dims grid",
     "rolling_24h_distinct_users": "24h range self-join (non-equi window)",
     "events_peak_concurrency": "broadcast distinct-day list range join (sweep carry-in)",
+    "cluster_topic_labels": "broadcast stride-bounded centroid set (assign_ivf_cells)",
+    "sorted_neighborhood_pairs": "rank band theta join (width 3) by contract",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
