@@ -105,6 +105,7 @@ def _load_all() -> None:
         pipeline29,
         pipeline30,
         pipeline31,
+        pipeline32,
         relational,
         relational2,
         relational3,
