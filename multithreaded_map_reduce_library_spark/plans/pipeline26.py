@@ -239,3 +239,72 @@ def conversion_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p2_r"),
         F.round(z, 6).alias("z_r"),
     )
+
+
+def _calibration_oracle() -> str:
+    chain, prev = _logreg_chain_sql()
+    return f"""
+        WITH {chain},
+        scored AS (
+            SELECT doc_id, y,
+                   CAST(FLOOR((1.0/(1.0 + exp(-((((w0 + w1*x1) + w2*x2) + w3*x3)))))
+                              * {_LR_GRID} + 0.5) AS BIGINT) AS p_q
+            FROM feat CROSS JOIN {prev}
+        ),
+        b AS (
+            SELECT CASE WHEN p_q >= 1000000 THEN 9
+                        ELSE CAST(p_q // 100000 AS BIGINT) END AS bin,
+                   y, p_q
+            FROM scored
+        )
+        SELECT bin, COUNT(*) AS n_docs,
+               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+               CAST(SUM(p_q) AS DOUBLE) / COUNT(*) / {_LR_GRID} AS mean_pred,
+               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS frac_pos
+        FROM b GROUP BY bin
+    """
+
+
+@register(
+    "logreg_calibration_bins",
+    oracle=_calibration_oracle(),
+    tags=("classifier", "evaluation", "calibration", "documents"),
+)
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained classifier: predicted
+    probabilities (sigmoid of the trained score, grid-quantized) cut
+    into 10 fixed-width bins, each reporting mean predicted probability
+    vs empirical positive rate — where the two diverge, the classifier
+    is mis-calibrated and its keep-threshold misleads. Completes the
+    classifier-eval pair with ``logreg_decile_lift`` (ranking quality
+    vs probability quality).
+
+    Determinism: p rides the 1e6 grid BEFORE binning, so bin edges cut
+    integers; the two display ratios are divisions of exact integers.
+
+    Scale design: identical to decile lift minus the window — one
+    broadcast-weights scan and a 10-row rollup, nothing else.
+    """
+    feat, n, w = _logreg_train(spark, sf_dir)
+    p_q = F.floor(
+        (1.0 / (1.0 + F.exp(-_z_expr()))) * _LR_GRID + 0.5
+    ).cast("bigint")
+    scored = feat.crossJoin(F.broadcast(w)).select("doc_id", "y", p_q.alias("p_q"))
+    b = scored.select(
+        F.when(F.col("p_q") >= 1000000, 9)
+        .otherwise((F.col("p_q") / 100000).cast("bigint"))
+        .cast("bigint")
+        .alias("bin"),
+        "y",
+        "p_q",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("n_pos"),
+        (F.sum("p_q").cast("double") / F.count("*") / _LR_GRID).alias("mean_pred"),
+        (
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("frac_pos"),
+    )
