@@ -106,6 +106,7 @@ def _load_all() -> None:
         pipeline30,
         pipeline31,
         pipeline32,
+        pipeline33,
         relational,
         relational2,
         relational3,
