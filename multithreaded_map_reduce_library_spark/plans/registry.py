@@ -107,6 +107,7 @@ def _load_all() -> None:
         pipeline31,
         pipeline32,
         pipeline33,
+        pipeline34,
         relational,
         relational2,
         relational3,
