@@ -108,6 +108,7 @@ def _load_all() -> None:
         pipeline32,
         pipeline33,
         pipeline34,
+        pipeline35,
         relational,
         relational2,
         relational3,
