@@ -119,3 +119,60 @@ def test_length_buckets_partition_docs(spark):
     assert sum(r.n_docs for r in rows) == n_nonempty
     for r in rows:
         assert r.pad_bucketed <= r.pad_unbucketed
+
+
+def test_position_attribution_conserves_money(spark):
+    """Per purchase, allocated credits must sum to the purchase value in
+    cents EXACTLY (largest-remainder invariant)."""
+    rows = _Q["position_attribution_purchases"].fn(spark, SF_SMALL).collect()
+    assert rows
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r.purchase_id] = got.get(r.purchase_id, 0) + r.credit_cents
+    con = duckdb.connect()
+    cents = dict(
+        con.execute(
+            f"""SELECT event_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                FROM '{SF_SMALL}/events.parquet' WHERE event_type = 'purchase'"""
+        ).fetchall()
+    )
+    con.close()
+    for pid, total in got.items():
+        assert total == cents[pid], pid
+
+
+def test_bfs_layers_contiguous(spark):
+    rows = _Q["bfs_copurchase_layers"].fn(spark, SF_SMALL).collect()
+    layers = sorted({r.layer for r in rows})
+    assert layers[0] == 0
+    assert layers == list(range(len(layers)))  # no gaps
+    assert sum(1 for r in rows if r.layer == 0) == 1  # single seed
+
+
+def test_weekday_index_weighted_mean_is_one(spark):
+    rows = _Q["weekday_seasonal_index"].fn(spark, SF_SMALL).collect()
+    n_days = sum(r.n_w for r in rows)
+    wmean = sum(r.n_w * r.seasonal_index_r for r in rows) / n_days
+    assert abs(wmean - 1.0) < 1e-4
+
+
+def test_market_basket_bounds(spark):
+    rows = _Q["market_basket_pairs"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.support >= 3
+        assert r.part_a < r.part_b
+        assert r.lift_r > 0
+
+
+def test_calibration_bins_partition(spark):
+    rows = _Q["logreg_calibration_bins"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    [(n_docs,)] = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.mean_pred <= 1.0
