@@ -109,6 +109,7 @@ def _load_all() -> None:
         pipeline33,
         pipeline34,
         pipeline35,
+        pipeline36,
         relational,
         relational2,
         relational3,
