@@ -110,6 +110,7 @@ def _load_all() -> None:
         pipeline34,
         pipeline35,
         pipeline36,
+        pipeline37,
         relational,
         relational2,
         relational3,
