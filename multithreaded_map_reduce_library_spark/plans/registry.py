@@ -111,6 +111,7 @@ def _load_all() -> None:
         pipeline35,
         pipeline36,
         pipeline37,
+        pipeline38,
         relational,
         relational2,
         relational3,
