@@ -112,6 +112,7 @@ def _load_all() -> None:
         pipeline36,
         pipeline37,
         pipeline38,
+        pipeline39,
         relational,
         relational2,
         relational3,
