@@ -113,6 +113,7 @@ def _load_all() -> None:
         pipeline37,
         pipeline38,
         pipeline39,
+        pipeline40,
         relational,
         relational2,
         relational3,
