@@ -114,6 +114,7 @@ def _load_all() -> None:
         pipeline38,
         pipeline39,
         pipeline40,
+        pipeline41,
         relational,
         relational2,
         relational3,
