@@ -115,6 +115,7 @@ def _load_all() -> None:
         pipeline39,
         pipeline40,
         pipeline41,
+        pipeline42,
         relational,
         relational2,
         relational3,
