@@ -176,3 +176,58 @@ def test_calibration_bins_partition(spark):
         assert 0 <= r.bin <= 9
         assert 0.0 <= r.frac_pos <= 1.0
         assert 0.0 <= r.mean_pred <= 1.0
+
+
+def test_cms_overestimates(spark):
+    """CMS inner product is a provable UPPER bound on the join size."""
+    [r] = _Q["cms_join_size_estimate"].fn(spark, SF_SMALL).collect()
+    assert r.est_join_size >= r.true_join_size > 0
+    assert r.overestimate_r >= 1.0
+
+
+def test_chi2_nonnegative(spark):
+    [r] = _Q["chi2_event_weekday"].fn(spark, SF_SMALL).collect()
+    assert r.chi2 >= 0.0
+    assert r.dof == (5 - 1) * (7 - 1)
+
+
+def test_churn_monotone_in_threshold(spark):
+    rows = {r.inactive_days: r for r in _Q["churn_threshold_sweep"].fn(spark, SF_SMALL).collect()}
+    assert rows[7].n_churned >= rows[14].n_churned >= rows[21].n_churned
+    assert len({r.n_users for r in rows.values()}) == 1
+
+
+def test_autocorrelation_bounds(spark):
+    for r in _Q["daily_autocorrelation"].fn(spark, SF_SMALL).collect():
+        assert -1.0 - 1e-9 <= r.acf_r <= 1.0 + 1e-9
+
+
+def test_conditional_entropy_bounds(spark):
+    import math
+
+    rows = _Q["markov_conditional_entropy"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.cond_entropy_bits <= math.log2(5) + 1e-9
+
+
+def test_quality_ensemble_keeps_exactly_100(spark):
+    rows = _Q["quality_signal_rank_ensemble"].fn(spark, SF_SMALL).collect()
+    assert sum(1 for r in rows if r.keep) == min(100, len(rows))
+
+
+def test_seasonal_index_consistency(spark):
+    """seasonal_adjusted_daily must equal raw/index computed from the
+    weekday_seasonal_index query's own outputs."""
+    idx = {
+        r.weekday: r.seasonal_index_r
+        for r in _Q["weekday_seasonal_index"].fn(spark, SF_SMALL).collect()
+    }
+    adj = _Q["seasonal_adjusted_daily"].fn(spark, SF_SMALL).collect()
+    import datetime
+
+    for r in adj:
+        wd = r.day.isoweekday() % 7 + 1  # Spark dayofweek: Sunday=1
+        approx = r.v_r / idx[wd]
+        # both inputs are 6dp-rounded displays; compare relatively
+        assert abs(approx - r.adjusted_r) / abs(r.adjusted_r) < 1e-4, r
