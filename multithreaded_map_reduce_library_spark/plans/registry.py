@@ -116,6 +116,7 @@ def _load_all() -> None:
         pipeline40,
         pipeline41,
         pipeline42,
+        pipeline43,
         relational,
         relational2,
         relational3,
