@@ -117,6 +117,7 @@ def _load_all() -> None:
         pipeline41,
         pipeline42,
         pipeline43,
+        pipeline44,
         relational,
         relational2,
         relational3,
