@@ -118,6 +118,7 @@ def _load_all() -> None:
         pipeline42,
         pipeline43,
         pipeline44,
+        pipeline45,
         relational,
         relational2,
         relational3,
