@@ -119,6 +119,7 @@ def _load_all() -> None:
         pipeline43,
         pipeline44,
         pipeline45,
+        pipeline46,
         relational,
         relational2,
         relational3,
