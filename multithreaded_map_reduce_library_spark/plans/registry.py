@@ -120,6 +120,7 @@ def _load_all() -> None:
         pipeline44,
         pipeline45,
         pipeline46,
+        pipeline47,
         relational,
         relational2,
         relational3,
