@@ -121,6 +121,7 @@ def _load_all() -> None:
         pipeline45,
         pipeline46,
         pipeline47,
+        pipeline48,
         relational,
         relational2,
         relational3,
