@@ -231,3 +231,46 @@ def test_seasonal_index_consistency(spark):
         approx = r.v_r / idx[wd]
         # both inputs are 6dp-rounded displays; compare relatively
         assert abs(approx - r.adjusted_r) / abs(r.adjusted_r) < 1e-4, r
+
+
+def test_rendezvous_movers_only_land_on_new_shard(spark):
+    """The HRW guarantee: adding shard 5 moves keys ONLY onto shard 5
+    (an old shard can never start winning a key it previously lost)."""
+    rows = _Q["rendezvous_shard_assignment"].fn(spark, SF_SMALL).collect()
+    assert {r.shard for r in rows} <= set(range(6))
+    for r in rows:
+        if r.shard != 5:
+            assert r.n_moved == 0, r
+        else:
+            assert r.n_moved == r.n_docs  # every doc on the new shard moved
+
+
+def test_leakage_totals_match_pair_relation(spark):
+    pairs = _Q["prefix_filter_jaccard_join"].fn(spark, SF_SMALL).count()
+    audit = _Q["split_leakage_audit"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_neardup_pairs for r in audit) == pairs
+
+
+def test_mutual_nn_is_a_matching(spark):
+    """Mutual-NN pairs form a partial matching: no vector appears in
+    two pairs (its single NN can only be one vector)."""
+    rows = _Q["mutual_nn_pairs"].fn(spark, SF_SMALL).collect()
+    seen: set[int] = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.id_a not in seen and r.id_b not in seen
+        seen.add(r.id_a)
+        seen.add(r.id_b)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    rows = _Q["neyman_allocation_sample_sizes"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_sample for r in rows) == 100
+
+
+def test_lifecycle_snapshot_consistency(spark):
+    rows = _Q["order_lifecycle_snapshot"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines >= 1
+        assert r.ship_span_days >= 0

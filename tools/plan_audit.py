@@ -104,6 +104,8 @@ ALLOW_BNLJ = {
     "rolling_24h_distinct_users": "24h range self-join (non-equi window)",
     "events_peak_concurrency": "broadcast distinct-day list range join (sweep carry-in)",
     "cluster_topic_labels": "broadcast stride-bounded centroid set (assign_ivf_cells)",
+    "cluster_lang_purity": "broadcast stride-bounded centroid set (assign_ivf_cells)",
+    "mutual_nn_pairs": "broadcast stride-bounded centroid set (assign_ivf_cells)",
     "sorted_neighborhood_pairs": "rank band theta join (width 3) by contract",
 }
 
