@@ -122,6 +122,7 @@ def _load_all() -> None:
         pipeline46,
         pipeline47,
         pipeline48,
+        pipeline49,
         relational,
         relational2,
         relational3,
