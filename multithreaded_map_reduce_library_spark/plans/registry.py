@@ -123,6 +123,7 @@ def _load_all() -> None:
         pipeline47,
         pipeline48,
         pipeline49,
+        pipeline50,
         relational,
         relational2,
         relational3,
