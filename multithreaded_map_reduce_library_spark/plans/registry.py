@@ -124,6 +124,7 @@ def _load_all() -> None:
         pipeline48,
         pipeline49,
         pipeline50,
+        pipeline51,
         relational,
         relational2,
         relational3,
