@@ -125,6 +125,7 @@ def _load_all() -> None:
         pipeline49,
         pipeline50,
         pipeline51,
+        pipeline52,
         relational,
         relational2,
         relational3,
