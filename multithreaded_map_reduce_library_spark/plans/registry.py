@@ -126,6 +126,7 @@ def _load_all() -> None:
         pipeline50,
         pipeline51,
         pipeline52,
+        pipeline53,
         relational,
         relational2,
         relational3,
