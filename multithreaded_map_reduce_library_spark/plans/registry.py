@@ -127,6 +127,7 @@ def _load_all() -> None:
         pipeline51,
         pipeline52,
         pipeline53,
+        pipeline54,
         relational,
         relational2,
         relational3,
