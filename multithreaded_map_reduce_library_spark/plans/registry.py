@@ -128,6 +128,7 @@ def _load_all() -> None:
         pipeline52,
         pipeline53,
         pipeline54,
+        pipeline55,
         relational,
         relational2,
         relational3,
