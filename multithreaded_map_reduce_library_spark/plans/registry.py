@@ -129,6 +129,7 @@ def _load_all() -> None:
         pipeline53,
         pipeline54,
         pipeline55,
+        pipeline56,
         relational,
         relational2,
         relational3,
