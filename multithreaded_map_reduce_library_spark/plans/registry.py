@@ -130,6 +130,7 @@ def _load_all() -> None:
         pipeline54,
         pipeline55,
         pipeline56,
+        pipeline57,
         relational,
         relational2,
         relational3,
