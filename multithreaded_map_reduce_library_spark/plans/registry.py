@@ -131,6 +131,7 @@ def _load_all() -> None:
         pipeline55,
         pipeline56,
         pipeline57,
+        pipeline58,
         relational,
         relational2,
         relational3,
