@@ -132,6 +132,7 @@ def _load_all() -> None:
         pipeline56,
         pipeline57,
         pipeline58,
+        pipeline59,
         relational,
         relational2,
         relational3,
