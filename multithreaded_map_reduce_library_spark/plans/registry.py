@@ -133,6 +133,7 @@ def _load_all() -> None:
         pipeline57,
         pipeline58,
         pipeline59,
+        pipeline60,
         relational,
         relational2,
         relational3,
