@@ -134,6 +134,7 @@ def _load_all() -> None:
         pipeline58,
         pipeline59,
         pipeline60,
+        pipeline61,
         relational,
         relational2,
         relational3,
