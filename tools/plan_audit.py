@@ -107,6 +107,7 @@ ALLOW_BNLJ = {
     "cluster_lang_purity": "broadcast stride-bounded centroid set (assign_ivf_cells)",
     "mutual_nn_pairs": "broadcast stride-bounded centroid set (assign_ivf_cells)",
     "naive_bayes_langid": "vocab x langs smoothing grid: broadcast 5-row label domain",
+    "burrows_delta_sources": "broadcast top-30 token list x sources (bounded by TOPK)",
     "sorted_neighborhood_pairs": "rank band theta join (width 3) by contract",
 }
 
