@@ -274,3 +274,87 @@ def test_lifecycle_snapshot_consistency(spark):
     for r in rows:
         assert r.n_lines >= 1
         assert r.ship_span_days >= 0
+
+
+def test_content_signature_partition_invariant(spark):
+    """The signature must not change under ANY repartitioning — the
+    property that makes it a dataset identity rather than a layout
+    artifact."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sigs = set()
+    for parts in (1, 7, 32):
+        [row] = (
+            docs.repartition(parts)
+            .agg((F.sum(h) % (1 << 48)).alias("sig"))
+            .collect()
+        )
+        sigs.add(row.sig)
+    assert len(sigs) == 1
+    [q] = _Q["corpus_content_signature"].fn(spark, SF_SMALL).collect()
+    assert q.content_sig == sigs.pop()
+
+
+def test_balanced_downsample_caps(spark):
+    rows = _Q["class_balanced_downsample"].fn(spark, SF_SMALL).collect()
+    min_class = min(r.n_lang for r in rows)
+    for r in rows:
+        assert r.n_kept == min(r.n_lang, 2 * min_class)
+
+
+def test_negative_sampling_slots_sum(spark):
+    rows = _Q["negative_sampling_table"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_slots for r in rows) == 10000
+    # smoothing: the most common token's slot share must be BELOW its
+    # raw frequency share (0.75 flattens), the rarest's above
+    tot_n = sum(r.n for r in rows)
+    top = max(rows, key=lambda r: r.n)
+    assert top.n_slots / 10000 < top.n / tot_n
+
+
+def test_tv_drift_bounds(spark):
+    for r in _Q["weekly_type_mix_tv_drift"].fn(spark, SF_SMALL).collect():
+        assert 0.0 <= r.tv_max_r <= 1.0
+
+
+def test_burrows_delta_nonnegative(spark):
+    rows = _Q["burrows_delta_sources"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_r >= 0.0
+        assert r.source_a < r.source_b
+
+
+def test_haar_level1_reconstruction(spark):
+    """(a+d)/2 and (a-d)/2 must reconstruct the original pair — checked
+    against the daily sums recomputed independently."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    days = con.execute(
+        f"""SELECT CAST(ts AS DATE) d,
+                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+            FROM '{SF_SMALL}/events.parquet' GROUP BY d ORDER BY d"""
+    ).fetchall()
+    con.close()
+    vals = [v for _, v in days]
+    rows = [
+        r
+        for r in _Q["haar_wavelet_daily"].fn(spark, SF_SMALL).collect()
+        if r.level == 1
+    ]
+    for r in rows:
+        v1 = (r.approx + r.detail) // 2
+        v2 = (r.approx - r.detail) // 2
+        assert v1 == vals[2 * (r.pos - 1)]
+        assert v2 == vals[2 * (r.pos - 1) + 1]
