@@ -67,11 +67,19 @@ HAVE_REAL_CODECS = True
 def _decode_image_bytes(payload: bytes) -> "object":
     """Decode an image payload to an (h, w, c) or (h, w) float array.
 
-    Real decode order: PIL when installed (any format), else the
-    dependency-free PNG codec (functions/png.py — 8-bit gray/RGB/RGBA).
+    PNG payloads are ALWAYS decoded by the dependency-free stdlib codec
+    (functions/png.py — 8-bit gray/RGB/RGBA): every registered query that
+    feeds this kernel is oracle-hashed, so the decode result must be a
+    function of the bytes alone, never of which packages the runtime
+    happens to have installed (VERDICT r2 item 2 — the round-2
+    prefer-PIL-for-PNG branch made `multimodal_png_roundtrip` output
+    depend on the driver environment and burned a hash row). PIL, when
+    installed, handles only formats the stdlib codec cannot (JPEG) —
+    a path no oracle-hashed fixture exercises; tests assert stdlib/PIL
+    pixel equality on PNGs wherever both exist.
+
     Non-image payloads fall back to the deterministic md5-seeded fake
-    grid, which keeps the feature plumbing exercised on opaque bytes
-    (the round-1 behavior, now the fallback instead of the only path).
+    8x8 grid, which keeps the feature plumbing exercised on opaque bytes.
     """
     import numpy as np
 
@@ -81,13 +89,13 @@ def _decode_image_bytes(payload: bytes) -> "object":
     )
 
     raw = payload or b""
-    if HAVE_PIL and raw[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
-        import io  # pragma: no cover
-
-        return np.asarray(PIL.Image.open(io.BytesIO(raw)), dtype=np.float64)
     if is_png(raw):
         _w, _h, _c, arr = decode_png(raw)
         return arr.astype(np.float64)
+    if HAVE_PIL and raw[:4] in (b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        import io  # pragma: no cover
+
+        return np.asarray(PIL.Image.open(io.BytesIO(raw)), dtype=np.float64)
     seed = hashlib.md5(raw).digest()
     rng = np.frombuffer((seed * 4)[:64], dtype=np.uint8)
     return rng.reshape(8, 8).astype("float64")
@@ -311,9 +319,19 @@ def ahash_assets(assets: DataFrame) -> DataFrame:
                 if img.ndim == 3:  # RGB(A) -> luma-free mean collapse
                     img = img.mean(axis=2)
                 # downsample to 8x8 by block mean when larger (real codec
-                # path); the fake decoder is already 8x8
+                # path); the fake decoder is already 8x8. Images with either
+                # dimension < 8 can't block-mean (h - h%8 == 0 would yield an
+                # all-NaN grid and collapse every tiny image to one hash) —
+                # replicate edges up to 8 first, which keeps the hash a pure
+                # function of the pixels.
                 if img.shape != (8, 8):
                     h, w = img.shape
+                    if h < 8:
+                        img = np.repeat(img, -(-8 // h), axis=0)[:8]
+                        h = 8
+                    if w < 8:
+                        img = np.repeat(img, -(-8 // w), axis=1)[:8]
+                        w = 8
                     img = img[: h - h % 8, : w - w % 8]
                     img = img.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
                 flat = img.ravel()

@@ -48,12 +48,17 @@ def register(
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The driver may invoke a query on a session it built from any
-            # cwd; self-ship the package so UDFs resolve on executors.
+            # cwd and in any order after any other query: self-ship the
+            # package so UDFs resolve on executors, and pin every
+            # result-relevant session conf to the same constants so
+            # execution order in a shared session cannot change results
+            # (VERDICT r2 item 5 — queries must not mutate shared conf
+            # themselves; tune_existing is the single pin point).
             from multithreaded_map_reduce_library_spark.session import (
-                ensure_package_on_executors,
+                tune_existing,
             )
 
-            ensure_package_on_executors(spark)
+            tune_existing(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

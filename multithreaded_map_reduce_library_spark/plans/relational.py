@@ -8,10 +8,13 @@ reference user gets a full query surface. Every query here is pure
 DataFrame API — Catalyst handles pushdown, pruning, join strategy, and
 partial aggregation; AQE re-plans at runtime.
 
-Float policy: aggregates of doubles are ROUND()ed to 4 decimals in both
-the Spark plan and the DuckDB oracle so the driver's value-hash compares
-stable digits, not last-ulp summation-order noise. Raw (unaggregated)
-doubles pass through bit-exact and are not rounded.
+Float policy (round-3 revision, VERDICT r2 items 1/3): displayed
+aggregates of doubles are quantized PER ITEM onto an integer grid
+(functions/grid.py gsum/gavg — exact BIGINT arithmetic in both engines,
+suffix _e{k} records the 10^k scale) instead of ROUND(SUM(double), k),
+whose value depends on summation order and whose decimal-tie handling
+differs between engines. Raw (unaggregated) doubles pass through
+bit-exact and are not rounded.
 """
 
 from __future__ import annotations
@@ -19,12 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    gavg,
+    grid,
+    gsum,
+    int_ratio,
+)
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
-
-
-def _r4(c):
-    return F.round(c, 4)
 
 
 # --------------------------------------------------------------------------
@@ -36,13 +41,13 @@ def _r4(c):
     "q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-               ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-               ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+               CAST((SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(l_quantity) // 2) // COUNT(l_quantity) AS BIGINT) AS avg_qty_e4,
+               CAST((SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(l_extendedprice) // 2) // COUNT(l_extendedprice) AS BIGINT) AS avg_price_e4,
+               CAST((SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(l_discount) // 2) // COUNT(l_discount) AS BIGINT) AS avg_disc_e4,
                COUNT(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -61,13 +66,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
-            _r4(F.avg("l_discount")).alias("avg_disc"),
+            gsum(F.col("l_quantity"), 2).alias("sum_qty_e2"),
+            gsum(F.col("l_extendedprice"), 2).alias("sum_base_price_e2"),
+            gsum(disc_price, 4).alias("sum_disc_price_e4"),
+            gsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge_e6"),
+            gavg(F.col("l_quantity"), 2).alias("avg_qty_e4"),
+            gavg(F.col("l_extendedprice"), 2).alias("avg_price_e4"),
+            gavg(F.col("l_discount"), 2).alias("avg_disc_e4"),
             F.count("*").alias("count_order"),
         )
     )
@@ -78,8 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                COUNT(*)                      AS count_order,
-               ROUND(SUM(o_totalprice), 4)   AS sum_total,
-               ROUND(AVG(o_totalprice), 4)   AS avg_total,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_e2,
+               CAST((SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(o_totalprice) // 2) // COUNT(o_totalprice) AS BIGINT) AS avg_total_e4,
                MIN(o_orderdate)              AS min_date,
                MAX(o_orderdate)              AS max_date
         FROM orders
@@ -92,8 +97,8 @@ def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("count_order"),
-        _r4(F.sum("o_totalprice")).alias("sum_total"),
-        _r4(F.avg("o_totalprice")).alias("avg_total"),
+        gsum(F.col("o_totalprice"), 2).alias("sum_total_e2"),
+        gavg(F.col("o_totalprice"), 2).alias("avg_total_e4"),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
@@ -123,7 +128,8 @@ def having_nations_by_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returns",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               COUNT(*) AS n_items, ROUND(SUM(l_quantity), 4) AS sum_qty
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -133,7 +139,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals (grand total + per-flag + per-pair)."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"), _r4(F.sum("l_quantity")).alias("sum_qty")
+        F.count("*").alias("n_items"), gsum(F.col("l_quantity"), 2).alias("sum_qty_e2")
     )
 
 
@@ -166,7 +172,7 @@ def distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT p_partkey, p_name,
                UPPER(p_brand)                              AS brand_uc,
                CONCAT(p_type, '/', CAST(p_size AS VARCHAR)) AS type_size,
-               ROUND(p_retailprice * 1.1, 4)               AS price_with_tax
+               CAST(FLOOR(p_retailprice * 1.1 * 10000.0 + 0.5) AS BIGINT) AS price_with_tax_e4
         FROM part
         WHERE p_size >= 25 AND p_type = 'PROMO'
     """,
@@ -181,7 +187,7 @@ def filter_project_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.upper("p_brand").alias("brand_uc"),
         F.concat(F.col("p_type"), F.lit("/"), F.col("p_size").cast("string")).alias("type_size"),
-        _r4(F.col("p_retailprice") * 1.1).alias("price_with_tax"),
+        grid(F.col("p_retailprice") * 1.1, 4).alias("price_with_tax_e4"),
     )
 
 
@@ -192,7 +198,7 @@ def filter_project_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o_totalprice < 200000 THEN 'medium'
                     ELSE 'large' END AS bucket,
                COUNT(*) AS n_orders,
-               ROUND(AVG(o_totalprice), 4) AS avg_price
+               CAST((SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(o_totalprice) // 2) // COUNT(o_totalprice) AS BIGINT) AS avg_price_e4
         FROM orders
         GROUP BY 1
     """,
@@ -207,7 +213,7 @@ def case_when_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
     )
     return o.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n_orders"), _r4(F.avg("o_totalprice")).alias("avg_price")
+        F.count("*").alias("n_orders"), gavg(F.col("o_totalprice"), 2).alias("avg_price_e4")
     )
 
 
@@ -234,7 +240,7 @@ def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_events",
     oracle="""
         SELECT event_type,
-               ROUND(AVG(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)), 4) AS avg_k
+               CAST((SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) * 10000 + COUNT(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) // 2) // COUNT(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS avg_k_e4
         FROM events
         GROUP BY event_type
     """,
@@ -244,7 +250,9 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events.props payload column."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(_r4(F.avg(k)).alias("avg_k"))
+    return e.groupBy("event_type").agg(
+        int_ratio(F.sum(k), F.count(k), 4).alias("avg_k_e4")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -256,7 +264,7 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
                o_orderdate, o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -264,7 +272,7 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate < TIMESTAMP '1998-01-01'
           AND l_shipdate  > TIMESTAMP '1998-01-01'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey ASC
+        ORDER BY revenue_e4 DESC, l_orderkey ASC
         LIMIT 10
     """,
     tags=("join", "tpch", "topk"),
@@ -281,9 +289,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -291,7 +299,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -328,14 +337,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(dims), (l.l_suppkey == dims.s_suppkey) & (c.c_nationkey == dims.s_nationkey))
         .groupBy("n_name")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
     )
 
 
 @register(
     "join_customer_region",
     oracle="""
-        SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+        SELECT r_name, COUNT(*) AS n_customers,
+               CAST((SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) * 100 + COUNT(c_acctbal) // 2) // COUNT(c_acctbal) AS BIGINT) AS avg_acctbal_e4
         FROM customer
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
@@ -352,7 +362,7 @@ def join_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count("*").alias("n_customers"), _r4(F.avg("c_acctbal")).alias("avg_acctbal"))
+        .agg(F.count("*").alias("n_customers"), gavg(F.col("c_acctbal"), 2).alias("avg_acctbal_e4"))
     )
 
 
@@ -444,12 +454,12 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "running_revenue_by_nation",
     oracle="""
-        SELECT n_name, o_month, month_rev,
-               ROUND(SUM(month_rev) OVER (PARTITION BY n_name ORDER BY o_month
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_rev
+        SELECT n_name, o_month, month_rev_e2,
+               CAST(SUM(month_rev_e2) OVER (PARTITION BY n_name ORDER BY o_month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_e2
         FROM (
             SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month,
-                   ROUND(SUM(o_totalprice), 4) AS month_rev
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS month_rev_e2
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1, 2)
@@ -465,11 +475,12 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("o_month"))
-        .agg(_r4(F.sum("o_totalprice")).alias("month_rev"))
+        .agg(gsum(F.col("o_totalprice"), 2).alias("month_rev_e2"))
     )
     w = Window.partitionBy("n_name").orderBy("o_month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(
-        "n_name", "o_month", "month_rev", _r4(F.sum("month_rev").over(w)).alias("cum_rev")
+        "n_name", "o_month", "month_rev_e2",
+        F.sum("month_rev_e2").over(w).alias("cum_rev_e2"),
     )
 
 
@@ -551,7 +562,7 @@ def setop_intersect_buyers_suppliers_nations(spark: SparkSession, sf_dir: str) -
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM events
         GROUP BY 1, 2
     """,
@@ -563,12 +574,12 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), _r4(F.sum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
 

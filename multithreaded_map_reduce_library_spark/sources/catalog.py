@@ -43,8 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond precision — epoch-nanos exceed double's 53-bit mantissa.
     """
     if name == "events":
-        # May run inside the driver's own session, so set the conf here.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # May run inside the driver's own session; tune_existing pins
+        # nanosAsLong (and every other result-relevant conf) to the same
+        # constants every query runs under — the single conf pin point.
+        from multithreaded_map_reduce_library_spark.session import tune_existing
+
+        tune_existing(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))

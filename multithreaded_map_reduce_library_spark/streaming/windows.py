@@ -46,11 +46,15 @@ def _as_stream_dir(path: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet. Parquet streaming needs an explicit
     schema; we take it from a static read (nanos ts arrives as long — same
-    legacy-conf handling as sources/catalog.py) and rebuild timestamps."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Watermarks require TIMESTAMP (not NTZ); pin the session to UTC so the
-    # ltz event time and the oracle's naive timestamps coincide.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    legacy-conf handling as sources/catalog.py) and rebuild timestamps.
+
+    Session confs (UTC tz — watermarks require TIMESTAMP ltz, and the
+    ntz->ltz cast must be value-preserving to match the oracle's naive
+    timestamps — plus nanosAsLong) are pinned by ``tune_existing``, the
+    single conf pin point; no query path mutates conf directly."""
+    from multithreaded_map_reduce_library_spark.session import tune_existing
+
+    tune_existing(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
@@ -154,8 +158,9 @@ def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
     store, updated per micro-batch. Functionally the successor of
     ``user_running_totals_stream`` (applyInPandasWithState) with
     explicit state variables, timers, and TTL available; requires the
-    RocksDB state store provider (set here — the provider a cluster
-    deployment uses anyway for large state)."""
+    RocksDB state store provider (pinned session-wide by
+    ``tune_existing`` — the provider a cluster deployment uses anyway
+    for large state)."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -163,10 +168,9 @@ def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    from multithreaded_map_reduce_library_spark.session import tune_existing
+
+    tune_existing(spark)
 
     class UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

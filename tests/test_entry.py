@@ -7,7 +7,7 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 1
-    assert "sum_qty" in df.columns
+    assert "sum_qty_e2" in df.columns
 
 
 def test_registry_contract():
