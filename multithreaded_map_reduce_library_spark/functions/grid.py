@@ -60,6 +60,29 @@ def duck_int_ratio(num: str, den: str, k: int = 6) -> str:
     return f"CAST((({num}) * {10 ** k} + ({den}) // 2) // ({den}) AS BIGINT)"
 
 
+def int_ratio_big(num: Column, den: Column, k: int = 6) -> Column:
+    """Overflow-safe :func:`int_ratio` for numerators near the BIGINT
+    ceiling: splits ``num = q*den + r`` first so the ``10^k`` scale only
+    multiplies the remainder (``r < den``), never ``num`` itself.
+    ``q*10^k + (r*10^k + den DIV 2) DIV den`` — identical result, works
+    whenever ``num`` itself fits BIGINT. Same nonneg/den>0 contract."""
+    scale = F.lit(10**k).cast("bigint")
+    d = den.cast("bigint")
+    nm = num.cast("bigint")
+    q = F.call_function("div", nm, d)
+    r = nm - q * d
+    half = F.call_function("div", d, F.lit(2).cast("bigint"))
+    return q * scale + F.call_function("div", r * scale + half, d)
+
+
+def duck_int_ratio_big(num: str, den: str, k: int = 6) -> str:
+    """DuckDB twin of :func:`int_ratio_big`."""
+    n, d, s = f"({num})", f"({den})", 10**k
+    return (
+        f"CAST(({n} // {d}) * {s} + (({n} % {d}) * {s} + {d} // 2) // {d} AS BIGINT)"
+    )
+
+
 def gsum(x: Column, k: int) -> Column:
     """Exact integer sum of a k-decimal column: quantize PER ITEM
     (``FLOOR(x*10^k + 0.5)`` — exact when x is a k-decimal value stored as

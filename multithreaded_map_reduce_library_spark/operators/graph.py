@@ -64,6 +64,8 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
             )
             .localCheckpoint()
         )
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
     return deg.join(ranks, "u").select(
-        F.col("u").alias("doc"), "deg", F.round("r", 6).alias("pagerank")
+        F.col("u").alias("doc"), "deg", grid(F.col("r"), 6).alias("pagerank_e6")
     )

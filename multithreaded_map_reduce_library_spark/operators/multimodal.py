@@ -344,3 +344,132 @@ def ahash_assets(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
 
     return assets.mapInPandas(batches, AHASH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio: WAV payloads (RIFF/PCM16) — fabricate, parse, frame energies
+# --------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 16_000
+WAV_FRAME = 16  # samples per analysis frame
+
+
+def embeddings_as_wav_assets(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Fabricate REAL RIFF/WAVE PCM16 payloads from embeddings: each
+    vector's 64 floats quantize to int16 samples (floor(x*32767+0.5),
+    clamped — exact IEEE ops, so an oracle can replay the samples from
+    the embedding directly), wrapped in a byte-correct 44-byte WAV
+    header. The audio twin of ``embeddings_as_png_assets``: the payload
+    is genuine (any WAV reader opens it) but fully determined by the
+    row, so the decode side is value-hashable cross-engine."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)) * 32767.0
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_wav(samples: pd.Series) -> pd.Series:
+        out = []
+        for s in samples:
+            pcm = np.asarray(list(s), dtype="<i2").tobytes()
+            n = len(pcm)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + n)
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE,
+                              WAV_SAMPLE_RATE * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", n)
+            )
+            out.append(hdr + pcm)
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col).alias("asset_id"), q.alias("_s")).select(
+        "asset_id", to_wav("_s").alias("payload")
+    )
+
+
+WAV_ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("energy", LongType(), True),
+    ]
+)
+
+
+def wav_frame_energy(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """REAL WAV decode + per-frame energy: parse the RIFF/fmt/data
+    chunks (header fields validated, not assumed), reinterpret the PCM16
+    payload, and emit one row per ``frame``-sample frame with the exact
+    integer energy Σs² — the standard VAD/loudness front-end feature.
+    Arrow-batched mapInPandas, the same 100 TB plan shape as the image
+    decode path: binary column in, skinny typed rows out, no driver.
+
+    Non-WAV payloads raise (fail loud — ADVICE r2 envelope discipline);
+    trailing samples short of a full frame are dropped (documented)."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, srs, ns, fidx, en = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"asset {asset_id}: not a RIFF/WAVE payload")
+                # walk chunks: fmt then data (robust to extra chunks)
+                pos, sr, bits, channels, data = 12, None, None, None, None
+                while pos + 8 <= len(raw):
+                    tag = raw[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                    if tag == b"fmt ":
+                        fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if fmt != 1:
+                            raise NotImplementedError(f"WAV fmt {fmt}: PCM only")
+                    elif tag == b"data":
+                        data = body
+                if sr is None or data is None:
+                    raise ValueError(f"asset {asset_id}: missing fmt/data chunk")
+                if bits != 16 or channels != 1:
+                    raise NotImplementedError(
+                        f"WAV bits={bits} channels={channels}: PCM16 mono only"
+                    )
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n_frames = len(s) // frame
+                for f in range(n_frames):
+                    w = s[f * frame : (f + 1) * frame]
+                    ids.append(asset_id)
+                    srs.append(sr)
+                    ns.append(len(s))
+                    fidx.append(f)
+                    en.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "frame_idx": fidx,
+                    "energy": en,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, WAV_ENERGY_SCHEMA)

@@ -11,11 +11,12 @@ filters, deterministic sampling is how a 100 TB corpus is subsetted
 reproducibly, and centroid assignment is the building block of IVF
 indexing and embedding clustering.
 
-Cross-engine numeric discipline: wherever possible results are exact
-integers (counts, microsecond sums) or ratios of exact integers rounded
-once — those hash identically on any engine. Double aggregates (means of
-~100 values) are rounded to 4dp, far above double's error at these
-cardinalities.
+Cross-engine numeric discipline (round-3 grid rule, functions/grid.py):
+every displayed value is an exact integer — counts, microsecond sums,
+per-item-quantized value sums (_e2 cents), and half-up integer ratios
+(_e4/_e6 scales). Derived doubles (z-scores, cosines) are computed from
+exact integer inputs with the same IEEE expression in both engines, then
+quantized per item before any aggregate display.
 """
 
 from __future__ import annotations
@@ -23,6 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    grid,
+    gsum,
+    int_ratio,
+    int_ratio_big,
+)
 from multithreaded_map_reduce_library_spark.functions.vectors import cosine
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.plans.similarity_q import _dot
@@ -32,16 +39,22 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 @register(
     "events_zscore_anomalies",
     oracle="""
-        WITH s AS (
-            SELECT event_type, value,
-                   AVG(value)         OVER (PARTITION BY user_id) AS mu,
-                   STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
-            FROM events
-        )
+        WITH q AS (SELECT event_type, user_id,
+                          CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        s AS (SELECT event_type, v,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     CAST(SUM(v)   OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+                     CAST(SUM(v*v) OVER (PARTITION BY user_id) AS BIGINT) AS s2
+              FROM q),
+        z AS (SELECT event_type,
+                     ABS(CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS zv
+              FROM s WHERE n > 1 AND n*s2 - s1*s1 > 0)
         SELECT event_type, COUNT(*) AS n_anomalies,
-               ROUND(AVG(ABS((value - mu) / sd)), 4) AS avg_abs_z
-        FROM s
-        WHERE sd > 0 AND ABS((value - mu) / sd) > 2
+               CAST((SUM(CAST(FLOOR(zv * 10000.0 + 0.5) AS BIGINT)) + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS avg_abs_z_e4
+        FROM z WHERE zv > 2
         GROUP BY event_type
     """,
     tags=("events", "window", "anomaly", "stats"),
@@ -52,22 +65,38 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample stddev, |z| > 2 flags outliers, counted per event type. At
     100 TB the user_id shuffle is the only data movement; the per-user
     moments could equally come from a pre-aggregated broadcast profile
-    table when users << events."""
+    table when users << events.
+
+    Determinism: the per-user moments are derived from EXACT integer-cent
+    sums (n, Σv, Σv²) — stddev_samp = sqrt((nΣv²-(Σv)²)/(n(n-1))) — so
+    mu/sd/z are the same IEEE doubles in both engines (a raw double
+    AVG/STDDEV's low bits depend on summation order); z is quantized per
+    item before the displayed average (grid rule)."""
     e = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
     w = Window.partitionBy("user_id")
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    d = e.select(
+        "event_type",
+        v.alias("v"),
+        F.count("*").over(w).alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.abs(
+        F.col("v").cast("double") - F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(
+        var_num.cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    z_e4 = F.floor(z * 10000.0 + F.lit(0.5)).cast("bigint")
     return (
-        e.select(
-            "event_type",
-            "value",
-            F.avg("value").over(w).alias("mu"),
-            F.stddev_samp("value").over(w).alias("sd"),
-        )
-        .filter((F.col("sd") > 0) & (z > 2))
+        d.filter((F.col("n") > 1) & (var_num > 0))
+        .select("event_type", z.alias("zv"), z_e4.alias("z_e4"))
+        .filter(F.col("zv") > 2)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_anomalies"),
-            F.round(F.avg(z), 4).alias("avg_abs_z"),
+            int_ratio(F.sum("z_e4"), F.count("*"), 0).alias("avg_abs_z_e4"),
         )
     )
 
@@ -83,7 +112,11 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT user_id,
-               ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa_value,
+               CAST((SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * dt_us)
+                       // SUM(dt_us)) * 100
+                    + ((SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * dt_us)
+                        % SUM(dt_us)) * 100 + SUM(dt_us) // 2) // SUM(dt_us)
+                    AS BIGINT) AS twa_value_e4,
                COUNT(*) AS n_intervals
         FROM d
         WHERE dt_us IS NOT NULL AND dt_us > 0
@@ -94,23 +127,26 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of ``value`` per user (TimescaleDB-style
     ``time_weight``): each reading is held until the next one, weighted
-    by its holding duration. Durations stay in exact integer
-    microseconds on both engines so only the final weighted mean is
-    floating-point. One sort-window on user_id, then the group-by reuses
-    the same partitioning."""
+    by its holding duration. Durations are exact integer microseconds
+    and values are quantized to exact integer cents per item, so the
+    weighted sum is pure BIGINT arithmetic in both engines and the
+    displayed mean is an exact half-up integer ratio (grid rule). One
+    sort-window on user_id, then the group-by reuses the same
+    partitioning."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dt_us = F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - F.unix_micros(
         F.col("ts").cast("timestamp")
     )
+    v_e2 = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
     return (
-        e.select("user_id", "value", dt_us.alias("dt_us"))
+        e.select("user_id", v_e2.alias("v_e2"), dt_us.alias("dt_us"))
         .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias(
-                "twa_value"
-            ),
+            int_ratio_big(
+                F.sum(F.col("v_e2") * F.col("dt_us")), F.sum("dt_us"), 2
+            ).alias("twa_value_e4"),
             F.count("*").alias("n_intervals"),
         )
     )
@@ -187,7 +223,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM events
         WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
         GROUP BY event_type
@@ -209,7 +245,7 @@ def deterministic_sample_event_stats(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            gsum(F.col("value"), 2).alias("sum_value_e2"),
         )
     )
 
@@ -230,9 +266,9 @@ def deterministic_sample_event_stats(spark: SparkSession, sf_dir: str) -> DataFr
         bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
         pb AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY doc_id)
         SELECT pt.doc_id, n_tokens,
-               ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS type_token_ratio,
-               ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_frac,
-               ROUND(CAST(top_bg AS DOUBLE) / (n_tokens - 1), 4) AS top_bigram_frac
+               CAST((n_distinct * 10000 + n_tokens // 2) // n_tokens AS BIGINT) AS type_token_ratio_e4,
+               CAST((top_tok * 10000 + n_tokens // 2) // n_tokens AS BIGINT) AS top_token_frac_e4,
+               CAST((top_bg * 10000 + (n_tokens - 1) // 2) // (n_tokens - 1) AS BIGINT) AS top_bigram_frac_e4
         FROM pt JOIN pb ON pt.doc_id = pb.doc_id
     """,
     tags=("documents", "quality", "repetition", "text-analysis"),
@@ -242,8 +278,9 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per document: type-token ratio,
     most-frequent-token share, and most-frequent-bigram share — the
     standard signals for machine-generated / boilerplate text in a
-    pre-training corpus. Every ratio is a quotient of exact integer
-    counts rounded once, so the cross-engine hash cannot drift.
+    pre-training corpus. Every ratio is an exact integer half-up
+    quotient of exact integer counts (grid rule, _e4 scale), so the
+    cross-engine hash cannot drift.
 
     Per-document metrics need no data movement, so this is a pure map:
     the mode frequency is the longest run in the sorted token array
@@ -284,15 +321,15 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct("toks")).cast("double") / n_tokens, 4
-        ).alias("type_token_ratio"),
-        F.round(
-            max_run(F.array_sort("toks")).cast("double") / n_tokens, 4
-        ).alias("top_token_frac"),
-        F.round(
-            max_run(F.array_sort(bigrams)).cast("double") / (n_tokens - 1), 4
-        ).alias("top_bigram_frac"),
+        int_ratio(
+            F.size(F.array_distinct("toks")), n_tokens, 4
+        ).alias("type_token_ratio_e4"),
+        int_ratio(
+            max_run(F.array_sort("toks")), n_tokens, 4
+        ).alias("top_token_frac_e4"),
+        int_ratio(
+            max_run(F.array_sort(bigrams)), n_tokens - 1, 4
+        ).alias("top_bigram_frac_e4"),
     )
 
 
@@ -313,9 +350,10 @@ _N_CENTROIDS = 4
                                           ORDER BY sim DESC, c_id ASC) AS rn
                 FROM scored)
         SELECT c_id, COUNT(*) AS n_assigned,
-               ROUND(MIN(sim), 6) AS min_sim,
-               ROUND(MAX(sim), 6) AS max_sim,
-               ROUND(AVG(sim), 4) AS avg_sim
+               CAST(FLOOR(MIN(sim) * 1000000.0 + 0.5) AS BIGINT) AS min_sim_e6,
+               CAST(FLOOR(MAX(sim) * 1000000.0 + 0.5) AS BIGINT) AS max_sim_e6,
+               CAST((SUM(CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT)) + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS avg_sim_e6
         FROM asg WHERE rn = 1 GROUP BY c_id
     """,
     tags=("similarity", "clustering", "centroid"),
@@ -348,9 +386,10 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = best.select(
         "vec_id", (-F.col("b.nc")).alias("c_id"), F.col("b.sim").alias("sim")
     )
+    sim_e6 = F.floor(F.col("sim") * 1000000.0 + F.lit(0.5)).cast("bigint")
     return asg.groupBy("c_id").agg(
         F.count("*").alias("n_assigned"),
-        F.round(F.min("sim"), 6).alias("min_sim"),
-        F.round(F.max("sim"), 6).alias("max_sim"),
-        F.round(F.avg("sim"), 4).alias("avg_sim"),
+        grid(F.min("sim"), 6).alias("min_sim_e6"),
+        grid(F.max("sim"), 6).alias("max_sim_e6"),
+        int_ratio(F.sum(sim_e6), F.count("*"), 0).alias("avg_sim_e6"),
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -131,7 +132,7 @@ def sql_recursive_user_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM q)
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_kept,
-               ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS trimmed_mean
+               CAST((CAST(SUM(v) AS BIGINT) * 100 + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS trimmed_mean_e6
         FROM r
         WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY event_type
@@ -156,12 +157,16 @@ def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # functionType passed explicitly: this module uses postponed annotation
     # evaluation, which defeats pandas_udf's signature-based inference.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def trimmed_mean(v):
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_e6(v):
         s = v.sort_values().to_numpy()
         k = len(s) // 10
         kept = s[k : len(s) - k]
-        return float(kept.sum()) / len(kept) / 10000.0
+        # exact integer half-up mean on the e6 grid (grid rule): values
+        # are e4 ints, so *100 scales the mean to e6.
+        tot = int(kept.sum()) * 100
+        n = len(kept)
+        return (tot + n // 2) // n
 
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
     def kept_count(v):
@@ -172,5 +177,5 @@ def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("event_type").agg(
         kept_count("v").alias("n_kept"),
-        F.round(trimmed_mean("v"), 6).alias("trimmed_mean"),
+        trimmed_mean_e6("v").alias("trimmed_mean_e6"),
     )

@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    gavg,
+    gsum,
+    int_ratio,
+)
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -98,9 +103,9 @@ _MIX_BUDGET = 20_000  # total token budget of the target mixture
                a.avail_tokens,
                LEAST(a.avail_tokens, CAST(w.wgt * {_MIX_BUDGET} AS BIGINT))
                    AS alloc_tokens,
-               ROUND(LEAST(a.avail_tokens,
-                           CAST(w.wgt * {_MIX_BUDGET} AS BIGINT))
-                     / CAST(a.avail_tokens AS DOUBLE), 4) AS epochs
+               CAST((LEAST(a.avail_tokens,
+                           CAST(w.wgt * {_MIX_BUDGET} AS BIGINT)) * 10000
+                     + a.avail_tokens // 2) // a.avail_tokens AS BIGINT) AS epochs_e4
         FROM avail a JOIN w USING (lang)
     """,
     tags=("corpus", "mixing", "documents"),
@@ -130,7 +135,7 @@ def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wgt",
         "avail_tokens",
         alloc.alias("alloc_tokens"),
-        F.round(alloc / F.col("avail_tokens").cast("double"), 4).alias("epochs"),
+        int_ratio(alloc, F.col("avail_tokens"), 4).alias("epochs_e4"),
     )
 
 
@@ -215,8 +220,10 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM q
         )
         SELECT label, COUNT(*) AS n_vecs,
-               ROUND(AVG(scale), 6) AS avg_scale,
-               ROUND(AVG(err_mean), 6) AS avg_abs_err
+               CAST((SUM(CAST(FLOOR(scale * 100000000.0 + 0.5) AS BIGINT))
+                     + (100 * COUNT(*)) // 2) // (100 * COUNT(*)) AS BIGINT) AS avg_scale_e6,
+               CAST((SUM(CAST(FLOOR(err_mean * 100000000.0 + 0.5) AS BIGINT))
+                     + (100 * COUNT(*)) // 2) // (100 * COUNT(*)) AS BIGINT) AS avg_abs_err_e6
         FROM m GROUP BY label
     """,
     tags=("similarity", "quantization", "embeddings"),
@@ -242,10 +249,15 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale.alias("scale"),
         (err_sum / F.size("embedding")).alias("err_mean"),
     )
+    # Per-vector doubles are deterministic (same fold order in both
+    # engines); quantize each at 1e-8 BEFORE averaging so the group
+    # aggregate is exact integer arithmetic (grid rule), displayed e6.
+    s_e8 = F.floor(F.col("scale") * 100000000.0 + F.lit(0.5)).cast("bigint")
+    e_e8 = F.floor(F.col("err_mean") * 100000000.0 + F.lit(0.5)).cast("bigint")
     return per_vec.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.avg("scale"), 6).alias("avg_scale"),
-        F.round(F.avg("err_mean"), 6).alias("avg_abs_err"),
+        int_ratio(F.sum(s_e8), F.lit(100) * F.count("*"), 0).alias("avg_scale_e6"),
+        int_ratio(F.sum(e_e8), F.lit(100) * F.count("*"), 0).alias("avg_abs_err_e6"),
     )
 
 
@@ -262,9 +274,10 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-               ROUND(AVG(e.value), 4) AS mean_raw,
-               ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 4)
-                   AS mean_winsorized
+               CAST((SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) * 100
+                     + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_raw_e4,
+               CAST((SUM(CAST(FLOOR(LEAST(GREATEST(e.value, p.p05), p.p95) * 10000.0 + 0.5) AS BIGINT))
+                     + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS mean_winsorized_e4
         FROM events e JOIN p USING (event_type)
         GROUP BY e.event_type
     """,
@@ -296,7 +309,11 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_clipped"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            int_ratio(gsum(F.col("value"), 2) * 100, F.count("*"), 0).alias(
+                "mean_raw_e4"
+            ),
+            int_ratio(gsum(clipped, 4), F.count("*"), 0).alias(
+                "mean_winsorized_e4"
+            ),
         )
     )

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.operators import dedup as D
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    grid,
+    int_ratio,
+)
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -56,7 +60,7 @@ def _recall_oracle() -> str:
                 FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id AND ann.n_id = ex.n_id
                 GROUP BY ex.q_id)
         SELECT q_id, n_matched,
-               ROUND(CAST(n_matched AS DOUBLE) / CAST({_K} AS DOUBLE), 6) AS recall
+               CAST((n_matched * 1000000 + {_K} // 2) // {_K} AS BIGINT) AS recall_e6
         FROM hit
     """
 
@@ -103,7 +107,7 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "q_id",
         "n_matched",
-        F.round(F.col("n_matched").cast("double") / F.lit(float(_K)), 6).alias("recall"),
+        int_ratio(F.col("n_matched"), F.lit(_K), 6).alias("recall_e6"),
     )
 
 
@@ -139,7 +143,10 @@ def _mh_est_oracle() -> str:
               JOIN sizes zb ON zb.doc_id = cand.id_b
               LEFT JOIN inter ON inter.id_a = cand.id_a AND inter.id_b = cand.id_b
         )
-        SELECT id_a, id_b, est, ROUND(exact_j, 6) AS exact_j, ROUND(ABS(est - exact_j), 6) AS err FROM x
+        SELECT id_a, id_b, est,
+               CAST(FLOOR(exact_j * 1000000.0 + 0.5) AS BIGINT) AS exact_j_e6,
+               CAST(FLOOR(ABS(est - exact_j) * 1000000.0 + 0.5) AS BIGINT) AS err_e6
+        FROM x
     """
 
 
@@ -212,8 +219,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         est.alias("est"),
-        F.round(exact_j, 6).alias("exact_j"),
-        F.round(F.abs(est - exact_j), 6).alias("err"),
+        grid(exact_j, 6).alias("exact_j_e6"),
+        grid(F.abs(est - exact_j), 6).alias("err_e6"),
     )
 
 
@@ -228,12 +235,13 @@ def _novelty_oracle() -> str:
         hs AS (SELECT doc_id, list_transform(s, x -> {_duck_h32("x")}) AS hv FROM sh),
         d AS (SELECT doc_id, unnest(list_distinct(hv)) AS shingle FROM hs),
         first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM d GROUP BY shingle)
-        SELECT d.doc_id, COUNT(*) AS n_shingles,
-               SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel,
-               ROUND(CAST(SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-                   / COUNT(*), 6) AS novelty
-        FROM d JOIN first USING (shingle)
-        GROUP BY d.doc_id
+        SELECT doc_id, n_shingles, n_novel,
+               CAST((n_novel * 1000000 + n_shingles // 2) // n_shingles AS BIGINT)
+                   AS novelty_e6
+        FROM (SELECT d.doc_id, COUNT(*) AS n_shingles,
+                     SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel
+              FROM d JOIN first USING (shingle)
+              GROUP BY d.doc_id)
     """
 
 
@@ -255,9 +263,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     The first-seen table persists as state in production, making
     novelty an incremental per-batch score.
 
-    The displayed ratio is rounded to 6dp in BOTH the plan and the
-    oracle (like every sibling query's floats) so the driver's value
-    hash is byte-stable regardless of its float normalization."""
+    The displayed ratio is an exact integer half-up quotient (_e6
+    grid, functions/grid.py) in BOTH the plan and the oracle, so the
+    driver's value hash is byte-stable regardless of its float
+    normalization — the round-1 ROUND(double) form of this query burned
+    a driver row; its coverage twin burned again in round 2 before the
+    grid sweep."""
     from multithreaded_map_reduce_library_spark.plans.pipeline import (
         _shingle_hash_index,
     )
@@ -274,7 +285,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             novel.alias("n_novel"),
-            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            int_ratio(F.col("n_novel"), F.col("n_shingles"), 6).alias("novelty_e6"),
         )
     )
 
@@ -289,10 +305,10 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, week,
                CAST(s_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_value,
-               ROUND((CAST(s_e4 AS DOUBLE)
+               CAST(FLOOR((CAST(s_e4 AS DOUBLE)
                 - CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE))
-               / CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE),
-                   6) AS wow_growth
+               / CAST(lag(s_e4) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS wow_growth_e6
         FROM w
     """,
     tags=("timeseries", "growth", "window", "events"),
@@ -322,9 +338,9 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "week",
         (F.col("s_e4").cast("double") / F.lit(10000.0)).alias("sum_value"),
-        F.round(
+        grid(
             (F.col("s_e4").cast("double") - lag.cast("double")) / lag.cast("double"), 6
-        ).alias("wow_growth"),
+        ).alias("wow_growth_e6"),
     )
 
 
@@ -340,8 +356,8 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS rk0
               FROM x)
         SELECT vec_id,
-               ROUND(CAST(SUM(rk0) AS DOUBLE)
-                   / (CAST(64 AS DOUBLE) * (n_vecs - 1)), 6) AS mean_qnorm,
+               CAST((CAST(SUM(rk0) AS BIGINT) * 1000000 + (64 * (n_vecs - 1)) // 2)
+                    // (64 * (n_vecs - 1)) AS BIGINT) AS mean_qnorm_e6,
                MIN(rk0) AS min_rank0, MAX(rk0) AS max_rank0
         FROM r CROSS JOIN n
         GROUP BY vec_id, n_vecs
@@ -384,15 +400,13 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(n))
         .groupBy("vec_id", "n_vecs")
         .agg(
-            F.round(
-                F.sum("rk0").cast("double")
-                / (F.lit(64.0) * (F.col("n_vecs") - 1)),
-                6,
-            ).alias("mean_qnorm"),
+            int_ratio(
+                F.sum("rk0"), F.lit(64) * (F.col("n_vecs") - 1), 6
+            ).alias("mean_qnorm_e6"),
             F.min("rk0").alias("min_rank0"),
             F.max("rk0").alias("max_rank0"),
         )
-        .select("vec_id", "mean_qnorm", "min_rank0", "max_rank0")
+        .select("vec_id", "mean_qnorm_e6", "min_rank0", "max_rank0")
     )
 
 
@@ -512,15 +526,15 @@ def _keep_best_oracle() -> str:
         q AS ({_duck_quality_sql()}),
         allq AS (SELECT d.doc_id,
                         COALESCE(comp.cluster, d.doc_id) AS cluster,
-                        q.quality
+                        q.quality_e4
                  FROM documents d
                  LEFT JOIN comp ON comp.doc = d.doc_id
                  JOIN q ON q.doc_id = d.doc_id),
-        r AS (SELECT doc_id, cluster, quality,
+        r AS (SELECT doc_id, cluster, quality_e4,
                      ROW_NUMBER() OVER (PARTITION BY cluster
-                                        ORDER BY quality DESC, doc_id) AS rk
+                                        ORDER BY quality_e4 DESC, doc_id) AS rk
               FROM allq)
-        SELECT doc_id, cluster, quality, rk = 1 AS keep FROM r
+        SELECT doc_id, cluster, quality_e4, rk = 1 AS keep FROM r
     """
 
 
@@ -552,21 +566,21 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
     comp = D.connected_components(cand)
     q = docs.select(
-        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+        "doc_id", grid(T.quality_score("text"), 4).alias("quality_e4")
     )
     allq = (
         q.join(comp, q.doc_id == comp.doc, "left")
         .select(
             "doc_id",
             F.coalesce("cluster", "doc_id").alias("cluster"),
-            "quality",
+            "quality_e4",
         )
     )
     rk = F.row_number().over(
-        Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+        Window.partitionBy("cluster").orderBy(F.col("quality_e4").desc(), "doc_id")
     )
     return allq.select(
-        "doc_id", "cluster", "quality", (rk == 1).alias("keep")
+        "doc_id", "cluster", "quality_e4", (rk == 1).alias("keep")
     )
 
 
@@ -632,19 +646,19 @@ def _recall_cmp_oracle() -> str:
                             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
                      FROM s2) WHERE rk <= {_K})
         SELECT 'lsh_p8' AS method, COUNT(*) AS n_hits,
-               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6) AS recall
+               CAST((COUNT(*) * 1000000 + {denom} // 2) // {denom} AS BIGINT) AS recall_e6
         FROM ex JOIN ann_lsh USING (q_id, n_id)
         UNION ALL
         SELECT 'lsh_multiprobe', COUNT(*),
-               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+               CAST((COUNT(*) * 1000000 + {denom} // 2) // {denom} AS BIGINT)
         FROM ex JOIN ann_mp USING (q_id, n_id)
         UNION ALL
         SELECT 'ivf_nprobe1', COUNT(*),
-               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+               CAST((COUNT(*) * 1000000 + {denom} // 2) // {denom} AS BIGINT)
         FROM ex JOIN ann_ivf1 USING (q_id, n_id)
         UNION ALL
         SELECT 'ivf_nprobe2', COUNT(*),
-               ROUND(CAST(COUNT(*) AS DOUBLE) / {denom}, 6)
+               CAST((COUNT(*) * 1000000 + {denom} // 2) // {denom} AS BIGINT)
         FROM ex JOIN ann_ivf2 USING (q_id, n_id)
     """
 
@@ -690,7 +704,7 @@ def ann_recall_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, stride=_IVF_STRIDE, k=_K, nprobe=2, num_queries=_NQ
         ),
     }
-    denom = float(_NQ * _K)
+    denom = _NQ * _K
     parts = []
     for name, ann in methods.items():
         hits = exact.join(ann.select("q_id", "n_id"), ["q_id", "n_id"])
@@ -698,7 +712,7 @@ def ann_recall_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             hits.agg(F.count("*").alias("n_hits")).select(
                 F.lit(name).alias("method"),
                 "n_hits",
-                F.round(F.col("n_hits").cast("double") / denom, 6).alias("recall"),
+                int_ratio(F.col("n_hits"), F.lit(denom), 6).alias("recall_e6"),
             )
         )
     out = parts[0]

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, gsum
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -23,7 +24,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM events, unnest([0, 1, 2, 3]) AS t(i)
         )
         SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
-               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+               COUNT(*) AS n_events, CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM w
         GROUP BY 1, 2
     """,
@@ -37,12 +38,12 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
 
@@ -125,8 +126,8 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(floor(o_totalprice / 25000) AS INTEGER) + 1
                     END AS INTEGER) AS bucket,
                COUNT(*) AS n_orders,
-               ROUND(MIN(o_totalprice), 4) AS lo,
-               ROUND(MAX(o_totalprice), 4) AS hi
+               CAST(FLOOR(MIN(o_totalprice) * 10000.0 + 0.5) AS BIGINT) AS lo_e4,
+               CAST(FLOOR(MAX(o_totalprice) * 10000.0 + 0.5) AS BIGINT) AS hi_e4
         FROM orders
         GROUP BY 1
     """,
@@ -144,8 +145,8 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.min("o_totalprice"), 4).alias("lo"),
-            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            grid(F.min("o_totalprice"), 4).alias("lo_e4"),
+            grid(F.max("o_totalprice"), 4).alias("hi_e4"),
         )
     )
 
@@ -168,7 +169,7 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(ts) AS TIMESTAMP) AS session_start,
                CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM s
         GROUP BY user_id, sess_id
     """,
@@ -184,12 +185,12 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
         .select(
             "user_id",
             F.col("w.start").cast("timestamp_ntz").alias("session_start"),
             F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )

@@ -20,6 +20,7 @@ from multithreaded_map_reduce_library_spark.operators.multimodal import (
     documents_as_assets,
     extract_features,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid, gsum, int_ratio
 from multithreaded_map_reduce_library_spark.functions.text import tokens
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
@@ -491,9 +492,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '{T.BPE_ISH_RE}')) AS BIGINT) AS n_subwords,
-               ROUND(CASE WHEN len({_TOKS}) > 0
-                     THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS})
-                     ELSE 0.0 END, 4) AS avg_token_len
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST((length(replace(text, ' ', '')) * 10000 + len({_TOKS}) // 2)
+                              // len({_TOKS}) AS BIGINT)
+                    ELSE 0 END AS avg_token_len_e4
         FROM documents
     """,
     tags=("text", "tokens"),
@@ -502,14 +504,15 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, BPE-ish subword count, mean token length."""
     docs = load_table(spark, sf_dir, "documents")
     n_toks = T.whitespace_token_count("text")
-    avg_len = F.when(
-        n_toks > 0, F.length(F.regexp_replace("text", " ", "")).cast("double") / n_toks
-    ).otherwise(0.0)
+    avg_len_e4 = F.when(
+        n_toks > 0,
+        int_ratio(F.length(F.regexp_replace("text", " ", "")), n_toks, 4),
+    ).otherwise(F.lit(0).cast("bigint"))
     return docs.select(
         "doc_id",
         n_toks.cast("bigint").alias("n_tokens"),
         T.regex_token_count("text").cast("bigint").alias("n_subwords"),
-        F.round(avg_len, 4).alias("avg_token_len"),
+        avg_len_e4.alias("avg_token_len_e4"),
     )
 
 
@@ -545,7 +548,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_quality_sql() -> str:
     sw_total = " + ".join(f"({_duck_stopword_count(lang)})" for lang in T.LANG_STOPWORDS)
     return f"""
-        SELECT doc_id, ROUND(
+        SELECT doc_id, CAST(FLOOR((
             (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 0.25 ELSE 0.0 END)
           + (CASE WHEN len({_TOKS}) > 0
                   AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) >= 3
@@ -556,7 +559,7 @@ def _duck_quality_sql() -> str:
           + 0.25 * (1 - least(CASE WHEN length(text) > 0
                     THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
                          / length(text) ELSE 0.0 END * 5, 1.0))
-        , 4) AS quality
+        ) * 10000.0 + 0.5) AS BIGINT) AS quality_e4
         FROM documents
     """
 
@@ -566,7 +569,9 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite [0,1] quality score from cheap columnar features
     (length band, token-length band, stopword ratio, symbol purity)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(T.quality_score("text"), 4).alias("quality"))
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
+    return docs.select("doc_id", grid(T.quality_score("text"), 4).alias("quality_e4"))
 
 
 _FP_N = 8
@@ -603,7 +608,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT COUNT(DISTINCT doc_id) AS total FROM t)
         SELECT tf.doc_id, tf.term, tf.f AS tf,
                CAST(df.d AS BIGINT) AS df,
-               ROUND(tf.f * ln(CAST(n.total AS DOUBLE) / df.d), 4) AS tfidf
+               CAST(FLOOR(tf.f * ln(CAST(n.total AS DOUBLE) / df.d) * 10000.0 + 0.5)
+                    AS BIGINT) AS tfidf_e4
         FROM tf JOIN df USING (term) CROSS JOIN n
     """,
     tags=("text", "tfidf"),
@@ -612,9 +618,11 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over a 50-doc slice: term frequency x ln(N/df). One explode,
     two aggregations, one broadcast-sized join on term — at corpus scale
     the df table is the only shared state and it's a skinny (term, count)
-    relation. Values are reported rounded, unranked: cross-engine libm
-    ln() can differ in the last ulp, so rank cuts on tfidf would not be
-    portable, but 4-decimal values are."""
+    relation. Values are reported on the _e4 grid, unranked: cross-engine
+    libm ln() can differ in the last ulp, so rank cuts on tfidf would not
+    be portable; the half-up fixed-point display flips only if that ulp
+    straddles a grid boundary (~1e-12 probability, vs ROUND's additional
+    engine-dependent decimal-tie handling)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -628,9 +636,9 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            F.round(
+            grid(
                 F.col("tf") * F.log(F.col("total").cast("double") / F.col("df")), 4
-            ).alias("tfidf"),
+            ).alias("tfidf_e4"),
         )
     )
 
@@ -757,7 +765,7 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_user_running_totals",
     oracle="""
-        SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
@@ -782,7 +790,7 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         updates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "sum_value")
+        .select("user_id", "n_events", "sum_value_e2")
     )
 
 
@@ -866,7 +874,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(MIN(ts) AS TIMESTAMP) AS session_start,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM s
         GROUP BY user_id, sess_id
     """,
@@ -886,12 +894,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
         .select(
             "user_id",
             F.col("w.start").cast("timestamp_ntz").alias("session_start"),
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
     return run_stream_to_df(spark, agg, "complete")
@@ -904,7 +912,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN user_id % 3 = 1 THEN 'silver'
                     ELSE 'bronze' END AS tier,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM events
         GROUP BY 1
     """,
@@ -931,7 +939,7 @@ def stream_static_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.join(tiers, "user_id")
         .groupBy("tier")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
     )
     return run_stream_to_df(spark, agg, "complete")
 
@@ -1235,7 +1243,7 @@ def stream_doc_dedup_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
         FROM events
         GROUP BY 1, 2
     """,

@@ -44,9 +44,10 @@ _CONTAIN_T = 0.4
         inter AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, COUNT(*) AS i
                   FROM d da JOIN d db ON da.shingle = db.shingle AND da.doc_id < db.doc_id
                   GROUP BY 1, 2)
-        SELECT id_a, id_b, containment FROM (
+        SELECT id_a, id_b, containment_e4 FROM (
             SELECT id_a, id_b,
-                   ROUND(CAST(i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment,
+                   CAST((i * 10000 + least(sa.n, sb.n) // 2) // least(sa.n, sb.n)
+                        AS BIGINT) AS containment_e4,
                    CAST(i AS DOUBLE) / least(sa.n, sb.n) AS c_raw
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
         WHERE c_raw >= {_CONTAIN_T}
@@ -78,12 +79,18 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    from multithreaded_map_reduce_library_spark.functions.grid import int_ratio
+
     c_raw = F.col("i").cast("double") / F.least("na", "nb")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(c_raw >= _CONTAIN_T)
-        .select("id_a", "id_b", F.round(c_raw, 4).alias("containment"))
+        .select(
+            "id_a",
+            "id_b",
+            int_ratio(F.col("i"), F.least("na", "nb"), 4).alias("containment_e4"),
+        )
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.functions.text import tokens
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -41,8 +42,8 @@ _MAD_K = 6.0  # flag |x - median| > K * MAD
         )
         SELECT e.event_type,
                COUNT(*) AS n,
-               ROUND(ANY_VALUE(mad.m), 4) AS median_value,
-               ROUND(ANY_VALUE(mad.d), 4) AS mad_value,
+               CAST(FLOOR(ANY_VALUE(mad.m) * 10000.0 + 0.5) AS BIGINT) AS median_value_e4,
+               CAST(FLOOR(ANY_VALUE(mad.d) * 10000.0 + 0.5) AS BIGINT) AS mad_value_e4,
                SUM(CASE WHEN abs(e.value - mad.m) > {_MAD_K} * mad.d
                         THEN 1 ELSE 0 END) AS n_outliers
         FROM events e JOIN mad USING (event_type)
@@ -76,8 +77,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.any_value("m"), 4).alias("median_value"),
-            F.round(F.any_value("d"), 4).alias("mad_value"),
+            grid(F.any_value("m"), 4).alias("median_value_e4"),
+            grid(F.any_value("d"), 4).alias("mad_value_e4"),
             F.sum(
                 F.when(
                     F.abs(F.col("value") - F.col("m")) > _MAD_K * F.col("d"), 1

@@ -24,6 +24,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline13 import (
     lloyd_assignments,
     quantized_vectors,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -57,7 +58,7 @@ def _ivf_kmeans_oracle() -> str:
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                           ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM s)
-        SELECT q_id, n_id, cell, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, cell, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_TOP_K}
     """
     )
@@ -123,5 +124,5 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "n_id", "cell", "rank", F.round("sim", 6).alias("sim_r"))
+        .select("q_id", "n_id", "cell", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
     )

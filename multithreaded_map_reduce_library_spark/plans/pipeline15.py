@@ -24,6 +24,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline13 import (
     _KM_SCALE,
     quantized_vectors,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -250,7 +251,7 @@ def _duck_adc_oracle() -> str:
                         ORDER BY ad ASC, n_id ASC) AS BIGINT) AS rank
             FROM pairs
         )
-        SELECT q_id, n_id, rank, ROUND(ad, 6) AS ad_r
+        SELECT q_id, n_id, rank, CAST(FLOOR(ad * 1000000.0 + 0.5) AS BIGINT) AS ad_e6
         FROM r WHERE rank <= {_ADC_K}
     """
     )
@@ -310,7 +311,7 @@ def ann_adc_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _ADC_K)
-        .select("q_id", "n_id", "rank", F.round("ad", 6).alias("ad_r"))
+        .select("q_id", "n_id", "rank", grid(F.col("ad"), 6).alias("ad_e6"))
     )
 
 
@@ -380,7 +381,7 @@ def _duck_ivfpq_oracle() -> str:
                         ORDER BY ad ASC, n_id ASC) AS BIGINT) AS rank
             FROM pairs
         )
-        SELECT q_id, n_id, cell, rank, ROUND(ad, 6) AS ad_r
+        SELECT q_id, n_id, cell, rank, CAST(FLOOR(ad * 1000000.0 + 0.5) AS BIGINT) AS ad_e6
         FROM r WHERE rank <= {_ADC_K}
     """
     )
@@ -453,7 +454,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _ADC_K)
-        .select("q_id", "n_id", "cell", "rank", F.round("ad", 6).alias("ad_r"))
+        .select("q_id", "n_id", "cell", "rank", grid(F.col("ad"), 6).alias("ad_e6"))
     )
 
 
@@ -488,7 +489,7 @@ def _duck_ivfpq_rerank_oracle() -> str:
                         ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
             FROM exact
         )
-        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM rr WHERE rank <= {_ADC_K}
     """
     )
@@ -588,5 +589,5 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= _ADC_K)
-        .select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+        .select("q_id", "n_id", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
     )

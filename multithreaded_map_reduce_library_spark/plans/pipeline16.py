@@ -118,12 +118,12 @@ _SWEEP_TS = (0.2, 0.4, 0.6, 0.8)
     "minhash_threshold_sweep",
     oracle=f"""
         WITH base AS ({_mh_est_oracle()}),
-        th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_TS)}]) AS t)
+        th(t, t_e6) AS (VALUES {", ".join(f"({t}, {int(round(t * 1e6))})" for t in _SWEEP_TS)})
         SELECT th.t,
                COUNT(*) AS n_pairs,
                SUM(CASE WHEN base.est >= th.t THEN 1 ELSE 0 END) AS n_est_pos,
-               SUM(CASE WHEN base.exact_j >= th.t THEN 1 ELSE 0 END) AS n_exact_pos,
-               SUM(CASE WHEN base.est >= th.t AND base.exact_j >= th.t
+               SUM(CASE WHEN base.exact_j_e6 >= th.t_e6 THEN 1 ELSE 0 END) AS n_exact_pos,
+               SUM(CASE WHEN base.est >= th.t AND base.exact_j_e6 >= th.t_e6
                         THEN 1 ELSE 0 END) AS n_true_pos
         FROM base CROSS JOIN th
         GROUP BY th.t
@@ -144,19 +144,26 @@ def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact binary rational (16ths) and exact_j is 6dp-rounded, so the
     >= comparisons against decimal literals are engine-invariant."""
     pairs = minhash_estimate_error(spark, sf_dir)
-    th = spark.createDataFrame([(t,) for t in _SWEEP_TS], "t double")
+    # thresholds carried BOTH as the display double and as the exact _e6
+    # integer (grid rule): exact_j is now an e6 BIGINT, and comparing it
+    # against t*1e6 computed in floating point would flip at the exact
+    # boundary (0.2*1e6 is not an integer double).
+    th = spark.createDataFrame(
+        [(t, int(round(t * 1e6))) for t in _SWEEP_TS], "t double, t_e6 long"
+    )
     return (
         pairs.crossJoin(F.broadcast(th))
         .groupBy("t")
         .agg(
             F.count("*").alias("n_pairs"),
             F.sum(F.when(F.col("est") >= F.col("t"), 1).otherwise(0)).alias("n_est_pos"),
-            F.sum(F.when(F.col("exact_j") >= F.col("t"), 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("exact_j_e6") >= F.col("t_e6"), 1).otherwise(0)).alias(
                 "n_exact_pos"
             ),
             F.sum(
                 F.when(
-                    (F.col("est") >= F.col("t")) & (F.col("exact_j") >= F.col("t")), 1
+                    (F.col("est") >= F.col("t")) & (F.col("exact_j_e6") >= F.col("t_e6")),
+                    1,
                 ).otherwise(0)
             ).alias("n_true_pos"),
         )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.functions.vectors import l2_norm
 from multithreaded_map_reduce_library_spark.operators.similarity import (
     _cos_pre,
@@ -108,7 +109,7 @@ def _rrf_oracle() -> str:
     return f"""
         WITH bm AS ({bm25}),
         bmr AS (SELECT doc_id,
-                       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                       CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT)
                            AS bm25_rank
                 FROM bm),
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -127,7 +128,8 @@ def _rrf_oracle() -> str:
                      + COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE) + cos_rank),
                                 CAST(0 AS DOUBLE)) AS rrf
               FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
-        SELECT doc_id, bm25_rank, cos_rank, ROUND(rrf, 6) AS rrf_r
+        SELECT doc_id, bm25_rank, cos_rank,
+               CAST(FLOOR(rrf * 1000000.0 + 0.5) AS BIGINT) AS rrf_e6
         FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM j)
         WHERE rn <= {_RRF_TOP}
     """
@@ -158,7 +160,9 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranker, contributing a single reciprocal term, per the paper.
     """
     bm = pipeline4.bm25_doc_scores(spark, sf_dir)
-    w_bm = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+    w_bm = F.row_number().over(
+        Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    )
     bmr = bm.select("doc_id", w_bm.cast("bigint").alias("bm25_rank"))
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -193,7 +197,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn", F.row_number().over(Window.orderBy(F.col("rrf").desc(), F.col("doc_id")))
         )
         .filter(F.col("rn") <= _RRF_TOP)
-        .select("doc_id", "bm25_rank", "cos_rank", F.round("rrf", 6).alias("rrf_r"))
+        .select("doc_id", "bm25_rank", "cos_rank", grid(F.col("rrf"), 6).alias("rrf_e6"))
     )
 
 
@@ -269,7 +273,7 @@ def _semdedup_oracle() -> str:
                      / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("b.v", "b.v")})) AS sim
               FROM cells a JOIN cells b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id)
-        SELECT cell, id_keep, id_drop, ROUND(sim, 6) AS sim_r
+        SELECT cell, id_keep, id_drop, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM p WHERE sim >= {_SEMDEDUP_T}
     """
 
@@ -314,5 +318,5 @@ def semdedup_within_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("cell", "id_keep", "id_drop", sim.alias("sim"))
         .filter(F.col("sim") >= _SEMDEDUP_T)
-        .select("cell", "id_keep", "id_drop", F.round("sim", 6).alias("sim_r"))
+        .select("cell", "id_keep", "id_drop", grid(F.col("sim"), 6).alias("sim_e6"))
     )

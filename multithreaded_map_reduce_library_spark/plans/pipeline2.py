@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -232,7 +233,7 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
         )
         SELECT lang, source, COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
-               ROUND(AVG(tok), 4) AS avg_tokens
+               CAST((SUM(tok) * 10000 + COUNT(tok) // 2) // COUNT(tok) AS BIGINT) AS avg_tokens_e4
         FROM deduped
         WHERE tok >= 20
         GROUP BY lang, source
@@ -261,7 +262,7 @@ def doc_clean_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("tok").alias("total_tokens"),
-            F.round(F.avg("tok"), 4).alias("avg_tokens"),
+            int_ratio(F.sum("tok"), F.count("tok"), 4).alias("avg_tokens_e4"),
         )
     )
 
@@ -305,7 +306,8 @@ def _duck_pagerank_sql(iters: int = 5) -> str:
         nn AS (SELECT COUNT(*) AS n FROM deg),
         r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / nn.n AS r FROM deg CROSS JOIN nn),
         {",".join(steps)}
-        SELECT deg.u AS doc, deg.deg, ROUND(r.r, 6) AS pagerank
+        SELECT deg.u AS doc, deg.deg,
+               CAST(FLOOR(r.r * 1000000.0 + 0.5) AS BIGINT) AS pagerank_e6
         FROM deg JOIN {prev} r ON r.u = deg.u
     """
 

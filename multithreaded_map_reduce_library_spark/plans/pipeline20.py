@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -52,9 +53,9 @@ _BETA = 0.5   # trend gain
         )
         SELECT user_id,
                CAST(n AS BIGINT) AS n_events,
-               ROUND(level, 6) AS level_r,
-               ROUND(trend, 6) AS trend_r,
-               ROUND(level + trend, 6) AS forecast_r
+               CAST(FLOOR(level * 1000000.0 + 0.5) AS BIGINT) AS level_e6,
+               CAST(FLOOR(trend * 1000000.0 + 0.5) AS BIGINT) AS trend_e6,
+               CAST(FLOOR((level + trend) * 1000000.0 + 0.5) AS BIGINT) AS forecast_e6
         FROM s WHERE idx = n
     """,
     tags=("timeseries", "forecast", "fold", "events"),
@@ -107,9 +108,9 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id",
         "n_events",
-        F.round(folded["level"], 6).alias("level_r"),
-        F.round(folded["trend"], 6).alias("trend_r"),
-        F.round(folded["level"] + folded["trend"], 6).alias("forecast_r"),
+        grid(folded["level"], 6).alias("level_e6"),
+        grid(folded["trend"], 6).alias("trend_e6"),
+        grid(folded["level"] + folded["trend"], 6).alias("forecast_e6"),
     )
 
 
@@ -168,7 +169,7 @@ def _pca_oracle() -> str:
                            ELSE CAST(1 AS DOUBLE) END AS sg
                FROM sel)
         SELECT vec_id, label,
-               ROUND(({proj}) / CAST(10000 AS DOUBLE), 6) AS proj_r
+               CAST(FLOOR(({proj}) / CAST(10000 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS proj_e6
         FROM q CROSS JOIN un
     """
 
@@ -204,5 +205,5 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = top_component_unit(emb, "embedding", _PCA_DIM)
     proj = projection_expr("embedding", unit, _PCA_DIM)
     return emb.select(
-        "vec_id", "label", F.round(proj, 6).alias("proj_r")
+        "vec_id", "label", grid(proj, 6).alias("proj_e6")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -63,8 +64,9 @@ def _hash48(col) -> F.Column:
             FROM (SELECT DISTINCT day, n_exact FROM r) r
             LEFT JOIN kth USING (day)
         )
-        SELECT day, n_exact, ROUND(est, 6) AS est_r,
-               ROUND(ABS(est - n_exact) / n_exact, 6) AS rel_err_r
+        SELECT day, n_exact,
+               CAST(FLOOR(est * 1000000.0 + 0.5) AS BIGINT) AS est_e6,
+               CAST(FLOOR(ABS(est - n_exact) / n_exact * 1000000.0 + 0.5) AS BIGINT) AS rel_err_e6
         FROM est
     """,
     tags=("sketch", "kmv", "distinct", "events"),
@@ -112,10 +114,10 @@ def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "day",
         "n_exact",
-        F.round("est", 6).alias("est_r"),
-        F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-            "rel_err_r"
-        ),
+        grid(F.col("est"), 6).alias("est_e6"),
+        grid(
+            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err_e6"),
     )
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -238,8 +239,10 @@ def _logreg_oracle() -> str:
     return f"""
         WITH {chain}
         SELECT n.n AS n_docs,
-               ROUND(w0, 6) AS w0_r, ROUND(w1, 6) AS w1_r,
-               ROUND(w2, 6) AS w2_r, ROUND(w3, 6) AS w3_r,
+               CAST(FLOOR(w0 * 1000000.0 + 0.5) AS BIGINT) AS w0_e6,
+               CAST(FLOOR(w1 * 1000000.0 + 0.5) AS BIGINT) AS w1_e6,
+               CAST(FLOOR(w2 * 1000000.0 + 0.5) AS BIGINT) AS w2_e6,
+               CAST(FLOOR(w3 * 1000000.0 + 0.5) AS BIGINT) AS w3_e6,
                (SELECT COUNT(*) FROM feat CROSS JOIN {prev}
                 WHERE (CAST(FLOOR((((w0 + w1*x1) + w2*x2) + w3*x3)
                                   * {_LR_GRID} + 0.5) AS BIGINT) >= 0) = (y = 1.0))
@@ -289,10 +292,10 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(acc))
         .select(
             F.col("n").alias("n_docs"),
-            F.round("w0", 6).alias("w0_r"),
-            F.round("w1", 6).alias("w1_r"),
-            F.round("w2", 6).alias("w2_r"),
-            F.round("w3", 6).alias("w3_r"),
+            grid(F.col("w0"), 6).alias("w0_e6"),
+            grid(F.col("w1"), 6).alias("w1_e6"),
+            grid(F.col("w2"), 6).alias("w2_e6"),
+            grid(F.col("w3"), 6).alias("w3_e6"),
             "n_correct",
         )
     )

@@ -19,6 +19,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline22 import (
     _bpe_chain_sql,
     _bpe_learn,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -102,7 +103,8 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) OVER (PARTITION BY user_id) AS np
             FROM p
         )
-        SELECT user_id, np AS n_pairs, ROUND(slope, 6) AS slope_r
+        SELECT user_id, np AS n_pairs,
+               CAST(FLOOR(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_e6
         FROM r WHERE rk = (np + 1) // 2
     """,
     tags=("robust-stats", "trend", "events", "window"),
@@ -164,7 +166,7 @@ def theil_sen_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.col("np").alias("n_pairs"),
-        F.round("slope", 6).alias("slope_r"),
+        grid(F.col("slope"), 6).alias("slope_e6"),
     )
 
 

@@ -18,6 +18,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline21 import (
     _hash48,
     _hash48_sql,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -112,11 +113,11 @@ _POW48 = 1 << 48
         )
         SELECT rho.exact_both,
                rho.k_both,
-               ROUND(CASE WHEN kth.h_k IS NULL
+               CAST(FLOOR((CASE WHEN kth.h_k IS NULL
                           THEN CAST(rho.exact_both AS DOUBLE)
                           ELSE (CAST(rho.k_both AS DOUBLE) / {_KI_K})
                                * (CAST({_KI_K - 1} AS DOUBLE) * {_POW48} / kth.h_k)
-                     END, 6) AS est_r
+                     END) * 1000000.0 + 0.5) AS BIGINT) AS est_e6
         FROM rho LEFT JOIN kth ON TRUE
     """,
     tags=("sketch", "kmv", "set-algebra", "events"),
@@ -190,14 +191,14 @@ def kmv_intersection_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "exact_both",
             "k_both",
-            F.round(
+            grid(
                 F.when(F.col("h_k").isNull(), F.col("exact_both").cast("double"))
                 .otherwise(
                     (F.col("k_both").cast("double") / _KI_K)
                     * (F.lit(float(_KI_K - 1)) * _POW48 / F.col("h_k"))
                 ),
                 6,
-            ).alias("est_r"),
+            ).alias("est_e6"),
         )
     )
     return est

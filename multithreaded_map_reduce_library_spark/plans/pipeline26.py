@@ -26,6 +26,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline22 import (
     _logreg_train,
     _z_expr,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -103,9 +104,10 @@ def _decile_oracle() -> str:
                 FROM scored)
         SELECT decile, COUNT(*) AS n_docs,
                SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_en,
-               ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * tot.n_tot
+               CAST(FLOOR(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * tot.n_tot
                           AS DOUBLE)
-                     / CAST(COUNT(*) * tot.en_tot AS DOUBLE), 6) AS lift_r
+                     / CAST(COUNT(*) * tot.en_tot AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS lift_e6
         FROM d CROSS JOIN tot
         GROUP BY decile, tot.n_tot, tot.en_tot
     """
@@ -160,11 +162,11 @@ def logreg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_docs",
             "n_en",
-            F.round(
+            grid(
                 (F.col("n_en") * F.col("n_tot")).cast("double")
                 / (F.col("n_docs") * F.col("en_tot")).cast("double"),
                 6,
-            ).alias("lift_r"),
+            ).alias("lift_e6"),
         )
     )
 
@@ -186,12 +188,12 @@ def logreg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT n1, x1, n2, x2,
-               ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1_r,
-               ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p2_r,
-               ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+               CAST((x1 * 1000000 + n1 // 2) // n1 AS BIGINT) AS p1_e6,
+               CAST((x2 * 1000000 + n2 // 2) // n2 AS BIGINT) AS p2_e6,
+               CAST(FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
                      / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
                             * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                            * (1.0 / n1 + 1.0 / n2)), 6) AS z_r
+                            * (1.0 / n1 + 1.0 / n2)) * 1000000.0 + 0.5) AS BIGINT) AS z_e6
         FROM agg
     """,
     tags=("statistics", "ab-test", "events"),
@@ -235,9 +237,9 @@ def conversion_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n2",
         "x2",
-        F.round(p1, 6).alias("p1_r"),
-        F.round(p2, 6).alias("p2_r"),
-        F.round(z, 6).alias("z_r"),
+        int_ratio(F.col("x1"), F.col("n1"), 6).alias("p1_e6"),
+        int_ratio(F.col("x2"), F.col("n2"), 6).alias("p2_e6"),
+        grid(z, 6).alias("z_e6"),
     )
 
 

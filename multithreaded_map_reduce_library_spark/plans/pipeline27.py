@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -106,7 +107,7 @@ def _kcenter_oracle() -> str:
         sel{k} AS (SELECT vec_id, v FROM {prev_sel}
                    UNION ALL SELECT vec_id, v FROM pick{k})""")
         sel_rows.append(
-            f"SELECT {k} AS rank, vec_id, ROUND(SQRT(dmin), 6) AS dist FROM pick{k}"
+            f"SELECT {k} AS rank, vec_id, CAST(FLOOR(SQRT(dmin) * 1000000.0 + 0.5) AS BIGINT) AS dist_e6 FROM pick{k}"
         )
         prev_sel = f"sel{k}"
     return f"""
@@ -175,7 +176,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick.select(
                 F.lit(k).cast("int").alias("rank"),
                 "vec_id",
-                F.round(F.sqrt("dmin"), 6).alias("dist"),
+                grid(F.sqrt("dmin"), 6).alias("dist_e6"),
             )
         )
         sel = sel.unionAll(pick.select("vec_id", "v")).localCheckpoint()

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -35,10 +36,14 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM x GROUP BY user_id
         )
         SELECT user_id, n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6)
-                   AS slope_r
-        FROM s WHERE n * sxx - sx * sx > 0
+               CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 1000000.0 * 1000000.0 + 0.5) AS BIGINT)
+                   AS slope_e6
+        FROM s WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
     """,
     tags=("statistics", "regression", "trend", "events"),
 )
@@ -75,12 +80,13 @@ def ols_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    return s.where(den > 0).select(
+    n_d = F.col("n").cast("double")
+    num_d = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den_d = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return s.where(den_d > 0).select(
         "user_id",
         "n",
-        F.round(num.cast("double") / den.cast("double") / 1000000.0, 6).alias(
-            "slope_r"
-        ),
+        grid(num_d / den_d / 1000000.0, 6).alias("slope_e6"),
     )
 
 
@@ -106,7 +112,8 @@ def ols_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c CROSS JOIN g
         )
         SELECT day AS change_day, n AS n_days,
-               ROUND(CAST(dev_scaled AS DOUBLE) / n / 1000000.0, 6) AS max_dev_r
+               CAST(FLOOR(CAST(dev_scaled AS DOUBLE) / n / 1000000.0 * 1000000.0 + 0.5)
+                    AS BIGINT) AS max_dev_e6
         FROM s ORDER BY dev_scaled DESC, change_day ASC LIMIT 1
     """,
     tags=("statistics", "changepoint", "cusum", "events", "global-sort"),
@@ -147,9 +154,9 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("day").alias("change_day"),
             F.col("n").alias("n_days"),
-            F.round(
+            grid(
                 F.col("dev_scaled").cast("double") / F.col("n") / 1000000.0, 6
-            ).alias("max_dev_r"),
+            ).alias("max_dev_e6"),
         )
     )
 
@@ -173,8 +180,9 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM k
         )
         SELECT n AS n_customers, tot AS total_rev_q,
-               ROUND(CAST(2 * wsum - (n + 1) * tot AS DOUBLE)
-                     / CAST(n * tot AS DOUBLE), 6) AS gini_r
+               CAST(FLOOR((2.0 * CAST(wsum AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS gini_e6
         FROM g
     """,
     tags=("analytics", "inequality", "gini", "orders", "global-sort"),
@@ -209,12 +217,18 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_q").alias("tot"),
         F.sum(F.col("i") * F.col("rev_q")).alias("wsum"),
     )
+    # Products in DOUBLE from the exact integer aggregates (n*tot-style
+    # BIGINT products overflow at 100x scale; doubles-from-exact-ints are
+    # identical in both engines — grid rule).
     return g.select(
         F.col("n").alias("n_customers"),
         F.col("tot").alias("total_rev_q"),
-        F.round(
-            (2 * F.col("wsum") - (F.col("n") + 1) * F.col("tot")).cast("double")
-            / (F.col("n") * F.col("tot")).cast("double"),
+        grid(
+            (
+                2.0 * F.col("wsum").cast("double")
+                - (F.col("n").cast("double") + 1.0) * F.col("tot").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("tot").cast("double")),
             6,
-        ).alias("gini_r"),
+        ).alias("gini_e6"),
     )

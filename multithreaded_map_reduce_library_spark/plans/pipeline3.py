@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -138,8 +139,10 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT lang, source,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-               ROUND(CAST(SUM(n_tok) AS DOUBLE)
-                     / SUM(SUM(n_tok)) OVER (), 6) AS token_share
+               CAST((CAST(SUM(n_tok) AS BIGINT) * 1000000
+                     + CAST(SUM(SUM(n_tok)) OVER () AS BIGINT) // 2)
+                    // CAST(SUM(SUM(n_tok)) OVER () AS BIGINT) AS BIGINT)
+                   AS token_share_e6
         FROM clean
         GROUP BY lang, source
     """,
@@ -188,15 +191,16 @@ def corpus_build_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = clean.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
     )
-    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
-        Window.partitionBy()
-    )
     return mix.select(
         "lang",
         "source",
         "n_docs",
         "total_tokens",
-        F.round(share, 6).alias("token_share"),
+        int_ratio(
+            F.col("total_tokens"),
+            F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share_e6"),
     )
 
 
@@ -256,9 +260,9 @@ def user_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM s WHERE next_type IS NOT NULL
               GROUP BY event_type, next_type)
         SELECT event_type, next_type, n,
-               ROUND(CAST(n AS DOUBLE) /
-                     CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
-                     6) AS prob
+               CAST((n * 1000000 + CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) // 2)
+                    // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS BIGINT)
+                   AS prob_e6
         FROM p
     """,
     tags=("window", "markov", "events", "sessionization"),
@@ -285,9 +289,7 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
-        ).alias("prob"),
+        int_ratio(F.col("n"), F.sum("n").over(tot), 6).alias("prob_e6"),
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -32,8 +33,9 @@ _MB_MIN_SUPPORT = 3
             GROUP BY part_a, part_b
         )
         SELECT p.part_a, p.part_b, p.support,
-               ROUND(CAST(p.support * n.n_orders AS DOUBLE)
-                     / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift_r
+               CAST(FLOOR(CAST(p.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                     / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS lift_e6
         FROM p
         JOIN item ia ON ia.l_partkey = p.part_a
         JOIN item ib ON ib.l_partkey = p.part_b
@@ -79,11 +81,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "support",
-            F.round(
-                (F.col("support") * F.col("n_orders")).cast("double")
-                / (F.col("na") * F.col("nb")).cast("double"),
+            grid(
+                F.col("support").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
                 6,
-            ).alias("lift_r"),
+            ).alias("lift_e6"),
         )
     )
 

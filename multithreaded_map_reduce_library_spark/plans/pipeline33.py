@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -172,8 +173,9 @@ def position_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFram
             FROM d GROUP BY weekday
         )
         SELECT w.weekday, w.n_w,
-               ROUND(CAST(w.sum_w * g.n_days AS DOUBLE)
-                     / CAST(w.n_w * g.tot AS DOUBLE), 6) AS seasonal_index_r
+               CAST(FLOOR(CAST(w.sum_w AS DOUBLE) * CAST(g.n_days AS DOUBLE)
+                     / (CAST(w.n_w AS DOUBLE) * CAST(g.tot AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS seasonal_index_e6
         FROM w CROSS JOIN g
     """,
     tags=("time-series", "seasonality", "events"),
@@ -201,9 +203,9 @@ def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(g)).select(
         "weekday",
         "n_w",
-        F.round(
-            (F.col("sum_w") * F.col("n_days")).cast("double")
-            / (F.col("n_w") * F.col("tot")).cast("double"),
+        grid(
+            F.col("sum_w").cast("double") * F.col("n_days").cast("double")
+            / (F.col("n_w").cast("double") * F.col("tot").cast("double")),
             6,
-        ).alias("seasonal_index_r"),
+        ).alias("seasonal_index_e6"),
     )

@@ -37,10 +37,10 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
         ),
         kth AS (SELECT day, h AS h_k FROM r WHERE rk = {_KMV_K})
         SELECT r.day,
-               ROUND(CASE WHEN kth.h_k IS NULL
+               CAST(FLOOR((CASE WHEN kth.h_k IS NULL
                           THEN CAST(r.n_exact AS DOUBLE)
                           ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_POW48} / kth.h_k
-                     END, 6) AS est_r
+                     END) * 1000000.0 + 0.5) AS BIGINT) AS est_e6
         FROM (SELECT DISTINCT day, n_exact FROM r) r
         LEFT JOIN kth USING (day)
     """,
@@ -75,7 +75,7 @@ def stream_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = _KMV_K
-    out_schema = "day date, nb bigint, est_r double"
+    out_schema = "day date, nb bigint, est_e6 bigint"
     state_schema = "hashes array<bigint>, nb bigint"
 
     def update(key, pdf_iter, state: GroupState):
@@ -93,7 +93,12 @@ def stream_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             est = float(len(hashes))
         else:
             est = float(k - 1) * _POW48 / hashes[k - 1]
-        yield pd.DataFrame({"day": [key[0]], "nb": [nb], "est_r": [round(est, 6)]})
+        # grid rule: FLOOR(x*1e6+0.5) — same IEEE ops as the oracle
+        # (Python round() is banker's and would tie differently).
+        import math
+
+        est_e6 = int(math.floor(est * 1000000.0 + 0.5))
+        yield pd.DataFrame({"day": [key[0]], "nb": [nb], "est_e6": [est_e6]})
 
     ev = events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
     updates = run_stream_to_df(
@@ -107,5 +112,5 @@ def stream_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         updates.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("day", "est_r")
+        .select("day", "est_e6")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -74,8 +75,8 @@ def _cms_bucket(col, i: int):
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         )
         SELECT est.est_join_size, tru.true_join_size,
-               ROUND(CAST(est.est_join_size AS DOUBLE) / tru.true_join_size, 6)
-                   AS overestimate_r
+               CAST((est.est_join_size * 1000000 + tru.true_join_size // 2)
+                    // tru.true_join_size AS BIGINT) AS overestimate_e6
         FROM est CROSS JOIN tru
     """,
     tags=("statistics", "sketch", "cms", "cardinality", "join"),
@@ -131,9 +132,9 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(tru)).select(
         "est_join_size",
         "true_join_size",
-        F.round(
-            F.col("est_join_size").cast("double") / F.col("true_join_size"), 6
-        ).alias("overestimate_r"),
+        int_ratio(F.col("est_join_size"), F.col("true_join_size"), 6).alias(
+            "overestimate_e6"
+        ),
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -32,9 +33,8 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM d
         )
         SELECT day,
-               ROUND(CAST(v_q AS DOUBLE) / 1000000.0, 6) AS v_r,
-               ROUND(CAST(list_sort(trail)[(len(trail) + 1) // 2] AS DOUBLE)
-                     / 1000000.0, 6) AS med7_r
+               CAST(v_q AS BIGINT) AS v_e6,
+               CAST(list_sort(trail)[(len(trail) + 1) // 2] AS BIGINT) AS med7_e6
         FROM w
     """,
     tags=("time-series", "rolling", "median", "events", "global-sort"),
@@ -59,8 +59,8 @@ def rolling_7d_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = F.element_at(trail, ((F.size(trail) + 1) / 2).cast("int"))
     return d.select(
         "day",
-        F.round(F.col("v_q").cast("double") / 1000000.0, 6).alias("v_r"),
-        F.round(med.cast("double") / 1000000.0, 6).alias("med7_r"),
+        F.col("v_q").cast("bigint").alias("v_e6"),
+        med.cast("bigint").alias("med7_e6"),
     )
 
 
@@ -79,11 +79,11 @@ def rolling_7d_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d GROUP BY weekday
         )
         SELECT d.day,
-               ROUND(CAST(d.v_q AS DOUBLE) / 1000000.0, 6) AS v_r,
-               ROUND((CAST(d.v_q AS DOUBLE)
-                      / (CAST(w.sum_w * g.n_days AS DOUBLE)
-                         / CAST(w.n_w * g.tot AS DOUBLE)))
-                     / 1000000.0, 6) AS adjusted_r
+               CAST(d.v_q AS BIGINT) AS v_e6,
+               CAST(FLOOR((CAST(d.v_q AS DOUBLE)
+                      / (CAST(w.sum_w AS DOUBLE) * CAST(g.n_days AS DOUBLE)
+                         / (CAST(w.n_w AS DOUBLE) * CAST(g.tot AS DOUBLE))))
+                     / 1000000.0 * 1000000.0 + 0.5) AS BIGINT) AS adjusted_e6
         FROM d
         JOIN w ON dayofweek(d.day) + 1 = w.weekday
         CROSS JOIN g
@@ -110,18 +110,20 @@ def seasonal_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.groupBy(F.dayofweek("day").alias("weekday")).agg(
         F.count("*").alias("n_w"), F.sum("v_q").alias("sum_w")
     )
-    idx = (F.col("sum_w") * F.col("n_days")).cast("double") / (
-        F.col("n_w") * F.col("tot")
-    ).cast("double")
+    # Products formed in DOUBLE from the exact integer sums (identical
+    # expression in the oracle; BIGINT products would overflow at scale).
+    idx = (
+        F.col("sum_w").cast("double") * F.col("n_days").cast("double")
+    ) / (F.col("n_w").cast("double") * F.col("tot").cast("double"))
     return (
         d.join(F.broadcast(w), F.dayofweek("day") == F.col("weekday"))
         .crossJoin(F.broadcast(g))
         .select(
             "day",
-            F.round(F.col("v_q").cast("double") / 1000000.0, 6).alias("v_r"),
-            F.round(
+            F.col("v_q").cast("bigint").alias("v_e6"),
+            grid(
                 (F.col("v_q").cast("double") / idx) / 1000000.0, 6
-            ).alias("adjusted_r"),
+            ).alias("adjusted_e6"),
         )
     )
 
@@ -147,7 +149,7 @@ _BOOT_N = 100
                             AS BIGINT) % (SELECT MAX(n) FROM v) AS rk
             FROM s
         )
-        SELECT p.draw_id, ROUND(v.value, 6) AS sampled_r
+        SELECT p.draw_id, CAST(FLOOR(v.value * 1000000.0 + 0.5) AS BIGINT) AS sampled_e6
         FROM pick p JOIN v ON v.rk = p.rk
     """,
     tags=("sampling", "bootstrap", "synthetic", "events", "global-sort"),
@@ -185,5 +187,5 @@ def empirical_bootstrap_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rk"),
     )
     return pick.join(v, "rk").select(
-        "draw_id", F.round("value", 6).alias("sampled_r")
+        "draw_id", grid(F.col("value"), 6).alias("sampled_e6")
     )

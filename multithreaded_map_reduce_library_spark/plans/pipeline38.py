@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -141,10 +142,10 @@ def qgram_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT SUM(reg_cents) AS tot_cents FROM reg)
         SELECT nat.n_regionkey AS regionkey, nat.c_nationkey AS nationkey,
                nat.nat_cents,
-               ROUND(CAST(nat.nat_cents AS DOUBLE) / reg.reg_cents, 6)
-                   AS share_of_region_r,
-               ROUND(CAST(reg.reg_cents AS DOUBLE) / tot.tot_cents, 6)
-                   AS region_share_of_total_r
+               CAST((nat.nat_cents * 1000000 + reg.reg_cents // 2)
+                    // reg.reg_cents AS BIGINT) AS share_of_region_e6,
+               CAST((reg.reg_cents * 1000000 + tot.tot_cents // 2)
+                    // tot.tot_cents AS BIGINT) AS region_share_of_total_e6
         FROM nat
         JOIN reg ON nat.n_regionkey = reg.n_regionkey
         CROSS JOIN tot
@@ -184,12 +185,12 @@ def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").alias("regionkey"),
             F.col("c_nationkey").alias("nationkey"),
             "nat_cents",
-            F.round(
-                F.col("nat_cents").cast("double") / F.col("reg_cents"), 6
-            ).alias("share_of_region_r"),
-            F.round(
-                F.col("reg_cents").cast("double") / F.col("tot_cents"), 6
-            ).alias("region_share_of_total_r"),
+            int_ratio(F.col("nat_cents"), F.col("reg_cents"), 6).alias(
+                "share_of_region_e6"
+            ),
+            int_ratio(F.col("reg_cents"), F.col("tot_cents"), 6).alias(
+                "region_share_of_total_e6"
+            ),
         )
     )
 
@@ -203,8 +204,8 @@ def _session_sweep_oracle() -> str:
         parts.append(f"""
         SELECT {gap} AS gap_minutes, COUNT(*) AS n_sessions,
                SUM(n_events) AS n_events,
-               ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
-                   AS mean_events_r
+               CAST((CAST(SUM(n_events) AS BIGINT) * 1000000 + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS mean_events_e6
         FROM (
             SELECT user_id, session_id, COUNT(*) AS n_events
             FROM (
@@ -275,9 +276,9 @@ def session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(gap).cast("int").alias("gap_minutes"),
                 "n_sessions",
                 "n_events",
-                F.round(
-                    F.col("n_events").cast("double") / F.col("n_sessions"), 6
-                ).alias("mean_events_r"),
+                int_ratio(F.col("n_events"), F.col("n_sessions"), 6).alias(
+                    "mean_events_e6"
+                ),
             )
         )
     out = outs[0]

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -95,7 +96,8 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     * (CAST(dl AS DOUBLE) / avgdl))))
                      AS term_score
               FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats)
-        SELECT doc_id, ROUND(SUM(term_score), 4) AS score,
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(term_score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6,
                COUNT(*) AS n_terms
         FROM s GROUP BY doc_id
     """,
@@ -143,7 +145,9 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.groupBy("doc_id").agg(
-        F.round(F.sum("term_score"), 4).alias("score"),
+        F.sum(
+            F.floor(F.col("term_score") * 1000000.0 + F.lit(0.5)).cast("bigint")
+        ).alias("score_e6"),
         F.count("*").alias("n_terms"),
     )
 
@@ -215,8 +219,8 @@ def scd2_user_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT COUNT(*) AS total FROM t)
         SELECT tok AS token,
                COUNT(*) AS n_occurrences,
-               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE), 6)
-                   AS share
+               CAST((COUNT(*) * 1000000 + total // 2) // total AS BIGINT)
+                   AS share_e6
         FROM t CROSS JOIN tot
         GROUP BY tok, total
         HAVING COUNT(*) * 100 >= total
@@ -286,9 +290,6 @@ def cms_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("tok").alias("token"),
             "n_occurrences",
-            F.round(
-                F.col("n_occurrences").cast("double") / F.col("total").cast("double"),
-                6,
-            ).alias("share"),
+            int_ratio(F.col("n_occurrences"), F.col("total"), 6).alias("share_e6"),
         )
     )

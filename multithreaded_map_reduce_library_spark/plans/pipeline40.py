@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -42,10 +43,11 @@ def _norm_dot(a: str) -> str:
             FROM nq GROUP BY bucket
         )
         SELECT b.bucket, b.bucket * 0.5 AS norm_lo, b.n_vecs,
-               ROUND(CAST(g.s AS DOUBLE) / g.n / 10000.0, 6) AS mean_norm_r,
-               ROUND(sqrt((CAST(g.ss AS DOUBLE)
-                           - CAST(g.s AS DOUBLE) * g.s / g.n) / g.n)
-                     / 10000.0, 6) AS std_norm_r
+               CAST(FLOOR(CAST(CAST(g.s AS BIGINT) AS DOUBLE) / g.n / 10000.0
+                          * 1000000.0 + 0.5) AS BIGINT) AS mean_norm_e6,
+               CAST(FLOOR(sqrt((CAST(CAST(g.ss AS BIGINT) AS DOUBLE)
+                           - CAST(CAST(g.s AS BIGINT) AS DOUBLE) * CAST(g.s AS BIGINT) / g.n) / g.n)
+                     / 10000.0 * 1000000.0 + 0.5) AS BIGINT) AS std_norm_e6
         FROM b CROSS JOIN g
     """,
     tags=("data-quality", "embedding", "audit", "histogram"),
@@ -89,10 +91,10 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (F.col("bucket") * 0.5).alias("norm_lo"),
         "n_vecs",
-        F.round(F.col("s").cast("double") / F.col("n") / 10000.0, 6).alias(
-            "mean_norm_r"
-        ),
-        F.round(
+        grid(
+            F.col("s").cast("double") / F.col("n") / 10000.0, 6
+        ).alias("mean_norm_e6"),
+        grid(
             F.sqrt(
                 (
                     F.col("ss").cast("double")
@@ -102,7 +104,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000.0,
             6,
-        ).alias("std_norm_r"),
+        ).alias("std_norm_e6"),
     )
 
 
@@ -136,8 +138,11 @@ _ZA_TOPK = 30  # fit over the top-30 ranks (the power-law head)
             FROM pts
         )
         SELECT n AS n_points,
-               ROUND(-(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha_r
+               CAST(FLOOR(-(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * 1000000.0 + 0.5) AS BIGINT) AS alpha_e6
         FROM s
     """,
     tags=("corpus-stats", "zipf", "power-law", "documents", "global-sort"),
@@ -186,13 +191,17 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_points"),
-        F.round(
+        grid(
             -(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                / (
+                    F.col("n").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
                 )
             ),
             6,
-        ).alias("alpha_r"),
+        ).alias("alpha_e6"),
     )

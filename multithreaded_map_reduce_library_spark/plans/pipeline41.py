@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -36,14 +37,16 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM e
         )
         SELECT g.event_type, g.n,
-               ROUND(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+               CAST(FLOOR(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
                      / sqrt(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
                             * (CAST(g.n AS DOUBLE) * g.syy
-                               - CAST(g.sy AS DOUBLE) * g.sy)), 6) AS corr_group_r,
-               ROUND(CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+                               - CAST(g.sy AS DOUBLE) * g.sy))
+                     * 1000000.0 + 0.5) AS BIGINT) AS corr_group_e6,
+               CAST(FLOOR(CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
                      / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
                             * (CAST(a.n AS DOUBLE) * a.syy
-                               - CAST(a.sy AS DOUBLE) * a.sy)), 6) AS corr_all_r,
+                               - CAST(a.sy AS DOUBLE) * a.sy))
+                     * 1000000.0 + 0.5) AS BIGINT) AS corr_all_e6,
                (CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
                      WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1 ELSE 0 END)
                <> (CASE WHEN a.n * a.sxy - a.sx * a.sy > 0 THEN 1
@@ -106,7 +109,7 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col(sy).cast("double") * F.col(sy)
             )
         )
-        return F.round(num / den, 6)
+        return grid(num / den, 6)
 
     def signum(n, sx, sy, sxy):
         v = F.col(n) * F.col(sxy) - F.col(sx) * F.col(sy)
@@ -115,8 +118,8 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(a)).select(
         "event_type",
         "n",
-        corr("n", "sx", "sy", "sxy", "sxx", "syy").alias("corr_group_r"),
-        corr("an", "asx", "asy", "asxy", "asxx", "asyy").alias("corr_all_r"),
+        corr("n", "sx", "sy", "sxy", "sxx", "syy").alias("corr_group_e6"),
+        corr("an", "asx", "asy", "asxy", "asxx", "asyy").alias("corr_all_e6"),
         (
             signum("n", "sx", "sy", "sxy") != signum("an", "asx", "asy", "asxy")
         ).alias("sign_flip"),

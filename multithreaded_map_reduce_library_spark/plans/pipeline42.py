@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -110,10 +111,11 @@ def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM p GROUP BY lag_days
         )
         SELECT lag_days, n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                             * (CAST(n AS DOUBLE) * syy
-                               - CAST(sy AS DOUBLE) * sy)), 6) AS acf_r
+                               - CAST(sy AS DOUBLE) * sy))
+                     * 1000000.0 + 0.5) AS BIGINT) AS acf_e6
         FROM s
     """,
     tags=("time-series", "autocorrelation", "events"),
@@ -161,7 +163,7 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sy").cast("double") * F.col("sy")
         )
     )
-    return s.select("lag_days", "n", F.round(num / den, 6).alias("acf_r"))
+    return s.select("lag_days", "n", grid(num / den, 6).alias("acf_e6"))
 
 
 _CH_THRESHOLDS = (7, 14, 21)

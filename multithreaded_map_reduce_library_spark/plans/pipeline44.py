@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -27,7 +28,8 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
                                      ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
             FROM orders
         )
-        SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS price_r, rnk
+        SELECT o_orderstatus, o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_e2, rnk
         FROM r WHERE rnk <= 3
     """,
     tags=("topk", "window", "ties", "orders"),
@@ -50,10 +52,10 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "o_orderkey",
             F.rank().over(w).cast("bigint").alias("rnk"),
-            F.round("o_totalprice", 2).alias("price_r"),
+            grid(F.col("o_totalprice"), 2).alias("price_e2"),
         )
         .where(F.col("rnk") <= 3)
-        .select("o_orderstatus", "o_orderkey", "price_r", "rnk")
+        .select("o_orderstatus", "o_orderkey", "price_e2", "rnk")
     )
 
 

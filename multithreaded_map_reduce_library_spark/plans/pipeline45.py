@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -59,7 +60,7 @@ def _cp_dot(a: str, b: str) -> str:
                                        ORDER BY cl.lang ASC) = 1
         )
         SELECT mx.cell, mx.n_cell, lab.major_lang, mx.n_major,
-               ROUND(CAST(mx.n_major AS DOUBLE) / mx.n_cell, 6) AS purity_r
+               CAST((mx.n_major * 1000000 + mx.n_cell // 2) // mx.n_cell AS BIGINT) AS purity_e6
         FROM mx JOIN lab ON mx.cell = lab.cell
     """,
     tags=("clustering", "evaluation", "purity", "embedding", "documents"),
@@ -107,8 +108,8 @@ def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cell",
             "major_lang",
             "n_major",
-            F.round(F.col("n_major").cast("double") / F.col("n_cell"), 6).alias(
-                "purity_r"
+            int_ratio(F.col("n_major"), F.col("n_cell"), 6).alias(
+                "purity_e6"
             ),
         )
     )
@@ -130,7 +131,7 @@ _BR_MIN_SUPPORT = 3
             HAVING COUNT(*) >= {_BR_MIN_SUPPORT}
         )
         SELECT p.ante, p.cons, p.support,
-               ROUND(CAST(p.support AS DOUBLE) / ia.n_item, 6) AS confidence_r
+               CAST((p.support * 1000000 + ia.n_item // 2) // ia.n_item AS BIGINT) AS confidence_e6
         FROM p JOIN item ia ON ia.l_partkey = p.ante
     """,
     tags=("analytics", "association", "rules", "lineitem"),
@@ -162,8 +163,8 @@ def basket_rule_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ante",
         "cons",
         "support",
-        F.round(F.col("support").cast("double") / F.col("n_item"), 6).alias(
-            "confidence_r"
+        int_ratio(F.col("support"), F.col("n_item"), 6).alias(
+            "confidence_e6"
         ),
     )
 

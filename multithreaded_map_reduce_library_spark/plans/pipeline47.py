@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -99,9 +100,9 @@ _LC_DIM = 64
             GROUP BY lang_a, lang_b
         )
         SELECT lang_a, lang_b,
-               ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
-                                            * sqrt(CAST(nb AS DOUBLE))), 6)
-                   AS cos_r
+               CAST(FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                                            * sqrt(CAST(nb AS DOUBLE)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
         FROM dots
     """,
     tags=("embedding", "centroid", "similarity", "documents"),
@@ -154,12 +155,12 @@ def lang_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.select(
         "lang_a",
         "lang_b",
-        F.round(
+        grid(
             F.col("dot").cast("double")
             / (
                 F.sqrt(F.col("na").cast("double"))
                 * F.sqrt(F.col("nb").cast("double"))
             ),
             6,
-        ).alias("cos_r"),
+        ).alias("cos_e6"),
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -54,7 +55,7 @@ def _mn_dot(a: str, b: str) -> str:
             FROM sims
         ),
         best AS (SELECT src, dst, sim FROM nn WHERE rn = 1)
-        SELECT a.src AS id_a, a.dst AS id_b, ROUND(a.sim, 6) AS sim_r
+        SELECT a.src AS id_a, a.dst AS id_b, CAST(FLOOR(a.sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM best a JOIN best b ON a.dst = b.src AND b.dst = a.src
         WHERE a.src < a.dst
     """,
@@ -120,6 +121,6 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("src").alias("id_a"),
             F.col("dst").alias("id_b"),
-            F.round("sim", 6).alias("sim_r"),
+            grid(F.col("sim"), 6).alias("sim_e6"),
         )
     )

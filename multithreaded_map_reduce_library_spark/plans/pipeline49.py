@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -189,10 +190,11 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         )
         SELECT w.n_users,
-               ROUND(CAST(w.sn AS DOUBLE) / w.sd / 100.0, 6) AS slope_within_r,
-               ROUND(CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy AS DOUBLE)
+               CAST(FLOOR(CAST(w.sn AS DOUBLE) / w.sd / 100.0
+                          * 1000000.0 + 0.5) AS BIGINT) AS slope_within_e6,
+               CAST(FLOOR(CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy AS DOUBLE)
                      / CAST(pooled.n * pooled.sxx - pooled.sx * pooled.sx AS DOUBLE)
-                     / 100.0, 6) AS slope_pooled_r
+                     / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS slope_pooled_e6
         FROM w CROSS JOIN pooled
     """,
     tags=("statistics", "panel", "fixed-effects", "events"),
@@ -255,10 +257,10 @@ def fixed_effects_hour_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.crossJoin(F.broadcast(pooled)).select(
         "n_users",
-        F.round(F.col("sn").cast("double") / F.col("sd") / 100.0, 6).alias(
-            "slope_within_r"
+        grid(F.col("sn").cast("double") / F.col("sd") / 100.0, 6).alias(
+            "slope_within_e6"
         ),
-        F.round(
+        grid(
             (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).cast(
                 "double"
             )
@@ -267,5 +269,5 @@ def fixed_effects_hour_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 100.0,
             6,
-        ).alias("slope_pooled_r"),
+        ).alias("slope_pooled_e6"),
     )

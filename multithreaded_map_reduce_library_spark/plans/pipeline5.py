@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -86,13 +87,13 @@ def incremental_agg_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         q AS (SELECT dim, v, CAST(FLOOR(v * 10000) AS BIGINT) AS qv FROM x)
         SELECT dim,
                COUNT(*) AS n,
-               ROUND(CAST(SUM(qv) AS DOUBLE)
-                     / (CAST(10000 AS DOUBLE) * COUNT(*)), 6) AS mean,
-               ROUND((CAST(SUM(qv * qv) AS DOUBLE)
-                      - CAST(SUM(qv) AS DOUBLE) * SUM(qv) / COUNT(*))
-                     / (COUNT(*) * CAST(100000000 AS DOUBLE)), 6) AS var,
-               ROUND(MIN(v), 6) AS min_v,
-               ROUND(MAX(v), 6) AS max_v
+               CAST(FLOOR(CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+                     / (CAST(10000 AS DOUBLE) * COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS mean_e6,
+               CAST(FLOOR((CAST(CAST(SUM(qv * qv) AS BIGINT) AS DOUBLE)
+                      - CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) * CAST(SUM(qv) AS BIGINT) / COUNT(*))
+                     / (COUNT(*) * CAST(100000000 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS var_e6,
+               CAST(FLOOR(MIN(v) * 1000000.0 + 0.5) AS BIGINT) AS min_v_e6,
+               CAST(FLOOR(MAX(v) * 1000000.0 + 0.5) AS BIGINT) AS max_v_e6
         FROM q GROUP BY dim
     """,
     tags=("embeddings", "feature-stats", "vectors"),
@@ -120,14 +121,14 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.sum(F.col("qv") * F.col("qv"))
     return q.groupBy("dim").agg(
         n.alias("n"),
-        F.round(s.cast("double") / (F.lit(10000.0) * n), 6).alias("mean"),
-        F.round(
+        grid(s.cast("double") / (F.lit(10000.0) * n), 6).alias("mean_e6"),
+        grid(
             (sq.cast("double") - s.cast("double") * s / n)
             / (n * F.lit(100000000.0)),
             6,
-        ).alias("var"),
-        F.round(F.min("v"), 6).alias("min_v"),
-        F.round(F.max("v"), 6).alias("max_v"),
+        ).alias("var_e6"),
+        grid(F.min("v"), 6).alias("min_v_e6"),
+        grid(F.max("v"), 6).alias("max_v_e6"),
     )
 
 
@@ -145,8 +146,8 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM bg GROUP BY p[1], p[2]),
         nbg AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bg FROM bgc)
         SELECT w1, w2, n_ab,
-               ROUND((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
-                     / (CAST(n_bg AS DOUBLE) * a.nw * b.nw), 4) AS lift
+               CAST(FLOOR((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
+                     / (CAST(n_bg AS DOUBLE) * a.nw * b.nw) * 10000.0 + 0.5) AS BIGINT) AS lift_e4
         FROM bgc
         JOIN uni a ON a.w = w1
         JOIN uni b ON b.w = w2
@@ -193,11 +194,11 @@ def bigram_lift_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_ab",
-            F.round(
+            grid(
                 (F.col("n_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
                 / (F.col("n_bg").cast("double") * F.col("nw_a") * F.col("nw_b")),
                 4,
-            ).alias("lift"),
+            ).alias("lift_e4"),
         )
     )
 

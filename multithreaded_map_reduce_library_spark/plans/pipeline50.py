@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -89,7 +90,8 @@ def cdc_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g AS (SELECT SUM(n) AS tot, COUNT(*) AS n_cells FROM c)
         SELECT c.weekday, c.hod, c.n,
-               ROUND(CAST(c.n * g.n_cells AS DOUBLE) / g.tot, 6) AS activity_index_r
+               CAST((c.n * g.n_cells * 1000000 + CAST(g.tot AS BIGINT) // 2)
+                    // CAST(g.tot AS BIGINT) AS BIGINT) AS activity_index_e6
         FROM c CROSS JOIN g
     """,
     tags=("time-series", "seasonality", "heatmap", "events"),
@@ -112,7 +114,7 @@ def hour_weekday_activity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         "hod",
         "n",
-        F.round(
-            (F.col("n") * F.col("n_cells")).cast("double") / F.col("tot"), 6
-        ).alias("activity_index_r"),
+        int_ratio(F.col("n") * F.col("n_cells"), F.col("tot"), 6).alias(
+            "activity_index_e6"
+        ),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -52,7 +53,8 @@ _TC_TOPK = 10
             JOIN nrm na ON na.doc_id = d.id_a
             JOIN nrm nb ON nb.doc_id = d.id_b
         )
-        SELECT id_a, id_b, ROUND(c, 6) AS cos_r,
+        SELECT id_a, id_b,
+               CAST(FLOOR(c * 1000000.0 + 0.5) AS BIGINT) AS cos_e6,
                CAST(ROW_NUMBER() OVER (ORDER BY c DESC, id_a ASC, id_b ASC)
                     AS BIGINT) AS rnk
         FROM cosr
@@ -132,7 +134,7 @@ def tfidf_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return ranked.where(F.col("rnk") <= _TC_TOPK).select(
-        "id_a", "id_b", F.round("c", 6).alias("cos_r"), "rnk"
+        "id_a", "id_b", grid(F.col("c"), 6).alias("cos_e6"), "rnk"
     )
 
 
@@ -149,8 +151,8 @@ def tfidf_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d GROUP BY event_type
         )
         SELECT event_type, n AS n_days, sx AS n_events,
-               ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
-                     / CAST(n AS DOUBLE) / sx, 6) AS fano_r
+               CAST(FLOOR(CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n AS DOUBLE) / sx * 1000000.0 + 0.5) AS BIGINT) AS fano_e6
         FROM s
     """,
     tags=("statistics", "burstiness", "events"),
@@ -178,10 +180,10 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_days"),
         F.col("sx").alias("n_events"),
-        F.round(
+        grid(
             (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
             / F.col("n").cast("double")
             / F.col("sx"),
             6,
-        ).alias("fano_r"),
+        ).alias("fano_e6"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -37,8 +38,9 @@ _WL_TOPK = 20
                    / (1.0 + {_WL_Z} * {_WL_Z} / n) AS lb
             FROM s
         )
-        SELECT l_partkey, n, r, ROUND(CAST(r AS DOUBLE) / n, 6) AS rate_r,
-               ROUND(lb, 6) AS wilson_lb_r,
+        SELECT l_partkey, n, r,
+               CAST((r * 1000000 + n // 2) // n AS BIGINT) AS rate_e6,
+               CAST(FLOOR(lb * 1000000.0 + 0.5) AS BIGINT) AS wilson_lb_e6,
                CAST(ROW_NUMBER() OVER (ORDER BY lb DESC, l_partkey ASC)
                     AS BIGINT) AS rnk
         FROM w
@@ -88,7 +90,7 @@ def wilson_return_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "n",
         "r",
-        F.round(F.col("r").cast("double") / F.col("n"), 6).alias("rate_r"),
-        F.round("lb", 6).alias("wilson_lb_r"),
+        int_ratio(F.col("r"), F.col("n"), 6).alias("rate_e6"),
+        grid(F.col("lb"), 6).alias("wilson_lb_e6"),
         "rnk",
     )

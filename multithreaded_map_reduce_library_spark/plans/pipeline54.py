@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -63,9 +64,9 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM risk WHERE d > 0 AND n_risk > d
         )
         SELECT t_hours, n_risk, d,
-               ROUND(exp(CAST(SUM(lq) OVER (ORDER BY t_hours ASC
+               CAST(FLOOR(exp(CAST(SUM(lq) OVER (ORDER BY t_hours ASC
                                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                         / 1000000.0), 6) AS survival_r
+                         / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS survival_e6
         FROM steps
     """,
     tags=("statistics", "survival", "kaplan-meier", "events", "global-sort"),
@@ -144,7 +145,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_hours",
         "n_risk",
         "d",
-        F.round(
+        grid(
             F.exp(F.sum("lq").over(w_cum).cast("double") / 1000000.0), 6
-        ).alias("survival_r"),
+        ).alias("survival_e6"),
     )

@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    grid,
+    int_ratio,
+)
 from multithreaded_map_reduce_library_spark.plans.pipeline import _duck_quality_sql
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
@@ -27,12 +31,12 @@ _SQ_Z = 1.96
     oracle=f"""
         WITH q AS ({_duck_quality_sql()}),
         j AS (
-            SELECT d.source, q.quality
+            SELECT d.source, q.quality_e4
             FROM documents d JOIN q ON d.doc_id = q.doc_id
         ),
         s AS (
             SELECT source, COUNT(*) AS n,
-                   COUNT(*) FILTER (WHERE quality >= {_SQ_GOOD}) AS good
+                   COUNT(*) FILTER (WHERE quality_e4 >= {int(_SQ_GOOD * 10000)}) AS good
             FROM j GROUP BY source
         ),
         w AS (
@@ -45,8 +49,8 @@ _SQ_Z = 1.96
             FROM s
         )
         SELECT source, n, good,
-               ROUND(CAST(good AS DOUBLE) / n, 6) AS good_rate_r,
-               ROUND(lb, 6) AS wilson_lb_r,
+               CAST((good * 1000000 + n // 2) // n AS BIGINT) AS good_rate_e6,
+               CAST(FLOOR(lb * 1000000.0 + 0.5) AS BIGINT) AS wilson_lb_e6,
                CAST(ROW_NUMBER() OVER (ORDER BY lb DESC, source ASC) AS BIGINT)
                    AS rnk
         FROM w
@@ -69,11 +73,13 @@ def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     j = docs.select(
-        "source", F.round(T.quality_score("text"), 4).alias("quality")
+        "source", grid(T.quality_score("text"), 4).alias("quality_e4")
     )
     s = j.groupBy("source").agg(
         F.count("*").alias("n"),
-        F.count(F.when(F.col("quality") >= _SQ_GOOD, 1)).alias("good"),
+        F.count(F.when(F.col("quality_e4") >= int(_SQ_GOOD * 10000), 1)).alias(
+            "good"
+        ),
     )
     p = F.col("good").cast("double") / F.col("n")
     z = _SQ_Z
@@ -96,10 +102,8 @@ def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n",
             "good",
-            F.round(F.col("good").cast("double") / F.col("n"), 6).alias(
-                "good_rate_r"
-            ),
-            F.round("lb", 6).alias("wilson_lb_r"),
+            int_ratio(F.col("good"), F.col("n"), 6).alias("good_rate_e6"),
+            grid(F.col("lb"), 6).alias("wilson_lb_e6"),
             "rnk",
         )
     )
@@ -123,9 +127,13 @@ def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM l GROUP BY p_type
         )
         SELECT p_type, n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity_r
-        FROM s WHERE n * sxx - sx * sx > 0
+               CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS elasticity_e6
+        FROM s WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
     """,
     tags=("statistics", "elasticity", "regression", "lineitem"),
 )
@@ -140,7 +148,8 @@ def price_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: one broadcast part join + a per-type aggregate of
     five BIGINT sums — sufficient-statistics regression, any group
     count. Magnitudes: |log grids| <= ~1.2e5, squares <= 1.5e10,
-    sums at sf0.1 <= ~1e16 — inside int64.
+    sums at sf0.1 <= ~1e16 — inside int64; the n*sxy-style PRODUCTS
+    are formed in double (they exceed int64), exactly as the oracle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -167,10 +176,15 @@ def price_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x_q") * F.col("y_q")).alias("sxy"),
         F.sum(F.col("x_q") * F.col("x_q")).alias("sxx"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # Products are formed in DOUBLE from the exact integer sums: n*sxy
+    # overflows int64 at sf0.1 group sizes, and doubles-from-exact-ints
+    # are bit-identical in both engines (grid rule), so the slope and
+    # its positivity guard stay deterministic.
+    n_d = F.col("n").cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
     return s.where(den > 0).select(
         "p_type",
         "n",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("elasticity_r"),
+        grid(num / den, 6).alias("elasticity_e6"),
     )

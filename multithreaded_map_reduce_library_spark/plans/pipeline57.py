@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.plans.pipeline import _TOKS
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -190,17 +191,18 @@ def dunning_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fit AS (
             SELECT side,
-                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6)
-                       AS slope_r,
-                   ROUND(CAST(sy AS DOUBLE) / n / 1000000.0, 6) AS mean_r
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS slope_e6,
+                   CAST(FLOOR(CAST(sy AS DOUBLE) / n / 1000000.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS mean_e6
             FROM s WHERE n * sxx - sx * sx > 0
         )
         SELECT (SELECT MAX(cp_i) FROM cp) AS cp_index,
-               MAX(CASE WHEN side = 0 THEN slope_r END) AS slope_pre_r,
-               MAX(CASE WHEN side = 0 THEN mean_r END) AS mean_pre_r,
-               MAX(CASE WHEN side = 1 THEN slope_r END) AS slope_post_r,
-               MAX(CASE WHEN side = 1 THEN mean_r END) AS mean_post_r
+               MAX(CASE WHEN side = 0 THEN slope_e6 END) AS slope_pre_r,
+               MAX(CASE WHEN side = 0 THEN mean_e6 END) AS mean_pre_r,
+               MAX(CASE WHEN side = 1 THEN slope_e6 END) AS slope_post_r,
+               MAX(CASE WHEN side = 1 THEN mean_e6 END) AS mean_post_r
         FROM fit
     """,
     tags=("time-series", "changepoint", "regression", "events", "global-sort"),
@@ -256,17 +258,17 @@ def changepoint_segment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     fit = s.where(den > 0).select(
         "side",
-        F.round(num.cast("double") / den.cast("double") / 1000000.0, 6).alias(
-            "slope_r"
+        grid(num.cast("double") / den.cast("double") / 1000000.0, 6).alias(
+            "slope_e6"
         ),
-        F.round(
+        grid(
             F.col("sy").cast("double") / F.col("n") / 1000000.0, 6
-        ).alias("mean_r"),
+        ).alias("mean_e6"),
     )
     return fit.crossJoin(F.broadcast(cp)).agg(
         F.max("cp_i").alias("cp_index"),
-        F.max(F.when(F.col("side") == 0, F.col("slope_r"))).alias("slope_pre_r"),
-        F.max(F.when(F.col("side") == 0, F.col("mean_r"))).alias("mean_pre_r"),
-        F.max(F.when(F.col("side") == 1, F.col("slope_r"))).alias("slope_post_r"),
-        F.max(F.when(F.col("side") == 1, F.col("mean_r"))).alias("mean_post_r"),
+        F.max(F.when(F.col("side") == 0, F.col("slope_e6"))).alias("slope_pre_r"),
+        F.max(F.when(F.col("side") == 0, F.col("mean_e6"))).alias("mean_pre_r"),
+        F.max(F.when(F.col("side") == 1, F.col("slope_e6"))).alias("slope_post_r"),
+        F.max(F.when(F.col("side") == 1, F.col("mean_e6"))).alias("mean_post_r"),
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -123,9 +124,10 @@ def haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM k GROUP BY decile
         )
         SELECT decile, n_customers, dec_rev,
-               ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile ASC
-                                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                     / g.tot, 6) AS cum_share_r
+               CAST((CAST(SUM(dec_rev) OVER (ORDER BY decile ASC
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+                     + CAST(g.tot AS BIGINT) // 2) // CAST(g.tot AS BIGINT) AS BIGINT)
+                   AS cum_share_e6
         FROM dec CROSS JOIN g
     """,
     tags=("analytics", "inequality", "lorenz", "orders", "ntile", "global-sort"),
@@ -163,7 +165,7 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_customers",
         "dec_rev",
-        F.round(
-            F.sum("dec_rev").over(wcum).cast("double") / F.col("tot"), 6
-        ).alias("cum_share_r"),
+        int_ratio(F.sum("dec_rev").over(wcum), F.col("tot"), 6).alias(
+            "cum_share_e6"
+        ),
     )

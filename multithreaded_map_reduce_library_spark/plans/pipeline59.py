@@ -5,8 +5,11 @@ and chi-squared on the full table: TV is the one with the "fraction of
 traffic that changed type" reading).
 
 Both exact-integer: the signature sums 48-bit content hashes mod 2^48
-(commutative — partition order can never change it); TV distances are
-max |c1*n2 - c2*n1| cross-multiplications divided once.
+(commutative — partition order can never change it) with DECIMAL(38,0)
+partials so the running sum cannot overflow int64 at any corpus size;
+TV distances are max |c1*n2 - c2*n1| cross-multiplications over a FULL
+OUTER per-type merge (a type that appears or vanishes between the two
+weeks contributes its entire share), displayed on the _e6 grid.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import int_ratio_big
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -25,8 +29,8 @@ _POW48 = 1 << 48
     oracle=f"""
         SELECT COUNT(*) AS n_docs,
                SUM(octet_length(encode(text))) AS n_bytes,
-               SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
-                                        1, 12)) AS BIGINT)) % {_POW48}
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                        1, 12)) AS BIGINT)) % {_POW48} AS BIGINT)
                    AS content_sig
         FROM documents
     """,
@@ -41,6 +45,13 @@ def corpus_content_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     data catalog records per dataset version; two engines producing the
     same signature have byte-identical corpora.
 
+    Overflow design (ADVICE r2): 48-bit terms summed as BIGINT would
+    overflow int64 at ~32k documents — exactly the whole-corpus sizes
+    the invariant exists for (DuckDB silently widens to INT128; Spark 4
+    ANSI hard-errors). The Spark sum therefore runs in DECIMAL(38,0)
+    (exact at any corpus size; Spark widens sum(decimal) precision
+    automatically) and takes the modulus at the end.
+
     Scale design: one map-side hash per row + a 3-value aggregate with
     map-side combine. The cheapest possible whole-corpus invariant.
     """
@@ -54,10 +65,13 @@ def corpus_content_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    sig = (
+        F.sum(h.cast("decimal(38,0)")) % F.lit(_POW48).cast("decimal(38,0)")
+    ).cast("bigint")
     return docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length(F.encode("text", "utf-8"))).alias("n_bytes"),
-        (F.sum(h) % _POW48).alias("content_sig"),
+        sig.alias("content_sig"),
     )
 
 
@@ -71,20 +85,28 @@ def corpus_content_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY week, event_type
         ),
         n AS (SELECT week, SUM(c) AS n FROM w GROUP BY week),
+        m AS (
+            SELECT COALESCE(a.week, b.week - 1) AS week_a,
+                   COALESCE(a.event_type, b.event_type) AS event_type,
+                   COALESCE(a.c, 0) AS ca,
+                   COALESCE(b.c, 0) AS cb
+            FROM w a FULL OUTER JOIN w b
+              ON b.week = a.week + 1 AND b.event_type = a.event_type
+        ),
         p AS (
-            SELECT a.week AS week_a, b.week AS week_b,
-                   a.event_type,
-                   ABS(a.c * nb.n - b.c * na.n) AS num,
+            SELECT m.week_a, m.week_a + 1 AS week_b,
+                   ABS(m.ca * nb.n - m.cb * na.n) AS num,
                    na.n AS n_a, nb.n AS n_b
-            FROM w a
-            JOIN w b ON b.week = a.week + 1 AND b.event_type = a.event_type
-            JOIN n na ON na.week = a.week
-            JOIN n nb ON nb.week = b.week
+            FROM m
+            JOIN n na ON na.week = m.week_a
+            JOIN n nb ON nb.week = m.week_a + 1
         )
         SELECT week_a, week_b,
-               MAX(num) AS tv_num,
-               ROUND(CAST(MAX(num) AS DOUBLE)
-                     / (CAST(MAX(n_a) AS DOUBLE) * MAX(n_b)), 6) AS tv_max_r
+               CAST(MAX(num) AS BIGINT) AS tv_num,
+               CAST((MAX(num) // (MAX(n_a) * MAX(n_b))) * 1000000
+                    + ((MAX(num) % (MAX(n_a) * MAX(n_b))) * 1000000
+                       + (MAX(n_a) * MAX(n_b)) // 2) // (MAX(n_a) * MAX(n_b))
+                    AS BIGINT) AS tv_max_e6
         FROM p GROUP BY week_a, week_b
     """,
     tags=("drift", "total-variation", "events"),
@@ -95,11 +117,22 @@ def weekly_type_mix_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance): the drift lens with a direct operational reading — "no
     event type's traffic share moved more than X points". Share
     differences are exact cross-multiplications |c1*n2 - c2*n1|
-    (the ks_test_value_drift rule), divided once for display.
+    (the ks_test_value_drift rule), displayed as an exact integer
+    half-up ratio on the _e6 grid.
+
+    FULL OUTER per-type merge (ADVICE r2): the round-2 inner join
+    silently dropped any type present in only one of the two weeks, so
+    a type whose traffic vanished or newly appeared — the largest
+    possible share change — was invisible to the reported max. Types
+    absent on one side now contribute COALESCE(c, 0), i.e. their full
+    share; week totals come from the totals table, so only week pairs
+    where both weeks exist are reported (unchanged).
 
     Scale design: a (week, type) count, week totals, and a
-    consecutive-week equi-join over the tiny mix relation — drift
-    monitors never touch corpus-sized state after the first aggregate.
+    consecutive-week full-outer merge over the tiny mix relation —
+    drift monitors never touch corpus-sized state after the first
+    aggregate. The n_a*n_b denominator product stays in BIGINT (safe to
+    ~3e9 events/week; int_ratio_big keeps the scaled numerator exact).
     """
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy(
@@ -111,40 +144,33 @@ def weekly_type_mix_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count("*").alias("c"))
     n = w.groupBy("week").agg(F.sum("c").alias("n"))
-    a = (
-        w.join(n, "week")
-        .select(
-            F.col("week").alias("week_a"),
-            "event_type",
-            F.col("c").alias("ca"),
-            F.col("n").alias("n_a"),
-        )
-    )
-    b = (
-        w.join(n, "week")
-        .select(
-            F.col("week").alias("week_b"),
-            "event_type",
-            F.col("c").alias("cb"),
-            F.col("n").alias("n_b"),
-        )
-    )
-    p = a.join(
+    a = w.select(F.col("week").alias("wa"), F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    b = w.select(F.col("week").alias("wb"), F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    m = a.join(
         b,
-        (F.col("week_b") == F.col("week_a") + 1)
-        & (a["event_type"] == b["event_type"]),
+        (F.col("wb") == F.col("wa") + 1) & (F.col("ta") == F.col("tb")),
+        "full_outer",
     ).select(
-        "week_a",
-        "week_b",
-        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("num"),
-        "n_a",
-        "n_b",
+        F.coalesce(F.col("wa"), F.col("wb") - 1).alias("week_a"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    na = n.select(F.col("week").alias("week_a"), F.col("n").alias("n_a"))
+    nb = n.select((F.col("week") - 1).alias("week_a"), F.col("n").alias("n_b"))
+    p = (
+        m.join(na, "week_a")
+        .join(nb, "week_a")
+        .select(
+            "week_a",
+            (F.col("week_a") + 1).alias("week_b"),
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("num"),
+            "n_a",
+            "n_b",
+        )
     )
     return p.groupBy("week_a", "week_b").agg(
         F.max("num").alias("tv_num"),
-        F.round(
-            F.max("num").cast("double")
-            / (F.max("n_a").cast("double") * F.max("n_b")),
-            6,
-        ).alias("tv_max_r"),
+        int_ratio_big(
+            F.max("num"), F.max("n_a") * F.max("n_b"), 6
+        ).alias("tv_max_e6"),
     )

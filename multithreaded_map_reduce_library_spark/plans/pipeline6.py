@@ -30,9 +30,9 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM events GROUP BY user_id
         )
         SELECT user_id, n_events,
-               ROUND(list_reduce(vals,
+               CAST(FLOOR(list_reduce(vals,
                      (acc, x) -> acc * CAST(0.8 AS DOUBLE)
-                                 + x * CAST(0.2 AS DOUBLE)), 4) AS ewma
+                                 + x * CAST(0.2 AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS ewma_e4
         FROM a
     """,
     tags=("timeseries", "ewma", "fold", "events"),
@@ -67,7 +67,9 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, 1),
         lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
     )
-    return a.select("user_id", "n_events", F.round(ewma, 4).alias("ewma"))
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
+    return a.select("user_id", "n_events", grid(ewma, 4).alias("ewma_e4"))
 
 
 @register(

@@ -21,6 +21,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline import (
     _TOKS,
     _duck_stopword_count,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -117,7 +118,8 @@ _BD_TOPK = 30
             GROUP BY source_a, source_b
         )
         SELECT source_a, source_b,
-               ROUND(CAST(dsum AS DOUBLE) / m / 10000.0, 6) AS delta_r
+               CAST(FLOOR(CAST(dsum AS DOUBLE) / m / 10000.0
+                          * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
         FROM pairs
     """,
     tags=("stylometry", "sources", "distance", "documents", "topk"),
@@ -215,7 +217,7 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "source_a",
         "source_b",
-        F.round(
+        grid(
             F.col("dsum").cast("double") / F.col("m") / 10000.0, 6
-        ).alias("delta_r"),
+        ).alias("delta_e6"),
     )

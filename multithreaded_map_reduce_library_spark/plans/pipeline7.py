@@ -196,9 +196,9 @@ def linear_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         d AS (SELECT doc_id, SUM(n) AS n_tokens, SUM(n * n) AS sum_sq
               FROM c GROUP BY doc_id)
         SELECT doc_id, n_tokens,
-               ROUND(1.0 - CAST(sum_sq AS DOUBLE)
-                     / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
-                   6) AS simpson
+               CAST(FLOOR((1.0 - CAST(sum_sq AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS simpson_e6
         FROM d
     """,
     tags=("text-analysis", "diversity", "quality", "documents"),
@@ -224,13 +224,15 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_tokens"),
         F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
     )
-    simpson = F.round(
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
+    simpson = grid(
         F.lit(1.0)
         - F.col("sum_sq").cast("double")
         / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")),
         6,
     )
-    return d.select("doc_id", "n_tokens", simpson.alias("simpson"))
+    return d.select("doc_id", "n_tokens", simpson.alias("simpson_e6"))
 
 
 @register(

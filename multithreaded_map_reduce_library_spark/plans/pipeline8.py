@@ -366,8 +366,8 @@ _AQ_ACC = 1000  # approx_percentile accuracy: rank error <= n / accuracy
     "approx_quantile_error",
     oracle="""
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
-               ROUND(quantile_cont(value, 0.9), 4) AS p90_exact,
+               CAST(FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) AS BIGINT) AS p50_exact_e4,
+               CAST(FLOOR(quantile_cont(value, 0.9) * 10000.0 + 0.5) AS BIGINT) AS p90_exact_e4,
                TRUE AS within_bound
         FROM events GROUP BY event_type
     """,
@@ -412,9 +412,11 @@ def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol)
         & (F.abs(F.col("r90") - 0.9 * F.col("n")) <= tol)
     )
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
     return ranked.select(
         "event_type",
-        F.round("p50x", 4).alias("p50_exact"),
-        F.round("p90x", 4).alias("p90_exact"),
+        grid(F.col("p50x"), 4).alias("p50_exact_e4"),
+        grid(F.col("p90x"), 4).alias("p90_exact_e4"),
         ok.alias("within_bound"),
     )

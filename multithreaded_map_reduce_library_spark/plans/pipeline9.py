@@ -54,13 +54,13 @@ def _jl_oracle() -> str:
     for j in range(_JL_OUT):
         s = "[" + ", ".join(f"{v:.1f}" for v in _SIGNS[j]) + "]"
         dims.append(
-            f"ROUND(0.25 * list_reduce(list_prepend(0.0, "
+            f"CAST(FLOOR(0.25 * list_reduce(list_prepend(0.0, "
             f"list_transform(range({_JL_IN}), i -> CAST(embedding[i + 1] AS DOUBLE)"
-            f" * ({s}::DOUBLE[])[i + 1])), (a, b) -> a + b), 6)"
+            f" * ({s}::DOUBLE[])[i + 1])), (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT)"
         )
     cols = ", ".join(dims)
     return f"""
-        SELECT vec_id, label, [{cols}] AS proj
+        SELECT vec_id, label, [{cols}] AS proj_e6
         FROM embeddings
     """
 
@@ -82,14 +82,17 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (in production: a broadcast var) — the projection
     is pure map-side, zero shuffle, and the scan prunes to the three
     needed columns. Fold order, seed 0.0, and the binary-exact 0.25
-    scale are identical in plan and oracle, so the rounded outputs are
-    bit-stable cross-engine (module docstring).
+    scale are identical in plan and oracle, so the grid-quantized
+    outputs (_e6 fixed-point BIGINTs, functions/grid.py) are bit-stable
+    cross-engine (module docstring).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    from multithreaded_map_reduce_library_spark.functions.grid import grid
+
     proj = F.array(
         *[
-            F.round(
+            grid(
                 F.lit(0.25)
                 * F.aggregate(
                     F.sequence(F.lit(1), F.lit(_JL_IN)),
@@ -103,7 +106,7 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_JL_OUT)
         ]
     )
-    return emb.select("vec_id", "label", proj.alias("proj"))
+    return emb.select("vec_id", "label", proj.alias("proj_e6"))
 
 
 _WRS_K = 5  # sample size per language

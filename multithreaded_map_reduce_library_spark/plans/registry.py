@@ -140,6 +140,7 @@ def _load_all() -> None:
         pipeline59,
         pipeline60,
         pipeline61,
+        pipeline62,
         relational,
         relational2,
         relational3,

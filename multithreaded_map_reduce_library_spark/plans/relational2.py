@@ -13,12 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import (
+    gavg,
+    grid,
+    gsum,
+    int_ratio_big,
+)
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
-
-
-def _r4(c):
-    return F.round(c, 4)
 
 
 # --------------------------------------------------------------------------
@@ -29,7 +31,7 @@ def _r4(c):
 @register(
     "q6_revenue_forecast",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -55,7 +57,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            gsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue_e4"),
             F.count("*").alias("n_items"),
         )
     )
@@ -97,12 +99,15 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
-        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
+        SELECT CAST((pr * 100 // tr) * 10000
+                    + ((pr * 100 % tr) * 10000 + tr // 2) // tr AS BIGINT) AS promo_pct_e4
+        FROM (SELECT SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS pr,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS tr
+              FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-02-01'
+          AND l_shipdate <  TIMESTAMP '1997-02-01')
     """,
     tags=("join", "tpch", "conditional-agg"),
 )
@@ -114,10 +119,18 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    rev_e4 = F.floor(rev * 10000.0 + F.lit(0.5)).cast("bigint")
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
+    # promo share of revenue in percent on a 1e-4 grid, exact integer
+    # arithmetic end to end (int_ratio_big avoids the 10^6 blowup of the
+    # scaled numerator).
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(_r4(100.0 * F.sum(promo_rev) / F.sum(rev)).alias("promo_pct"))
+        .agg(
+            int_ratio_big(F.sum(promo_e4) * 100, F.sum(rev_e4), 4).alias(
+                "promo_pct_e4"
+            )
+        )
     )
 
 
@@ -125,7 +138,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     oracle="""
         SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-               ROUND(SUM(l_quantity), 4) AS total_qty
+               CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_e2
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -153,7 +166,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(_r4(F.sum("l_quantity")).alias("total_qty"))
+        .agg(gsum(F.col("l_quantity"), 2).alias("total_qty_e2"))
     )
 
 
@@ -166,7 +179,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_part_brand_size",
     oracle="""
         SELECT p_brand, p_type, COUNT(*) AS n_parts,
-               ROUND(AVG(p_retailprice), 4) AS avg_price
+               CAST((SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) * 100
+                     + COUNT(p_retailprice) // 2) // COUNT(p_retailprice) AS BIGINT) AS avg_price_e4
         FROM part
         GROUP BY CUBE (p_brand, p_type)
     """,
@@ -177,7 +191,7 @@ def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a single Expand + aggregate — one shuffle, not four)."""
     p = load_table(spark, sf_dir, "part")
     return p.cube("p_brand", "p_type").agg(
-        F.count("*").alias("n_parts"), _r4(F.avg("p_retailprice")).alias("avg_price")
+        F.count("*").alias("n_parts"), gavg(F.col("p_retailprice"), 2).alias("avg_price_e4")
     )
 
 
@@ -215,9 +229,9 @@ def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_lineitem",
     oracle="""
         SELECT l_returnflag,
-               ROUND(quantile_cont(l_quantity, 0.5), 4)  AS p50_qty,
-               ROUND(quantile_cont(l_quantity, 0.9), 4)  AS p90_qty,
-               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+               CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) AS BIGINT)  AS p50_qty_e4,
+               CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) AS BIGINT)  AS p90_qty_e4,
+               CAST(FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5) AS BIGINT) AS p99_price_e4
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -230,34 +244,77 @@ def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares values."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        _r4(F.percentile("l_quantity", F.lit(0.5))).alias("p50_qty"),
-        _r4(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
-        _r4(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
+        grid(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty_e4"),
+        grid(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty_e4"),
+        grid(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price_e4"),
     )
 
 
 @register(
     "stats_price_quantity",
     oracle="""
+        WITH q AS (SELECT l_linestatus,
+                          CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qv,
+                          CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pv
+                   FROM lineitem),
+        m AS (SELECT l_linestatus,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) AS sq,
+                     CAST(CAST(SUM(pv) AS BIGINT) AS DOUBLE) AS sp,
+                     CAST(CAST(SUM(qv*qv) AS BIGINT) AS DOUBLE) AS sq2,
+                     CAST(CAST(SUM(pv*pv) AS BIGINT) AS DOUBLE) AS sp2,
+                     CAST(CAST(SUM(qv*pv) AS BIGINT) AS DOUBLE) AS sqp
+              FROM q GROUP BY l_linestatus)
         SELECT l_linestatus,
-               ROUND(stddev_samp(l_quantity), 4)                    AS sd_qty,
-               ROUND(var_samp(l_extendedprice), 4)                  AS var_price,
-               ROUND(corr(l_quantity, l_extendedprice), 4)          AS corr_qty_price,
-               ROUND(covar_samp(l_quantity, l_extendedprice), 4)    AS cov_qty_price
-        FROM lineitem
-        GROUP BY l_linestatus
+               CAST(FLOOR(sqrt((sq2 - sq*sq/n) / (n-1)) / 100.0 * 10000.0 + 0.5) AS BIGINT) AS sd_qty_e4,
+               CAST(FLOOR((sp2 - sp*sp/n) / (n-1) / 10000.0 * 10000.0 + 0.5) AS BIGINT) AS var_price_e4,
+               CAST(FLOOR((sqp - sq*sp/n) / (sqrt(sq2 - sq*sq/n) * sqrt(sp2 - sp*sp/n)) * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_e4,
+               CAST(FLOOR((sqp - sq*sp/n) / (n-1) / 10000.0 * 10000.0 + 0.5) AS BIGINT) AS cov_qty_price_e4
+        FROM m
     """,
     tags=("agg", "stats"),
 )
 def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion + association statistics (stddev/variance/corr/covar) —
-    single-pass partial-aggregable moments."""
+    single-pass partial-aggregable moments.
+
+    Determinism (grid rule): the built-in STDDEV/VAR/CORR single-pass
+    aggregates carry double partials whose low bits depend on merge
+    order, and var_price's magnitude (~1e8) puts that noise ABOVE a 4dp
+    rounding grid — so the moments are instead derived from exact
+    integer-cent power sums (n, Σq, Σp, Σq², Σp², Σqp — BIGINT, one
+    map-side-combined shuffle, same plan shape) and the identical IEEE
+    double expression on both engines, displayed on the _e4 grid.
+    BIGINT headroom: Σp² ≈ 2.5e13/item — fine to ~3e5 items/group;
+    beyond that widen the squares to DECIMAL(38,0)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_linestatus").agg(
-        _r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
-        _r4(F.var_samp("l_extendedprice")).alias("var_price"),
-        _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-        _r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_qty_price"),
+    qv = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("bigint")
+    pv = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    m = (
+        l.select("l_linestatus", qv.alias("qv"), pv.alias("pv"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("qv").cast("double").alias("sq"),
+            F.sum("pv").cast("double").alias("sp"),
+            F.sum(F.col("qv") * F.col("qv")).cast("double").alias("sq2"),
+            F.sum(F.col("pv") * F.col("pv")).cast("double").alias("sp2"),
+            F.sum(F.col("qv") * F.col("pv")).cast("double").alias("sqp"),
+        )
+    )
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sq2, sp2, sqp = F.col("sq2"), F.col("sp2"), F.col("sqp")
+    var_q_num = sq2 - sq * sq / n
+    var_p_num = sp2 - sp * sp / n
+    cov_num = sqp - sq * sp / n
+    return m.select(
+        "l_linestatus",
+        grid(F.sqrt(var_q_num / (n - 1)) / 100.0, 4).alias("sd_qty_e4"),
+        grid(var_p_num / (n - 1) / 10000.0, 4).alias("var_price_e4"),
+        grid(cov_num / (F.sqrt(var_q_num) * F.sqrt(var_p_num)), 4).alias(
+            "corr_qty_price_e4"
+        ),
+        grid(cov_num / (n - 1) / 10000.0, 4).alias("cov_qty_price_e4"),
     )
 
 
@@ -265,7 +322,7 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_revenue_by_region",
     oracle="""
         SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               ROUND(SUM(o_totalprice), 4) AS revenue
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation   ON c_nationkey = n_nationkey
                     JOIN region   ON n_regionkey = r_regionkey
@@ -282,7 +339,7 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["orders", "customer", "nation", "region"])
     return spark.sql("""
         SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
-               ROUND(SUM(o_totalprice), 4) AS revenue
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation   ON c_nationkey = n_nationkey
                     JOIN region   ON n_regionkey = r_regionkey

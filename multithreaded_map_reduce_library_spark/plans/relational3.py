@@ -13,15 +13,17 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table, register_views
 
 
-def _r4(c):
-    return F.round(c, 4)
+from multithreaded_map_reduce_library_spark.functions.grid import (  # noqa: E402
+    grid,
+    gsum,
+)
 
 
 @register(
     "grouping_sets_lineitem",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice), 4) AS sum_price
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_e2
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -33,7 +35,7 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice), 4) AS sum_price
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_e2
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
@@ -43,10 +45,10 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_order_gaps",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               ROUND(o_totalprice - LAG(o_totalprice) OVER w, 4)  AS diff_prev,
-               ROUND(LEAD(o_totalprice) OVER w - o_totalprice, 4) AS diff_next,
-               ROUND(FIRST_VALUE(o_totalprice) OVER w2, 4)        AS first_price,
-               ROUND(LAST_VALUE(o_totalprice) OVER w2, 4)         AS last_price
+               CAST(FLOOR((o_totalprice - LAG(o_totalprice) OVER w) * 100.0 + 0.5) AS BIGINT)  AS diff_prev_e2,
+               CAST(FLOOR((LEAD(o_totalprice) OVER w - o_totalprice) * 100.0 + 0.5) AS BIGINT) AS diff_next_e2,
+               CAST(FLOOR(FIRST_VALUE(o_totalprice) OVER w2 * 100.0 + 0.5) AS BIGINT)        AS first_price_e2,
+               CAST(FLOOR(LAST_VALUE(o_totalprice) OVER w2 * 100.0 + 0.5) AS BIGINT)         AS last_price_e2
         FROM orders
         WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -64,10 +66,10 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        _r4(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("diff_prev"),
-        _r4(F.lead("o_totalprice").over(w) - F.col("o_totalprice")).alias("diff_next"),
-        _r4(F.first("o_totalprice").over(w2)).alias("first_price"),
-        _r4(F.last("o_totalprice").over(w2)).alias("last_price"),
+        grid(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("diff_prev_e2"),
+        grid(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("diff_next_e2"),
+        grid(F.first("o_totalprice").over(w2), 2).alias("first_price_e2"),
+        grid(F.last("o_totalprice").over(w2), 2).alias("last_price_e2"),
     )
 
 
@@ -76,8 +78,8 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey,
                CAST(NTILE(4) OVER w AS BIGINT)      AS quartile,
-               ROUND(PERCENT_RANK() OVER w, 6)      AS pct_rank,
-               ROUND(CUME_DIST() OVER w, 6)         AS cume,
+               CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6,
+               CAST(FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) AS BIGINT)     AS cume_e6,
                CAST(DENSE_RANK() OVER ws AS BIGINT) AS status_rank
         FROM orders
         WINDOW w  AS (ORDER BY o_totalprice DESC, o_orderkey ASC),
@@ -96,8 +98,8 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        grid(F.percent_rank().over(w), 6).alias("pct_rank_e6"),
+        grid(F.cume_dist().over(w), 6).alias("cume_e6"),
         F.dense_rank().over(ws).cast("bigint").alias("status_rank"),
     )
 
@@ -222,9 +224,10 @@ def full_outer_join_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT l_orderkey,
                array_to_string(list_sort(list(l_quantity)), ',') AS qty_sorted,
                CAST(len(list(l_quantity)) AS INTEGER)            AS n_items,
-               ROUND(list_aggregate(list(l_quantity), 'max'), 4) AS max_qty,
-               ROUND(list_aggregate(list_transform(list_sort(list(l_quantity)),
-                     q -> q * 2), 'min'), 4)                     AS min_doubled
+               CAST(FLOOR(list_aggregate(list(l_quantity), 'max') * 10000.0 + 0.5)
+                    AS BIGINT) AS max_qty_e4,
+               CAST(FLOOR(list_aggregate(list_transform(list_sort(list(l_quantity)),
+                     q -> q * 2), 'min') * 10000.0 + 0.5) AS BIGINT) AS min_doubled_e4
         FROM lineitem
         WHERE l_orderkey < 200
         GROUP BY l_orderkey
@@ -240,8 +243,8 @@ def array_funcs_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_orderkey").agg(
         F.array_join(qtys, ",").alias("qty_sorted"),
         F.size(qtys).alias("n_items"),
-        _r4(F.array_max(qtys)).alias("max_qty"),
-        _r4(F.array_min(F.transform(qtys, lambda q: q * 2))).alias("min_doubled"),
+        grid(F.array_max(qtys), 4).alias("max_qty_e4"),
+        grid(F.array_min(F.transform(qtys, lambda q: q * 2)), 4).alias("min_doubled_e4"),
     )
 
 
@@ -338,12 +341,12 @@ def regexp_extract_all_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (SELECT o_orderpriority,
                           CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-                          ROUND(SUM(o_totalprice), 4) AS day_rev
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS day_rev_e2
                    FROM orders GROUP BY 1, 2)
         SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day,
-               ROUND(SUM(day_rev) OVER (PARTITION BY o_orderpriority ORDER BY day
-                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
-                   AS rev_7d
+               CAST(SUM(day_rev_e2) OVER (PARTITION BY o_orderpriority ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS rev_7d_e2
         FROM d
     """,
     tags=("window", "range-frame"),
@@ -356,7 +359,7 @@ def moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderpriority", F.date_trunc("day", "o_orderdate").cast("date").alias("day")
-    ).agg(_r4(F.sum("o_totalprice")).alias("day_rev"))
+    ).agg(gsum(F.col("o_totalprice"), 2).alias("day_rev_e2"))
     epoch_day = F.datediff("day", F.lit("1970-01-01").cast("date"))
     w = (
         Window.partitionBy("o_orderpriority")
@@ -366,7 +369,7 @@ def moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "o_orderpriority",
         F.col("day").cast("timestamp_ntz").alias("day"),
-        _r4(F.sum("day_rev").over(w)).alias("rev_7d"),
+        F.sum("day_rev_e2").over(w).alias("rev_7d_e2"),
     )
 
 
@@ -374,7 +377,7 @@ def moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inline_dim_weighted_revenue",
     oracle="""
         SELECT w.tier, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice * w.weight), 4) AS weighted_rev
+               CAST(SUM(CAST(FLOOR(o_totalprice * w.weight * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS weighted_rev_e4
         FROM orders o
         JOIN (VALUES ('1-URGENT', 'hot', 2.0), ('2-HIGH', 'hot', 1.5),
                      ('3-MEDIUM', 'warm', 1.0), ('4-NOT SPECIFIED', 'cold', 0.5),
@@ -404,7 +407,7 @@ def inline_dim_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count("*").alias("n_orders"),
-            _r4(F.sum(F.col("o_totalprice") * F.col("weight"))).alias("weighted_rev"),
+            gsum(F.col("o_totalprice") * F.col("weight"), 4).alias("weighted_rev_e4"),
         )
     )
 

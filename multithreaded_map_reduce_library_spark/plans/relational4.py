@@ -10,8 +10,7 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
 
-def _r4(c):
-    return F.round(c, 4)
+from multithreaded_map_reduce_library_spark.functions.grid import gavg  # noqa: E402
 
 
 _BANDS = [
@@ -26,7 +25,9 @@ _BANDS = [
 @register(
     "theta_band_join_orders",
     oracle=f"""
-        SELECT b.band, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+        SELECT b.band, COUNT(*) AS n_orders,
+               CAST((SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) * 100
+                     + COUNT(o_totalprice) // 2) // COUNT(o_totalprice) AS BIGINT) AS avg_price_e4
         FROM orders o
         JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
              AS b(band, lo, hi)
@@ -49,7 +50,7 @@ def theta_band_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count("*").alias("n_orders"), _r4(F.avg("o_totalprice")).alias("avg_price"))
+        .agg(F.count("*").alias("n_orders"), gavg(F.col("o_totalprice"), 2).alias("avg_price_e4"))
     )
 
 
@@ -119,7 +120,9 @@ def argmax_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_lineitem_metrics",
     oracle="""
-        SELECT l_returnflag, metric, ROUND(AVG(value), 4) AS avg_value
+        SELECT l_returnflag, metric,
+               CAST((SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) * 100
+                     + COUNT(value) // 2) // COUNT(value) AS BIGINT) AS avg_value_e4
         FROM (
             SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
             UNION ALL
@@ -149,5 +152,5 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         melted.select("l_returnflag", metric.alias("metric"), "value")
         .groupBy("l_returnflag", "metric")
-        .agg(_r4(F.avg("value")).alias("avg_value"))
+        .agg(gavg(F.col("value"), 2).alias("avg_value_e4"))
     )

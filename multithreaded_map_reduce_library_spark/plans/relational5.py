@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import gavg, int_ratio_big
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -203,7 +204,9 @@ def bigram_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median_quantity_by_flag",
     oracle="""
         SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty,
-               ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n
+               CAST((SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) * 100
+                     + COUNT(l_quantity) // 2) // COUNT(l_quantity) AS BIGINT) AS avg_qty_e4,
+               COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "percentile"),
@@ -218,7 +221,7 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        gavg(F.col("l_quantity"), 2).alias("avg_qty_e4"),
         F.count("*").alias("n"),
     )
 
@@ -312,7 +315,10 @@ def order_active_months(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY n_name
         )
         SELECT n_name, rev_e4 / 10000.0 AS revenue,
-               ROUND(rev_e4 / SUM(rev_e4) OVER (), 6) AS share
+               CAST((rev_e4 // SUM(rev_e4) OVER ()) * 1000000
+                    + ((rev_e4 % SUM(rev_e4) OVER ()) * 1000000
+                       + SUM(rev_e4) OVER () // 2) // SUM(rev_e4) OVER ()
+                    AS BIGINT) AS share_e6
         FROM rev
         ORDER BY revenue DESC, n_name
     """,
@@ -341,7 +347,7 @@ def nation_revenue_share_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.select(
             "n_name",
             (F.col("rev_e4") / F.lit(10000.0)).alias("revenue"),
-            F.round(F.col("rev_e4") / F.sum("rev_e4").over(w), 6).alias("share"),
+            int_ratio_big(F.col("rev_e4"), F.sum("rev_e4").over(w), 6).alias("share_e6"),
         )
         .orderBy(F.desc("revenue"), "n_name")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -358,8 +359,9 @@ def approx_topk_tokens_exact_capacity(spark: SparkSession, sf_dir: str) -> DataF
         t AS (SELECT SUM(cur_cents - prev_cents) AS total_delta FROM d)
         SELECT seg, cur_cents, prev_cents,
                cur_cents - prev_cents AS delta_cents,
-               ROUND(CAST(cur_cents - prev_cents AS DOUBLE)
-                   / CAST(total_delta AS DOUBLE), 6) AS share_of_change
+               CAST(FLOOR(CAST(cur_cents - prev_cents AS DOUBLE)
+                   / CAST(total_delta AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS share_of_change_e6
         FROM d CROSS JOIN t
     """,
     tags=("analytics", "contribution", "root-cause", "window"),
@@ -409,11 +411,11 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_cents",
         "prev_cents",
         (F.col("cur_cents") - F.col("prev_cents")).alias("delta_cents"),
-        F.round(
+        grid(
             (F.col("cur_cents") - F.col("prev_cents")).cast("double")
             / F.col("total_delta").cast("double"),
             6,
-        ).alias("share_of_change"),
+        ).alias("share_of_change_e6"),
     )
 
 
@@ -426,7 +428,7 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      MIN(n) AS min_n, MAX(n) AS max_n
               FROM g)
         SELECT n_groups, n_rows, min_n, max_n,
-               ROUND(CAST(n_rows AS DOUBLE) / n_groups, 6) AS avg_n,
+               CAST((n_rows * 1000000 + n_groups // 2) // n_groups AS BIGINT) AS avg_n_e6,
                (SELECT COUNT(*) FROM g, s WHERE n * n_groups > 2 * n_rows)
                    AS n_hot_groups
         FROM s
@@ -463,7 +465,7 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "min_n",
         "max_n",
-        F.round(F.col("n_rows").cast("double") / F.col("n_groups"), 6).alias("avg_n"),
+        int_ratio(F.col("n_rows"), F.col("n_groups"), 6).alias("avg_n_e6"),
         "n_hot_groups",
     )
 

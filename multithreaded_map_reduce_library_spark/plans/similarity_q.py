@@ -20,6 +20,7 @@ from multithreaded_map_reduce_library_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
 )
+from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -45,7 +46,7 @@ def _knn_oracle() -> str:
         r AS (SELECT q_id, n_id, sim,
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM s)
-        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_KNN_K}
     """
 
@@ -63,7 +64,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     res = knn_bruteforce(emb, query_ids=q, k=_KNN_K)
-    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+    return res.select("q_id", "n_id", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 def _bucket_sql(vec: str, num_planes: int = _LSH_PLANES) -> str:
@@ -89,7 +90,7 @@ def _lsh_oracle() -> str:
         r AS (SELECT q_id, n_id, bucket, sim,
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM p)
-        SELECT q_id, n_id, bucket, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, bucket, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_LSH_K}
     """
 
@@ -105,7 +106,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-ranks top-3. The scale path — the all-pairs join never exists."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = knn_lsh(emb, dim=_DIM, k=_LSH_K, num_planes=_LSH_PLANES)
-    return res.select("q_id", "n_id", "bucket", "rank", F.round("sim", 6).alias("sim_r"))
+    return res.select("q_id", "n_id", "bucket", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 _IVF_STRIDE = 50
@@ -132,7 +133,7 @@ def _ivf_oracle() -> str:
         r AS (SELECT q_id, n_id, cell, sim,
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM s)
-        SELECT q_id, n_id, cell, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, cell, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_IVF_K}
     """
 
@@ -150,7 +151,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets the corpus by cell at rest so probes touch one bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = knn_ivf(emb, stride=_IVF_STRIDE, k=_IVF_K, num_queries=_KNN_QUERIES)
-    return res.select("q_id", "n_id", "cell", "rank", F.round("sim", 6).alias("sim_r"))
+    return res.select("q_id", "n_id", "cell", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 def _neardup_oracle() -> str:
@@ -160,7 +161,7 @@ def _neardup_oracle() -> str:
         p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
                      ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
-        SELECT id_a, id_b, ROUND(sim, 6) AS sim_r
+        SELECT id_a, id_b, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM p WHERE sim >= {_NEARDUP_THRESHOLD}
     """
 
@@ -179,7 +180,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_neardup_pairs(
         emb, dim=_DIM, threshold=_NEARDUP_THRESHOLD, num_planes=_NEARDUP_PLANES
     )
-    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    return pairs.select("id_a", "id_b", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 _ADAPT_BASE = 4
@@ -199,7 +200,7 @@ def _adaptive_oracle() -> str:
         p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
                      ({_dot("a.v", "x.v")}) / (sqrt({_dot("a.v", "a.v")}) * sqrt({_dot("x.v", "x.v")})) AS sim
               FROM fb a JOIN fb x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
-        SELECT id_a, id_b, ROUND(sim, 6) AS sim_r
+        SELECT id_a, id_b, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM p WHERE sim >= {_NEARDUP_THRESHOLD}
     """
 
@@ -230,7 +231,7 @@ def dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext_planes=_ADAPT_EXT,
         cap=_ADAPT_CAP,
     )
-    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    return pairs.select("id_a", "id_b", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 def _probe_sql(bucket: str, num_planes: int) -> str:
@@ -257,7 +258,7 @@ def _multiprobe_oracle() -> str:
         r AS (SELECT q_id, n_id, sim,
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM p)
-        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_LSH_K}
     """
 
@@ -281,7 +282,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn_lsh_multiprobe(
         emb, dim=_DIM, k=_LSH_K, num_planes=_LSH_PLANES, num_queries=_KNN_QUERIES
     )
-    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+    return res.select("q_id", "n_id", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 _NPROBE = 2
@@ -306,7 +307,7 @@ def _ivf_nprobe_oracle() -> str:
         r AS (SELECT q_id, n_id, sim,
                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS BIGINT) AS rank
               FROM s)
-        SELECT q_id, n_id, rank, ROUND(sim, 6) AS sim_r
+        SELECT q_id, n_id, rank, CAST(FLOOR(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
         FROM r WHERE rank <= {_IVF_K}
     """
 
@@ -332,7 +333,7 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn_ivf_multiprobe(
         emb, stride=_IVF_STRIDE, k=_IVF_K, nprobe=_NPROBE, num_queries=_KNN_QUERIES
     )
-    return res.select("q_id", "n_id", "rank", F.round("sim", 6).alias("sim_r"))
+    return res.select("q_id", "n_id", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
 def _norm_sql() -> str:
@@ -344,9 +345,10 @@ def _norm_sql() -> str:
     oracle=f"""
         WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT label, COUNT(*) AS n_vecs,
-               ROUND(AVG({_norm_sql()}), 4) AS avg_norm,
-               ROUND(MIN({_norm_sql()}), 6) AS min_norm,
-               ROUND(MAX({_norm_sql()}), 6) AS max_norm
+               CAST((SUM(CAST(FLOOR(({_norm_sql()}) * 1000000.0 + 0.5) AS BIGINT))
+                     + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS avg_norm_e6,
+               CAST(FLOOR(MIN({_norm_sql()}) * 1000000.0 + 0.5) AS BIGINT) AS min_norm_e6,
+               CAST(FLOOR(MAX({_norm_sql()}) * 1000000.0 + 0.5) AS BIGINT) AS max_norm_e6
         FROM e GROUP BY label
     """,
     tags=("similarity", "stats"),
@@ -359,7 +361,11 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = l2_norm("embedding")
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.avg(norm), 4).alias("avg_norm"),
-        F.round(F.min(norm), 6).alias("min_norm"),
-        F.round(F.max(norm), 6).alias("max_norm"),
+        int_ratio(
+            F.sum(F.floor(norm * 1000000.0 + F.lit(0.5)).cast("bigint")),
+            F.count("*"),
+            0,
+        ).alias("avg_norm_e6"),
+        grid(F.min(norm), 6).alias("min_norm_e6"),
+        grid(F.max(norm), 6).alias("max_norm_e6"),
     )

@@ -13,14 +13,18 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
 
-def _r4(c):
-    return F.round(c, 4)
+from multithreaded_map_reduce_library_spark.functions.grid import (  # noqa: E402
+    grid,
+    gsum,
+    int_ratio_big,
+)
 
 
 @register(
     "q7_volume_shipping",
     oracle="""
-        SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -65,7 +69,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
     )
 
 
@@ -73,8 +77,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
         SELECT c_custkey, c_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-               ROUND(c_acctbal, 4) AS acctbal, n_name
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+               CAST(FLOOR(c_acctbal * 10000.0 + 0.5) AS BIGINT) AS acctbal_e4, n_name
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
                       JOIN nation ON c_nationkey = n_nationkey
@@ -82,7 +86,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1997-01-01'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
-        ORDER BY revenue DESC, c_custkey ASC
+        ORDER BY revenue_e4 DESC, c_custkey ASC
         LIMIT 20
     """,
     tags=("join", "tpch", "topk"),
@@ -102,11 +106,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
         .select(
-            "c_custkey", "c_name", "revenue", _r4(F.col("c_acctbal")).alias("acctbal"), "n_name"
+            "c_custkey",
+            "c_name",
+            "revenue_e4",
+            grid(F.col("c_acctbal"), 4).alias("acctbal_e4"),
+            "n_name",
         )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
         .limit(20)
     )
 
@@ -142,7 +150,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT CAST((SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) // 7) * 100
+                    + ((SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) % 7) * 100 + 3) // 7
+                    AS BIGINT) AS avg_yearly_e4
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
           AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -163,14 +173,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(avg_q, l.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(_r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(int_ratio_big(gsum(F.col("l_extendedprice"), 2), F.lit(7), 2).alias("avg_yearly_e4"))
     )
 
 
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -205,6 +215,6 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return j.filter(c1 | c2 | c3).agg(
-        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"),
         F.count("*").alias("n_items"),
     )

@@ -32,8 +32,10 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
 
-def _r4(c):
-    return F.round(c, 4)
+from multithreaded_map_reduce_library_spark.functions.grid import (  # noqa: E402
+    gsum,
+    int_ratio_big,
+)
 
 
 def _derived_ps(l: DataFrame) -> DataFrame:
@@ -112,8 +114,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_national_market_share",
     oracle="""
         SELECT o_year,
-               ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
-                     / SUM(volume), 4) AS mkt_share
+               CAST((SUM(CASE WHEN nation = 'NATION_2'
+                         THEN CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT) ELSE 0 END)
+                     // SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT))) * 10000
+                    + ((SUM(CASE WHEN nation = 'NATION_2'
+                            THEN CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT) ELSE 0 END)
+                        % SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT))) * 10000
+                       + SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT)) // 2)
+                      // SUM(CAST(FLOOR(volume * 10000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mkt_share_e4
         FROM (
             SELECT year(o_orderdate) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -165,10 +174,16 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            _r4(
-                F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol)
-            ).alias("mkt_share")
+            int_ratio_big(
+                F.sum(
+                    F.when(
+                        F.col("nation") == "NATION_2",
+                        F.floor(vol * 10000.0 + F.lit(0.5)).cast("bigint"),
+                    ).otherwise(F.lit(0))
+                ),
+                gsum(vol, 4),
+                4,
+            ).alias("mkt_share_e4")
         )
     )
 
@@ -334,15 +349,15 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+        SELECT s_suppkey, s_name, total_revenue_e4
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM revenue)
     """,
     tags=("join", "tpch", "scalar-subquery", "argmax"),
 )
@@ -355,15 +370,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier")
+    # Revenue is quantized per item (exact BIGINT) BEFORE the argmax cut:
+    # with raw double sums, which supplier(s) hit the max could depend on
+    # summation order — a row-membership hazard, not just a display one.
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue_e4"
+        )
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.agg(F.max("total_revenue_e4").alias("max_rev"))
     return (
         revenue.join(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .filter(F.col("total_revenue_e4") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", _r4(F.col("total_revenue")).alias("total_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
     )
 
 
@@ -534,9 +554,11 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c_nationkey IN (2, 7, 12, 17, 22)
         )
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 4) AS totacctbal
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_e2
         FROM pool
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                                  / (100.0 * COUNT(*))
+                           FROM pool WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
@@ -558,8 +580,13 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= "1999-01-01")
         .select("o_custkey")
     )
+    # Threshold from exact integer cents (sum_e2 / (100*count)) so the
+    # row-membership comparison is the same double in both engines.
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            gsum(F.col("c_acctbal"), 2).cast("double")
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -568,6 +595,6 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            _r4(F.sum("c_acctbal")).alias("totacctbal"),
+            gsum(F.col("c_acctbal"), 2).alias("totacctbal_e2"),
         )
     )

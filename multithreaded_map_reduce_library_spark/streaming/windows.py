@@ -57,7 +57,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_existing(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
+    reader = spark.readStream.schema(schema).format("parquet")
+    # Test-only stressor (tools/stability_sweep.py): cap files per
+    # micro-batch so AvailableNow drains a multi-file source in MULTIPLE
+    # batches — watermark advancement between batches is exactly the
+    # run-condition difference local single-batch runs cannot see
+    # (VERDICT r2 item 2b). Unset (the default) leaves production
+    # behavior untouched.
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAXFILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    raw = reader.load(_as_stream_dir(path))
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -81,15 +91,17 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     """Watermarked tumbling-window aggregate (late rows beyond the watermark
     are dropped and their window state evicted — bounded state at 100 TB/day
     event rates)."""
+    from multithreaded_map_reduce_library_spark.functions.grid import gsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), gsum(F.col("value"), 2).alias("sum_value_e2"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
 
@@ -115,19 +127,25 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id bigint, n_events bigint, sum_value double"
-    state_schema = "n bigint, s double"
+    # State keeps the value sum in integer CENTS (per-item
+    # floor(v*100+0.5), exact for the 2-decimal value column) so the
+    # running total is independent of arrival order and batch boundaries —
+    # a float accumulator's low bits would depend on both.
+    out_schema = "user_id bigint, n_events bigint, sum_value_e2 bigint"
+    state_schema = "n bigint, s_e2 bigint"
 
     def update(key, pdf_iter, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        import math
+
+        n, s_e2 = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            s_e2 += int(sum(math.floor(v * 100.0 + 0.5) for v in pdf["value"]))
+        state.update((n, s_e2))
         import pandas as pd
 
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value_e2": [s_e2]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -174,16 +192,18 @@ def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
 
     class UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+            self._totals = handle.getValueState("totals", "n BIGINT, s_e2 BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            import math
+
+            n, s_e2 = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                s += float(pdf["value"].sum())
-            self._totals.update((n, s))
+                s_e2 += int(sum(math.floor(v * 100.0 + 0.5) for v in pdf["value"]))
+            self._totals.update((n, s_e2))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+                {"user_id": [key[0]], "n_events": [n], "sum_value_e2": [s_e2]}
             )
 
         def close(self) -> None:
@@ -191,7 +211,7 @@ def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserTotals(),
-        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputStructType="user_id bigint, n_events bigint, sum_value_e2 bigint",
         outputMode="Update",
         timeMode="None",
     )

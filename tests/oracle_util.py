@@ -19,7 +19,11 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # EXACT repr, no rounding (round-3 tightening): after the
+        # integer-grid sweep every displayed aggregate is an exact
+        # integer; residual raw doubles must be bit-identical
+        # cross-engine or the gate should fail loudly.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -35,9 +39,15 @@ def _canon(rows, cols) -> Counter:
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # a table may be a DIRECTORY of part files (tools/stability_sweep.py
+        # multi-file streaming leg); DuckDB needs the glob form then.
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()

@@ -32,9 +32,9 @@ def test_containment_catches_subset_duplication(spark, tmp_path):
         (2, f"{filler} {short}", "en", "w", 1),
     ]
     sf = _docs_dir(spark, tmp_path, rows)
-    out = {(r["id_a"], r["id_b"]): r["containment"]
+    out = {(r["id_a"], r["id_b"]): r["containment_e4"]
            for r in _Q["ngram_containment_pairs"].fn(spark, sf).collect()}
-    assert out.get((1, 2)) == 1.0, out
+    assert out.get((1, 2)) == 10000, out
 
 
 def test_kl_drift_signs_follow_overrepresentation(spark, tmp_path):

@@ -162,3 +162,177 @@ def test_png_roundtrip_query_matches_oracle(spark):
 
     q = all_queries()["multimodal_png_roundtrip"]
     compare_query(spark, q.fn, q.oracle, "/root/testdata/sf0.001")
+
+
+def test_png_decoder_palette_and_16bit_raise_never_wrong():
+    """Property: palette (color_type=3) and 16-bit PNGs — the envelope
+    boundary — must raise cleanly (NotImplementedError) for ANY
+    generated fixture, never return a wrong pixel array (VERDICT r2
+    item 6). Fixtures are structurally valid PNGs built from the
+    encoder's own chunk writer."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_library_spark.functions.png import (
+        _MAGIC,
+        _chunk,
+        decode_png,
+    )
+
+    for w, h in [(1, 1), (3, 2), (8, 8), (16, 5)]:
+        # palette: 8-bit depth, color_type 3, plausible PLTE + 1-byte pixels
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        plte = bytes(range(3)) * 16
+        scan = b"".join(b"\x00" + bytes((x * 7) % 256 for x in range(w)) for _ in range(h))
+        png = (
+            _MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(scan))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            decode_png(png)
+        # 16-bit: depth 16 for gray and RGB
+        for ct, ch in [(0, 1), (2, 3)]:
+            ihdr16 = struct.pack(">IIBBBBB", w, h, 16, ct, 0, 0, 0)
+            scan16 = b"".join(
+                b"\x00" + bytes(2 * w * ch) for _ in range(h)
+            )
+            png16 = (
+                _MAGIC
+                + _chunk(b"IHDR", ihdr16)
+                + _chunk(b"IDAT", zlib.compress(scan16))
+                + _chunk(b"IEND", b"")
+            )
+            with _pytest.raises(NotImplementedError):
+                decode_png(png16)
+
+
+def test_stdlib_decode_matches_pil_when_present():
+    """Where PIL is installed, the stdlib codec and PIL must agree
+    pixel-for-pixel on every encode_png output (gray/RGB/RGBA) — the
+    invariant that makes pinning the stdlib decoder in hashed queries
+    safe in ANY environment (VERDICT r2 item 1b)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL.Image")
+
+    from multithreaded_map_reduce_library_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 3, 4)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        payload = encode_png(px)
+        _w, _h, _c, ours = decode_png(payload)
+        theirs = np.asarray(PIL.open(io.BytesIO(payload)))
+        assert ours.reshape(theirs.shape).tolist() == theirs.tolist()
+        assert int(ours.sum()) == int(theirs.astype(np.int64).sum())
+
+
+def test_hashed_decode_path_never_uses_pil_for_png(monkeypatch):
+    """The oracle-hashed decode kernel must be a function of the bytes
+    alone: even with a (fake) PIL present, PNG payloads decode via the
+    stdlib codec (the round-2 prefer-PIL branch made hashed output
+    depend on installed packages and burned a driver row)."""
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators import multimodal as M
+
+    calls = {"pil": 0}
+
+    class _FakePILImage:
+        @staticmethod
+        def open(_buf):
+            calls["pil"] += 1
+            raise AssertionError("PIL consulted for a PNG payload")
+
+    monkeypatch.setattr(M, "HAVE_PIL", True)
+    monkeypatch.setattr(M, "PIL", type("P", (), {"Image": _FakePILImage}), raising=False)
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    decoded = np.asarray(M._decode_image_bytes(encode_png(px)))
+    assert (decoded.reshape(8, 8) == px).all()
+    assert calls["pil"] == 0
+
+
+def test_ahash_tiny_images_do_not_collapse():
+    """ADVICE r2: decoded images smaller than 8x8 must hash from their
+    pixels (edge replication), not collapse to the all-zero hash via an
+    empty block-mean array."""
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        ahash_assets,
+    )
+    from multithreaded_map_reduce_library_spark.session import get_spark
+
+    spark = get_spark(app_name="test-ahash-tiny")
+    a = encode_png(np.array([[0, 255], [255, 0]], dtype=np.uint8))
+    b = encode_png(np.array([[255, 0], [0, 255]], dtype=np.uint8))
+    c = encode_png(np.arange(9, dtype=np.uint8).reshape(3, 3) * 20)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r["ahash"] for r in ahash_assets(df).collect()}
+    assert rows[1] != "0000000000000000"
+    assert rows[3] != "0000000000000000"
+    assert rows[1] != rows[2]  # different tiny images -> different hashes
+
+
+def test_wav_roundtrip_and_envelope(spark):
+    """WAV kernel: fabricated RIFF payloads decode to the exact PCM16
+    energies; malformed / out-of-envelope payloads raise loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        embeddings_as_wav_assets,
+        wav_frame_energy,
+    )
+    from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(5)
+    assets = embeddings_as_wav_assets(emb)
+    rows = wav_frame_energy(assets).collect()
+    assert len(rows) == 5 * 4  # 64 samples / 16-sample frames
+    ref = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rows:
+        v = ref[r["asset_id"]]
+        s = [
+            int(np.floor(min(max(float(x), -1.0), 1.0) * 32767.0 + 0.5))
+            for x in v[r["frame_idx"] * 16 : (r["frame_idx"] + 1) * 16]
+        ]
+        assert r["energy"] == sum(t * t for t in s)
+        assert r["sample_rate"] == 16000 and r["n_samples"] == 64
+
+    # envelope: not-RIFF raises; stereo raises cleanly
+    bad = spark.createDataFrame(
+        [(1, b"not a wav")], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception) as ei:
+        wav_frame_energy(bad).collect()
+    assert "RIFF" in str(ei.value)
+    stereo_hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    stereo = spark.createDataFrame(
+        [(2, stereo_hdr)], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception) as ei2:
+        wav_frame_energy(stereo).collect()
+    assert "channels" in str(ei2.value) or "NotImplementedError" in str(ei2.value)

@@ -82,7 +82,7 @@ def _holt_ref(xs, a=0.5, b=0.5):
 
 def test_holt_matches_python_reference(spark):
     got = {
-        r["user_id"]: (r["n_events"], r["level_r"], r["trend_r"], r["forecast_r"])
+        r["user_id"]: (r["n_events"], r["level_e6"], r["trend_e6"], r["forecast_e6"])
         for r in holt_linear_smoothing(spark, SF_SMALL).collect()
     }
     e = load_table(spark, SF_SMALL, "events")
@@ -95,9 +95,11 @@ def test_holt_matches_python_reference(spark):
         level, trend = _holt_ref(xs)
         n, lr, tr, fr = got[uid]
         assert n == len(xs)
-        assert lr == pytest.approx(round(level, 6), abs=1e-9)
-        assert tr == pytest.approx(round(trend, 6), abs=1e-9)
-        assert fr == pytest.approx(round(level + trend, 6), abs=1e-9)
+        import math as _m
+
+        assert lr == _m.floor(level * 1e6 + 0.5)
+        assert tr == _m.floor(trend * 1e6 + 0.5)
+        assert fr == _m.floor((level + trend) * 1e6 + 0.5)
 
 
 def test_quality_classifier_is_pure_map(spark):
@@ -133,9 +135,11 @@ def test_rrf_fuses_both_rankers(spark):
             want += 1.0 / (_RRF_K + r["bm25_rank"])
         if r["cos_rank"] is not None:
             want += 1.0 / (_RRF_K + r["cos_rank"])
-        assert r["rrf_r"] == pytest.approx(round(want, 6), abs=1e-9)
+        import math as _m
+
+        assert r["rrf_e6"] == _m.floor(want * 1e6 + 0.5)
     # the list is sorted by fused score desc (ties by doc_id)
-    scores = [r["rrf_r"] for r in rows]
+    scores = [r["rrf_e6"] for r in rows]
     assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
 
 
@@ -161,4 +165,4 @@ def test_semdedup_pairs_are_within_cell_and_above_threshold(spark):
         a, b = vecs[r["id_keep"]], vecs[r["id_drop"]]
         sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert sim >= _SEMDEDUP_T - 1e-9
-        assert r["sim_r"] == pytest.approx(round(sim, 6), abs=1e-6)
+        assert r["sim_e6"] == pytest.approx(sim * 1_000_000, abs=1.5)

@@ -43,7 +43,7 @@ def test_adc_approximates_exact_ranking(spark):
         by_q.setdefault(r["q_id"], []).append(r)
     for q, rs in by_q.items():
         assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
-        assert all(r["ad_r"] >= 0 for r in rs)
+        assert all(r["ad_e6"] >= 0 for r in rs)
     true10 = {(r["q_id"], r["n_id"]) for r in exact}
     got = {(r["q_id"], r["n_id"]) for r in adc}
     # knn_bruteforce returns top-5; any overlap >= 15% beats chance by far

@@ -25,7 +25,7 @@ def test_mad_is_robust_to_injected_outliers(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     out = _Q["events_mad_outliers"].fn(spark, str(tmp_path)).collect()[0]
     assert out["n"] == 100
-    assert 10 <= out["median_value"] <= 14          # median unmoved by garbage
+    assert 10 * 10000 <= out["median_value_e4"] <= 14 * 10000  # median unmoved by garbage
     assert out["n_outliers"] == 5                   # exactly the garbage flagged
 
 

@@ -67,7 +67,7 @@ def test_prefix_filter_equals_allpairs(spark):
 
 def test_gini_range_and_pareto_consistency(spark):
     [r] = _Q["gini_revenue_concentration"].fn(spark, SF_SMALL).collect()
-    assert 0.0 <= r.gini_r <= 1.0
+    assert 0 <= r.gini_e6 <= 1_000_000
     assert r.n_customers > 0 and r.total_rev_q > 0
 
 
@@ -80,7 +80,7 @@ def test_ols_and_theil_sen_cover_same_users(spark):
 
 def test_cusum_picks_a_day(spark):
     [r] = _Q["cusum_changepoint_daily"].fn(spark, SF_SMALL).collect()
-    assert r.n_days >= 1 and r.max_dev_r >= 0.0
+    assert r.n_days >= 1 and r.max_dev_e6 >= 0
 
 
 def test_sorted_neighborhood_pairs_ordered(spark):
@@ -152,7 +152,7 @@ def test_bfs_layers_contiguous(spark):
 def test_weekday_index_weighted_mean_is_one(spark):
     rows = _Q["weekday_seasonal_index"].fn(spark, SF_SMALL).collect()
     n_days = sum(r.n_w for r in rows)
-    wmean = sum(r.n_w * r.seasonal_index_r for r in rows) / n_days
+    wmean = sum(r.n_w * r.seasonal_index_e6 for r in rows) / n_days / 1e6
     assert abs(wmean - 1.0) < 1e-4
 
 
@@ -161,7 +161,7 @@ def test_market_basket_bounds(spark):
     for r in rows:
         assert r.support >= 3
         assert r.part_a < r.part_b
-        assert r.lift_r > 0
+        assert r.lift_e6 > 0
 
 
 def test_calibration_bins_partition(spark):
@@ -182,7 +182,7 @@ def test_cms_overestimates(spark):
     """CMS inner product is a provable UPPER bound on the join size."""
     [r] = _Q["cms_join_size_estimate"].fn(spark, SF_SMALL).collect()
     assert r.est_join_size >= r.true_join_size > 0
-    assert r.overestimate_r >= 1.0
+    assert r.overestimate_e6 >= 1_000_000
 
 
 def test_chi2_nonnegative(spark):
@@ -199,7 +199,7 @@ def test_churn_monotone_in_threshold(spark):
 
 def test_autocorrelation_bounds(spark):
     for r in _Q["daily_autocorrelation"].fn(spark, SF_SMALL).collect():
-        assert -1.0 - 1e-9 <= r.acf_r <= 1.0 + 1e-9
+        assert -1_000_001 <= r.acf_e6 <= 1_000_001
 
 
 def test_conditional_entropy_bounds(spark):
@@ -220,7 +220,7 @@ def test_seasonal_index_consistency(spark):
     """seasonal_adjusted_daily must equal raw/index computed from the
     weekday_seasonal_index query's own outputs."""
     idx = {
-        r.weekday: r.seasonal_index_r
+        r.weekday: r.seasonal_index_e6 / 1e6
         for r in _Q["weekday_seasonal_index"].fn(spark, SF_SMALL).collect()
     }
     adj = _Q["seasonal_adjusted_daily"].fn(spark, SF_SMALL).collect()
@@ -228,9 +228,9 @@ def test_seasonal_index_consistency(spark):
 
     for r in adj:
         wd = r.day.isoweekday() % 7 + 1  # Spark dayofweek: Sunday=1
-        approx = r.v_r / idx[wd]
-        # both inputs are 6dp-rounded displays; compare relatively
-        assert abs(approx - r.adjusted_r) / abs(r.adjusted_r) < 1e-4, r
+        approx = r.v_e6 / idx[wd]
+        # both inputs are e6-grid displays; compare relatively
+        assert abs(approx - r.adjusted_e6) / abs(r.adjusted_e6) < 1e-4, r
 
 
 def test_rendezvous_movers_only_land_on_new_shard(spark):
@@ -324,14 +324,14 @@ def test_negative_sampling_slots_sum(spark):
 
 def test_tv_drift_bounds(spark):
     for r in _Q["weekly_type_mix_tv_drift"].fn(spark, SF_SMALL).collect():
-        assert 0.0 <= r.tv_max_r <= 1.0
+        assert 0 <= r.tv_max_e6 <= 1_000_000
 
 
 def test_burrows_delta_nonnegative(spark):
     rows = _Q["burrows_delta_sources"].fn(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        assert r.delta_r >= 0.0
+        assert r.delta_e6 >= 0
         assert r.source_a < r.source_b
 
 

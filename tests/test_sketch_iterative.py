@@ -46,7 +46,7 @@ def test_kmv_estimates_within_sketch_error(spark):
     df = _Q["kmv_distinct_users_daily"].fn(spark, SF_SMALL).collect()
     assert len(df) > 0
     for r in df:
-        assert r.rel_err_r <= 4 * (1.0 / (16 - 2) ** 0.5), r
+        assert r.rel_err_e6 <= 4 * (1.0 / (16 - 2) ** 0.5) * 1_000_000, r
 
 
 def test_dsir_separates_target_language(spark):
@@ -110,8 +110,8 @@ def test_bpe_tokenization_compresses(spark):
 def test_logreg_bounds_and_direction(spark):
     [r] = _Q["logreg_quality_classifier"].fn(spark, SF_SMALL).collect()
     assert 0 <= r.n_correct <= r.n_docs
-    for w in (r.w0_r, r.w1_r, r.w2_r, r.w3_r):
-        assert abs(w) < 100.0
+    for w in (r.w0_e6, r.w1_e6, r.w2_e6, r.w3_e6):
+        assert abs(w) < 100.0 * 1e6
 
 
 def test_hilbert_mass_and_range(spark):

@@ -52,12 +52,14 @@ for name, fn in sorted(qs.items()):
     orows = [tuple(r) for r in orel.fetchall()]
     ok_count = len(srows) == len(orows)
     ok_schema = sorted(scols) == sorted(ocols)
-    # normalize floats to limited precision for hash
+    # EXACT comparison, no float normalization (round-3 tightening, VERDICT
+    # r2 item 4): the round-2 gate rounded floats to 4dp before hashing,
+    # which was provably weaker than the driver's own comparison and let
+    # 5th/6th-decimal cross-engine disagreements through. After the
+    # integer-grid sweep every displayed aggregate is exact, so nothing
+    # legitimate needs the leniency.
     def norm(rows, cols):
-        out = []
-        for rec in rows:
-            out.append(tuple(round(v, 4) if isinstance(v, float) else v for v in rec))
-        return out
+        return [tuple(repr(v) if isinstance(v, float) else v for v in rec) for rec in rows]
     ok_hash = ok_schema and value_hash(scols, norm(srows, scols)) == value_hash(ocols, norm(orows, ocols))
     status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
     if status == "PASS":

@@ -67,6 +67,7 @@ ALLOW_PYTHON = {
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
+    "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
