@@ -473,3 +473,75 @@ def wav_frame_energy(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(batches, WAV_ENERGY_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("energy", LongType(), True),
+        StructField("zcr", IntegerType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def wav_frame_features(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """REAL WAV decode + per-frame acoustic front-end features: the same
+    RIFF/PCM16 chunk walk as :func:`wav_frame_energy`, emitting per frame
+
+    * ``energy`` — exact integer Σs²,
+    * ``zcr``    — zero crossings: adjacent within-frame pairs whose signs
+      differ, with sign(s) := (s < 0) so 0 counts as nonnegative (the
+      convention an oracle can replay with a single comparison),
+    * ``peak``   — max |s| (int16 ⇒ ≤ 32768).
+
+    Energy+ZCR is the classic two-feature voice-activity detector
+    (high-energy/low-ZCR ≈ voiced, low-energy/high-ZCR ≈ fricative or
+    noise). Same 100 TB shape: map-side Arrow decode, skinny integer
+    rows out, zero shuffles, no driver.
+
+    Non-WAV payloads raise; trailing samples short of a frame drop
+    (same documented envelope as :func:`wav_frame_energy`)."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, en, zc, pk = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"asset {asset_id}: not a RIFF/WAVE payload")
+                pos, bits, channels, data = 12, None, None, None
+                while pos + 8 <= len(raw):
+                    tag = raw[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                    if tag == b"fmt ":
+                        fmt, channels, _sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if fmt != 1:
+                            raise NotImplementedError(f"WAV fmt {fmt}: PCM only")
+                    elif tag == b"data":
+                        data = body
+                if data is None or bits != 16 or channels != 1:
+                    raise NotImplementedError("WAV PCM16 mono only")
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f in range(len(s) // frame):
+                    w = s[f * frame : (f + 1) * frame]
+                    neg = w < 0
+                    ids.append(asset_id)
+                    fidx.append(f)
+                    en.append(int((w * w).sum()))
+                    zc.append(int((neg[:-1] != neg[1:]).sum()))
+                    pk.append(int(np.abs(w).max()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": fidx, "energy": en,
+                 "zcr": zc, "peak": pk}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, WAV_FEATURES_SCHEMA)

@@ -141,6 +141,8 @@ def _load_all() -> None:
         pipeline60,
         pipeline61,
         pipeline62,
+        pipeline63,
+        pipeline64,
         relational,
         relational2,
         relational3,
