@@ -545,3 +545,87 @@ def wav_frame_features(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(batches, WAV_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: fabricated RAWV containers — frame deltas for keyframe selection
+# --------------------------------------------------------------------------
+
+VIDEO_W, VIDEO_H, VIDEO_FRAMES = 4, 4, 4  # 16 px/frame x 4 frames = 64 samples
+
+
+def embeddings_as_video_assets(emb: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Fabricate raw-video payloads from embeddings: the 64 floats
+    quantize to int16 exactly like the WAV path and are laid out as 4
+    frames of 4x4 int16 'pixels' behind a 12-byte RAWV header
+    (magic, w, h, n_frames). The video twin of
+    :func:`embeddings_as_wav_assets`: a byte-real container whose every
+    pixel an oracle can replay from the embedding column."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)) * 32767.0
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_video(samples: pd.Series) -> pd.Series:
+        out = []
+        for s in samples:
+            px = np.asarray(list(s), dtype="<i2").tobytes()
+            hdr = b"RAWV" + struct.pack("<HHI", VIDEO_W, VIDEO_H, VIDEO_FRAMES)
+            out.append(hdr + px)
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col).alias("asset_id"), q.alias("_s")).select(
+        "asset_id", to_video("_s").alias("payload")
+    )
+
+
+VIDEO_DELTA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("l1_delta", LongType(), True),
+    ]
+)
+
+
+def video_frame_deltas(assets: DataFrame) -> DataFrame:
+    """REAL container parse + frame differencing: validate the RAWV
+    header, reinterpret the int16 pixel planes, and emit per frame f>=1
+    the exact integer L1 delta Σ|px_f − px_{f−1}| against the previous
+    frame — the scene-change signal shot-boundary/keyframe selection
+    thresholds on. Arrow-batched mapInPandas; same 100 TB shape as the
+    image/audio decode paths (map-side, skinny integer rows, no
+    driver). Non-RAWV payloads raise (fail-loud envelope)."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, dl = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 12 or raw[:4] != b"RAWV":
+                    raise ValueError(f"asset {asset_id}: not a RAWV payload")
+                w, h, n = struct.unpack("<HHI", raw[4:12])
+                px = np.frombuffer(raw[12:], dtype="<i2").astype(np.int64)
+                if len(px) != w * h * n:
+                    raise ValueError(f"asset {asset_id}: truncated RAWV body")
+                frames = px.reshape(n, w * h)
+                for f in range(1, n):
+                    ids.append(asset_id)
+                    fidx.append(f)
+                    dl.append(int(np.abs(frames[f] - frames[f - 1]).sum()))
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": fidx, "l1_delta": dl})
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, VIDEO_DELTA_SCHEMA)

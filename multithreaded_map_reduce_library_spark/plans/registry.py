@@ -143,6 +143,9 @@ def _load_all() -> None:
         pipeline62,
         pipeline63,
         pipeline64,
+        pipeline65,
+        pipeline66,
+        pipeline67,
         relational,
         relational2,
         relational3,

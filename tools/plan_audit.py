@@ -68,6 +68,9 @@ ALLOW_PYTHON = {
     "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
     "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
+    "multimodal_wav_vad_features": "WAV encode pandas UDF + mapInPandas VAD kernel",
+    "multimodal_wav_silence_runs": "WAV encode pandas UDF + mapInPandas energy kernel",
+    "multimodal_keyframe_select": "RAWV encode pandas UDF + mapInPandas frame-delta kernel",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
