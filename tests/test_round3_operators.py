@@ -1,0 +1,188 @@
+"""Property/behavior tests for the round-3 breadth operators:
+audio VAD + silence runs, video keyframes, UniMax allocation, BPE
+fertility/OOV, b-bit minhash, winnowing, k-anonymity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.operators.multimodal import (
+    embeddings_as_video_assets,
+    embeddings_as_wav_assets,
+    video_frame_deltas,
+    wav_frame_features,
+)
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from tests.conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def _emb(spark, n=30):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(n)
+
+
+def test_wav_vad_features_match_numpy_reference(spark):
+    """The decoded ZCR/peak/energy must equal a shared-nothing numpy
+    recomputation from the raw embeddings (same int16 quantization)."""
+    emb_rows = {r["vec_id"]: r["embedding"] for r in _emb(spark, 20).collect()}
+    got = {}
+    for r in wav_frame_features(embeddings_as_wav_assets(_emb(spark, 20))).collect():
+        got[(r["asset_id"], r["frame_idx"])] = (r["energy"], r["zcr"], r["peak"])
+    assert len(got) == 20 * 4
+    for vid, vec in emb_rows.items():
+        s = np.floor(np.clip(np.array(vec, dtype=np.float64), -1, 1) * 32767.0 + 0.5
+                     ).astype(np.int64)
+        for f in range(4):
+            w = s[f * 16 : (f + 1) * 16]
+            neg = w < 0
+            ref = (int((w * w).sum()), int((neg[:-1] != neg[1:]).sum()),
+                   int(np.abs(w).max()))
+            assert got[(vid, f)] == ref, (vid, f)
+
+
+def test_wav_silence_runs_invariants(spark):
+    """n_silent == sum of run lengths is not emitted directly, but the
+    reported (n_silent, n_runs, max_run) must be mutually consistent:
+    n_runs==0 iff n_silent==0; max_run <= n_silent <= n_runs*max_run."""
+    rows = _Q["multimodal_wav_silence_runs"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_frames"] == 4
+        if r["n_silent"] == 0:
+            assert r["n_runs"] == 0 and r["max_run"] == 0
+        else:
+            assert 1 <= r["n_runs"] <= r["n_silent"]
+            assert r["max_run"] <= r["n_silent"] <= r["n_runs"] * r["max_run"]
+        # not every frame can be strictly below the asset mean
+        assert r["n_silent"] < r["n_frames"]
+
+
+def test_video_keyframe_is_argmax_of_deltas(spark):
+    deltas = {}
+    for r in video_frame_deltas(embeddings_as_video_assets(_emb(spark, 25))).collect():
+        deltas.setdefault(r["asset_id"], {})[r["frame_idx"]] = r["l1_delta"]
+    out = {r["asset_id"]: r for r in
+           _Q["multimodal_keyframe_select"].fn(spark, SF_SMALL).collect()}
+    for aid, by_frame in deltas.items():
+        assert set(by_frame) == {1, 2, 3}
+        best = max(by_frame.values())
+        expect_idx = min(f for f, d in by_frame.items() if d == best)
+        r = out[aid]
+        assert (r["keyframe_idx"], r["max_delta"]) == (expect_idx, best)
+        assert r["total_delta"] == sum(by_frame.values())
+
+
+def test_video_kernel_rejects_garbage(spark):
+    df = spark.createDataFrame([(1, bytearray(b"nope"))], "asset_id long, payload binary")
+    with pytest.raises(Exception, match="RAWV"):
+        video_frame_deltas(df).collect()
+
+
+def test_unimax_budget_conservation_and_caps(spark):
+    rows = _Q["unimax_corpus_allocation"].fn(spark, SF_SMALL).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == total  # budget spent exactly
+    for r in rows:
+        assert r["cap_tokens"] == (3 * r["n_tokens"]) // 2
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        if r["capped"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+    # uncapped languages all receive within 1 token of each other
+    unc = sorted(r["alloc_tokens"] for r in rows if not r["capped"])
+    if unc:
+        assert unc[-1] - unc[0] <= 1
+
+
+def test_bpe_fertility_and_oov_consistency(spark):
+    fert = {r["lang"]: r for r in _Q["bpe_fertility_by_lang"].fn(spark, SF_SMALL).collect()}
+    oov = {r["lang"]: r for r in _Q["bpe_oov_rate_by_lang"].fn(spark, SF_SMALL).collect()}
+    assert set(fert) == set(oov)
+    for lang, fr in fert.items():
+        ov = oov[lang]
+        # fertility counts only vocab-covered words; OOV counts the rest
+        assert fr["n_words"] == ov["n_words"] - ov["n_oov"]
+        # a BPE word is at least 1 token
+        assert fr["n_bpe_tokens"] >= fr["n_words"]
+        assert fr["fertility_e4"] >= 10000
+
+
+def test_bbit_estimator_bounds(spark):
+    rows = _Q["bbit_minhash_agreement"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # the 1-bit agreement can only exceed-or-match full agreement:
+        # equal components agree in their low bit too
+        assert r["n_agree_b1"] >= r["n_agree_full"]
+        assert 0 <= r["est_b1_e6"] <= 1_000_000
+        assert 0 <= r["est_full_e6"] <= 1_000_000
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Two docs sharing a >= w+n-1 = 6 word run MUST share a fingerprint
+    (the winnowing paper's detection floor)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    rows = [
+        (1, f"one two three {shared} four five six", "en", "w", 1),
+        (2, f"{shared} seven eight nine ten eleven twelve", "en", "w", 1),
+        (3, "completely different words entirely here now also more", "en", "w", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    pos = docs.select(
+        "doc_id", F.posexplode(word_shingle_hash32(tokens("text"), 3)).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+    n = pos.groupBy("doc_id").agg(F.count("*").alias("n_pos"))
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(Window.currentRow, 3)
+    fp = (
+        pos.join(n, "doc_id")
+        .withColumn("fp", F.min("h").over(w))
+        .filter(F.col("p") <= F.col("n_pos") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fp:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "shared 6-word run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+
+def test_winnowing_density_near_theory(spark):
+    """Expected winnowing density is 2/(w+1) = 0.4 for random hashes;
+    corpus-wide mean should sit near it (loose band)."""
+    rows = _Q["winnowing_fingerprints"].fn(spark, SF_SMALL).collect()
+    dens = [r["density_e4"] for r in rows if r["n_windows"] >= 20]
+    assert dens
+    mean = sum(dens) / len(dens)
+    assert 3000 < mean < 5500, mean
+
+
+def test_k_anonymity_never_releases_small_cells(spark):
+    rows = _Q["k_anonymity_release"].fn(spark, SF_SMALL).collect()
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    cells = (
+        ev.select("event_type", F.col("ts").cast("timestamp").cast("date").alias("day"),
+                  "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    )
+    small = {(r["event_type"], r["day"]) for r in cells if r["n_users"] < 5}
+    released = {(r["event_type"], r["day"]) for r in rows}
+    assert not (small & released)
+    n_suppressed = {r["n_suppressed"] for r in rows}
+    assert n_suppressed == {len(small)} or (not rows and not small)
