@@ -146,6 +146,7 @@ def _load_all() -> None:
         pipeline65,
         pipeline66,
         pipeline67,
+        pipeline68,
         relational,
         relational2,
         relational3,

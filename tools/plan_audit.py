@@ -64,6 +64,7 @@ ALLOW_PYTHON = {
     "contrastive_training_pairs": "minhash band-keys pandas UDF (positive-pair source)",
     "minhash_lsh_candidates": "minhash band-keys pandas UDF",
     "minhash_lsh_candidates_capped": "minhash band-keys pandas UDF",
+    "bbit_minhash_agreement": "minhash band-keys pandas UDF (candidate source)",
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
