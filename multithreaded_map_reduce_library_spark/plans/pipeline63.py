@@ -66,6 +66,7 @@ _SAMPLES_CTE = f"""
         GROUP BY asset_id, frame_idx
     """,
     tags=("multimodal", "audio", "wav", "vad", "mapInPandas"),
+    bench=True,
 )
 def multimodal_wav_vad_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity-detection front end over REAL decoded audio: per

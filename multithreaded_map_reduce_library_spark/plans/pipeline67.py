@@ -137,6 +137,7 @@ def bpe_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM n LEFT JOIN fps f USING (doc_id)
     """,
     tags=("dedup", "fingerprinting", "winnowing"),
+    bench=True,
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing (SIGMOD 2003): hash every word 3-gram shingle,

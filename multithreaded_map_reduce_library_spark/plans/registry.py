@@ -147,6 +147,7 @@ def _load_all() -> None:
         pipeline66,
         pipeline67,
         pipeline68,
+        pipeline69,
         relational,
         relational2,
         relational3,

@@ -228,3 +228,36 @@ def test_merkle_roots_sum_to_corpus_signature(spark):
             FROM '{SF_SMALL}/documents.parquet' LIMIT 1"""
     ).fetchone()[0]
     assert any(r["shard"] == one for r in shards)
+
+
+def test_fim_splits_reassemble_exactly(spark):
+    rows = _Q["fim_training_splits"].fn(spark, SF_SMALL).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()}
+    assert rows
+    for r in rows:
+        toks = [t for t in docs[r["doc_id"]].replace("\t", " ").replace("\n", " ")
+                .replace("\r", " ").split(" ") if t]
+        assert r["n"] == len(toks)
+        assert 1 <= r["cut1"] <= r["cut2"] <= r["n"] - 1
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == r["n"]
+        pre = " ".join(toks[: r["cut1"]])
+        mid = " ".join(toks[r["cut1"]: r["cut2"]])
+        suf = " ".join(toks[r["cut2"]:])
+        assert r["psm_text"] == f"<PRE> {pre} <SUF> {suf} <MID> {mid}"
+
+
+def test_blocklist_whole_word_only(spark, tmp_path):
+    rows = [
+        (1, "data DATA database", "en", "w", 1),   # 2 whole-word hits, not 'database'
+        (2, "secret error system data", "en", "w", 1),  # 4 hits -> blocked
+        (3, "nothing to see", "en", "w", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           _Q["blocklist_term_hits"].fn(spark, str(tmp_path)).collect()}
+    assert out[1]["hits_data"] == 2 and out[1]["total_hits"] == 2 and out[1]["blocked"] == 0
+    assert out[2]["total_hits"] == 4 and out[2]["blocked"] == 1
+    assert out[3]["total_hits"] == 0 and out[3]["blocked"] == 0
