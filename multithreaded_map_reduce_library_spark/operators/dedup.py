@@ -441,3 +441,50 @@ def simhash_pandas_udf(nbits: int = 64):
         return pd.Series(out)
 
     return simhash
+
+
+def winnowing_stats_pandas_udf(shingle_n: int = 3, window: int = 4):
+    """Arrow-batched winnowing (MOSS, SIGMOD 2003) kernel: text ->
+    shingle hashes (hashlib md5, byte-identical to
+    :func:`shingle_hashes`) -> sliding-window minima via vectorized
+    ``np.minimum.reduce`` over ``window`` shifted views -> distinct
+    fingerprint count. Returns struct<m, nf> = (shingle count,
+    fingerprint count). The expression form stays the definition the
+    DuckDB oracle mirrors; this is the fast path (the interpreted
+    higher-order md5 transform alone measured ~8 s at sf0.1 vs ~1 s for
+    this kernel), same split as the MinHash band-keys UDF above."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<m: bigint, nf: bigint>")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        ms, nfs = [], []
+        for text in texts:
+            toks = [
+                t
+                for t in text.replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" ")
+                if t
+            ]
+            if len(toks) < shingle_n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+            m = len(grams)
+            ms.append(m)
+            if m < window:
+                nfs.append(0)
+                continue
+            h = np.array(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams],
+                dtype=np.int64,
+            )
+            mins = np.minimum.reduce([h[k : m - window + 1 + k] for k in range(window)])
+            nfs.append(int(np.unique(mins).size))
+        return pd.DataFrame({"m": ms, "nf": nfs})
+
+    return stats

@@ -261,3 +261,31 @@ def test_blocklist_whole_word_only(spark, tmp_path):
     assert out[1]["hits_data"] == 2 and out[1]["total_hits"] == 2 and out[1]["blocked"] == 0
     assert out[2]["total_hits"] == 4 and out[2]["blocked"] == 1
     assert out[3]["total_hits"] == 0 and out[3]["blocked"] == 0
+
+
+def test_winnowing_kernel_matches_expression_definition(spark):
+    """The Arrow kernel (hashlib + np sliding minima) must equal the
+    higher-order expression definition the oracle mirrors, per doc."""
+    from multithreaded_map_reduce_library_spark.functions.text import (
+        tokens,
+        word_shingle_hash32,
+    )
+    from multithreaded_map_reduce_library_spark.operators.dedup import (
+        winnowing_stats_pandas_udf,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    stats = winnowing_stats_pandas_udf(3, 4)
+    got = {r["doc_id"]: (r["s"]["m"], r["s"]["nf"])
+           for r in docs.select("doc_id", stats("text").alias("s")).collect()}
+    hv = docs.select("doc_id", word_shingle_hash32(tokens("text"), 3).alias("h"),
+                     ).select("doc_id", "h", F.size("h").alias("m"))
+    fps_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.col("m") - F.lit(3)),
+        lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
+    ))
+    ref = {r["doc_id"]: (r["m"], r["nf"]) for r in hv.select(
+        "doc_id", "m",
+        F.when(F.col("m") >= 4, F.size(fps_arr)).otherwise(F.lit(0)).alias("nf"),
+    ).collect()}
+    assert got == ref
