@@ -148,6 +148,7 @@ def _load_all() -> None:
         pipeline67,
         pipeline68,
         pipeline69,
+        pipeline70,
         relational,
         relational2,
         relational3,

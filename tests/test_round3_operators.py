@@ -289,3 +289,20 @@ def test_winnowing_kernel_matches_expression_definition(spark):
         F.when(F.col("m") >= 4, F.size(fps_arr)).otherwise(F.lit(0)).alias("nf"),
     ).collect()}
     assert got == ref
+
+
+def test_session_overlap_bucketing_is_equijoin(spark):
+    """The interval join must be a bucket equi-join (SortMergeJoin or
+    shuffled hash on 'bucket'), never a cartesian/BNLJ all-pairs."""
+    import contextlib, io
+    df = _Q["session_overlap_pairs"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert r["total_overlap_us"] >= 0
