@@ -149,6 +149,7 @@ def _load_all() -> None:
         pipeline68,
         pipeline69,
         pipeline70,
+        pipeline71,
         relational,
         relational2,
         relational3,

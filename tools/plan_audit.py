@@ -66,6 +66,7 @@ ALLOW_PYTHON = {
     "minhash_lsh_candidates_capped": "minhash band-keys pandas UDF",
     "bbit_minhash_agreement": "minhash band-keys pandas UDF (candidate source)",
     "winnowing_fingerprints": "winnowing stats pandas UDF (md5 + sliding minima)",
+    "incremental_dedup_new_docs": "minhash band-keys pandas UDF (index + batch sketch)",
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
