@@ -150,6 +150,7 @@ def _load_all() -> None:
         pipeline69,
         pipeline70,
         pipeline71,
+        pipeline72,
         relational,
         relational2,
         relational3,
