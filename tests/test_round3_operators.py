@@ -306,3 +306,53 @@ def test_session_overlap_bucketing_is_equijoin(spark):
     for r in rows:
         assert r["n_pairs"] > 0
         assert r["total_overlap_us"] >= 0
+
+
+def test_incremental_dedup_flags_known_duplicates(spark, tmp_path):
+    """A new-batch doc that is a verbatim copy of an existing doc must
+    collide on ALL 4 bands; a unique new doc on none. doc_ids are chosen
+    so md5('inc-'||id) puts 1,2 in 'existing' (<'d') and the copies in
+    'new' (>='d')."""
+    import hashlib
+    existing_ids = [i for i in range(1, 200)
+                    if hashlib.md5(f"inc-{i}".encode()).hexdigest()[0] < "d"]
+    new_ids = [i for i in range(1, 200)
+               if hashlib.md5(f"inc-{i}".encode()).hexdigest()[0] >= "d"]
+    dup_src = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "totally different words never seen anywhere else at all ever"
+    rows = [
+        (existing_ids[0], dup_src, "en", "w", 1),
+        (new_ids[0], dup_src, "en", "w", 1),   # verbatim copy -> 4 collisions
+        (new_ids[1], uniq, "en", "w", 1),      # novel
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           _Q["incremental_dedup_new_docs"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {new_ids[0], new_ids[1]}
+    assert out[new_ids[0]]["n_colliding_bands"] == 4
+    assert out[new_ids[0]]["is_novel"] == 0
+    assert out[new_ids[1]]["n_colliding_bands"] == 0
+    assert out[new_ids[1]]["is_novel"] == 1
+
+
+def test_semantic_decontamination_invariants(spark):
+    rows = _Q["semantic_decontamination"].fn(spark, SF_SMALL).collect()
+    assert rows
+    import hashlib
+    n_emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    expect_eval = sum(
+        1 for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id").collect()
+        if hashlib.md5(f"semdecon-{r['vec_id']}".encode()).hexdigest()[0] >= "d"
+    )
+    assert len(rows) == expect_eval < n_emb
+    for r in rows:
+        if r["n_candidates"] == 0:
+            assert r["max_sim_e6"] == 0 and r["contaminated"] == 0
+        assert -1_000_000 <= r["max_sim_e6"] <= 1_000_000
+        # the flag thresholds the raw double; the display is half-up
+        # rounded, so exactly-at-the-grid-boundary values are ambiguous
+        if r["max_sim_e6"] != 500_000:
+            assert r["contaminated"] == (1 if r["max_sim_e6"] > 500_000 else 0)
