@@ -131,10 +131,11 @@ def test_png_decoder_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # 16-bit depth must raise NotImplementedError, not silently misdecode
+    # 16-bit is now in-envelope, but a TRUNCATED 16-bit stream must still
+    # raise (wrong scanline payload length), never misdecode
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    bogus = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
-    with _pytest.raises(NotImplementedError):
+    bogus = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+    with _pytest.raises(ValueError):
         decode_png(bogus)
 
 
@@ -164,51 +165,57 @@ def test_png_roundtrip_query_matches_oracle(spark):
     compare_query(spark, q.fn, q.oracle, "/root/testdata/sf0.001")
 
 
-def test_png_decoder_palette_and_16bit_raise_never_wrong():
-    """Property: palette (color_type=3) and 16-bit PNGs — the envelope
-    boundary — must raise cleanly (NotImplementedError) for ANY
-    generated fixture, never return a wrong pixel array (VERDICT r2
-    item 6). Fixtures are structurally valid PNGs built from the
-    encoder's own chunk writer."""
+def test_png_decoder_palette_and_16bit_decode_exactly():
+    """Round 3 widened the envelope (VERDICT r2 item 6): palette
+    (1/2/4/8-bit) and 16-bit gray PNGs now DECODE, byte-exactly, for
+    generated fixtures across all sizes; out-of-envelope forms
+    (interlace, low-depth gray) still raise cleanly, never a wrong
+    pixel."""
     import struct
     import zlib
 
+    import numpy as np
     import pytest as _pytest
 
     from multithreaded_map_reduce_library_spark.functions.png import (
         _MAGIC,
         _chunk,
         decode_png,
+        encode_png16_gray,
+        encode_png_palette,
     )
 
-    for w, h in [(1, 1), (3, 2), (8, 8), (16, 5)]:
-        # palette: 8-bit depth, color_type 3, plausible PLTE + 1-byte pixels
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-        plte = bytes(range(3)) * 16
-        scan = b"".join(b"\x00" + bytes((x * 7) % 256 for x in range(w)) for _ in range(h))
-        png = (
-            _MAGIC
-            + _chunk(b"IHDR", ihdr)
-            + _chunk(b"PLTE", plte)
-            + _chunk(b"IDAT", zlib.compress(scan))
-            + _chunk(b"IEND", b"")
-        )
-        with _pytest.raises(NotImplementedError):
-            decode_png(png)
-        # 16-bit: depth 16 for gray and RGB
-        for ct, ch in [(0, 1), (2, 3)]:
-            ihdr16 = struct.pack(">IIBBBBB", w, h, 16, ct, 0, 0, 0)
-            scan16 = b"".join(
-                b"\x00" + bytes(2 * w * ch) for _ in range(h)
-            )
-            png16 = (
-                _MAGIC
-                + _chunk(b"IHDR", ihdr16)
-                + _chunk(b"IDAT", zlib.compress(scan16))
-                + _chunk(b"IEND", b"")
-            )
-            with _pytest.raises(NotImplementedError):
-                decode_png(png16)
+    rng = np.random.RandomState(7)
+    palette = [(i * 5 % 256, i * 11 % 256, i * 23 % 256) for i in range(16)]
+    for w, h in [(1, 1), (3, 2), (8, 8), (16, 5), (7, 3)]:
+        # palette at every depth
+        for depth in (1, 2, 4, 8):
+            hi = min(2 ** depth, len(palette))
+            idx = rng.randint(0, hi, size=(h, w)).astype(np.uint8)
+            png = encode_png_palette(idx, palette, depth)
+            dw, dh, dc, arr = decode_png(png)
+            assert (dw, dh, dc) == (w, h, 3)
+            expect = np.array([[palette[v] for v in row] for row in idx], dtype=np.uint8)
+            assert (arr == expect).all(), (depth, w, h)
+        # 16-bit gray: values exercise both bytes
+        px = rng.randint(0, 65536, size=(h, w)).astype(np.uint16)
+        png16 = encode_png16_gray(px)
+        dw, dh, dc, arr = decode_png(png16)
+        assert (dw, dh, dc) == (w, h, 1)
+        assert arr.dtype == np.uint16
+        assert (arr.reshape(h, w) == px).all()
+
+    # still-out-of-envelope forms raise cleanly
+    ihdr_interlaced = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    bad1 = (_MAGIC + _chunk(b"IHDR", ihdr_interlaced)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad1)
+    ihdr_gray4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    bad2 = (_MAGIC + _chunk(b"IHDR", ihdr_gray4)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 12)) + _chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad2)
 
 
 def test_stdlib_decode_matches_pil_when_present():
