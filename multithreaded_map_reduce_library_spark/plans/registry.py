@@ -151,6 +151,7 @@ def _load_all() -> None:
         pipeline70,
         pipeline71,
         pipeline72,
+        pipeline73,
         relational,
         relational2,
         relational3,
