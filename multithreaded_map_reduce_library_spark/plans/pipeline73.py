@@ -125,3 +125,107 @@ def multimodal_png_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         ]
     )
     return assets.mapInPandas(decode_batches, schema)
+
+
+#: 16-bit sample: floor(clamp(x,-1,1)*32767 + 32768) in [1, 65535] — the
+#: same exact-IEEE quantization family as the WAV/palette paths.
+_S16 = (
+    "CAST(FLOOR(LEAST(GREATEST(CAST(list_extract(embedding, i) AS DOUBLE), -1.0), 1.0)"
+    " * 32767.0 + 32768.0) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_png16_roundtrip",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id AS asset_id, {_S16} AS v
+            FROM embeddings CROSS JOIN generate_series(1, {_DIM}) AS t(i)
+        )
+        SELECT asset_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM s GROUP BY asset_id
+    """,
+    tags=("multimodal", "png", "16bit", "roundtrip", "mapInPandas"),
+)
+def multimodal_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit grayscale PNG roundtrip: embeddings quantize to 8x8
+    uint16 images (full 16-bit dynamic range — both sample bytes
+    exercised), encode to real depth-16 PNGs (big-endian samples per
+    spec), and the stdlib decoder parses them back; the emitted exact
+    pixel sum and max are recomputed by the oracle from the embedding
+    column. Together with the gray-8 and palette roundtrips, every
+    decode path of functions/png.py is value-hashed by a registered
+    query.
+
+    Scale design: same map-side Arrow encode/decode pair, one skinny
+    row per asset, zero shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    from multithreaded_map_reduce_library_spark.functions.png import (
+        decode_png,
+        encode_png16_gray,
+    )
+
+    q16 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)) * 32767.0
+            + F.lit(32768.0)
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_png16(vals: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                encode_png16_gray(
+                    np.asarray(list(v), dtype=np.uint16).reshape(8, 8)
+                )
+                for v in vals
+            ]
+        )
+
+    assets = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("asset_id"), to_png16(q16).alias("payload")
+    )
+
+    def decode_batches(it):
+        for pdf in it:
+            ids, ws, hs, sums, maxs = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, c, arr = decode_png(bytes(payload))
+                assert c == 1
+                a64 = arr.astype("int64")
+                ids.append(asset_id)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(a64.sum()))
+                maxs.append(int(a64.max()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "width": ws, "height": hs,
+                 "px_sum": sums, "px_max": maxs}
+            )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("px_max", LongType(), True),
+        ]
+    )
+    return assets.mapInPandas(decode_batches, schema)

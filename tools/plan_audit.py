@@ -75,6 +75,7 @@ ALLOW_PYTHON = {
     "multimodal_wav_silence_runs": "WAV encode pandas UDF + mapInPandas energy kernel",
     "multimodal_keyframe_select": "RAWV encode pandas UDF + mapInPandas frame-delta kernel",
     "multimodal_png_palette_roundtrip": "palette-PNG encode pandas UDF + mapInPandas stdlib decode",
+    "multimodal_png16_roundtrip": "16-bit-PNG encode pandas UDF + mapInPandas stdlib decode",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
