@@ -234,3 +234,74 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(audit))  # 1-row grand aggregate (BNLJ-exempt)
         .select("event_type", "day", "n_users", "n_events", "n_suppressed")
     )
+
+
+_L_DIV = 2  # minimum distinct sensitive-value classes per released cell
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH med AS (
+            SELECT MEDIAN(value) AS mv FROM events
+        ),
+        cells AS (
+            SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(DISTINCT CASE WHEN value >= mv THEN 1 ELSE 0 END)
+                       AS n_classes
+            FROM events CROSS JOIN med GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_classes AS BIGINT) AS n_classes,
+               CAST(CASE WHEN n_users >= {_K_ANON}
+                          AND n_classes >= {_L_DIV} THEN 1 ELSE 0 END AS BIGINT)
+                   AS releasable
+        FROM cells
+    """,
+    tags=("governance", "l-diversity", "privacy", "events"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check to `k_anonymity_release`:
+    a cell that clears the k=5 distinct-user bar can STILL leak if every
+    contributor shares the same sensitive value (everyone in the cell
+    bought above the median, say). Each (event_type, day) cell reports
+    its distinct-user count, the number of distinct sensitive classes
+    present (value above/below the global median — 2 classes max), and
+    the release decision requiring BOTH k-anonymity (>= 5 users) and
+    l-diversity (>= 2 classes). Machanavajjhala et al., ICDE 2006.
+
+    Scale design: the sensitive-class cut is one broadcast scalar (the
+    global median); the audit itself is the same single release-key
+    aggregate as the k-anonymity gate — l-diversity costs one extra
+    COUNT(DISTINCT) in the same shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(F.expr("median(value)").alias("mv"))
+    cells = (
+        ev.join(F.broadcast(med))  # 1-row grand aggregate (BNLJ-exempt)
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            "user_id",
+            F.when(F.col("value") >= F.col("mv"), F.lit(1)).otherwise(F.lit(0))
+            .alias("cls"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("cls").cast("bigint").alias("n_classes"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "day",
+        "n_users",
+        "n_classes",
+        F.when(
+            (F.col("n_users") >= _K_ANON) & (F.col("n_classes") >= _L_DIV), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("releasable"),
+    )
