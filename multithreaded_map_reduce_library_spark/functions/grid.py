@@ -45,9 +45,11 @@ def duck_grid(expr: str, k: int = 6) -> str:
 
 def int_ratio(num: Column, den: Column, k: int = 6) -> Column:
     """Exact integer half-up ratio display: ``(num*10^k + den DIV 2) DIV den``
-    as BIGINT — no doubles anywhere. Requires integer num >= 0, den > 0
-    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors; they agree
-    only on nonnegative operands)."""
+    as BIGINT — no doubles anywhere. Both engines agree on ALL operands
+    (Spark ``div`` and DuckDB ``//`` both truncate toward zero, e.g.
+    ``-7 // 2 = -3`` in DuckDB); the result is the half-up rounding of
+    ``num/den`` only for num >= 0, den > 0 — for negative numerators it is
+    still cross-engine-identical, just a truncation-flavored rounding."""
     scale = F.lit(10**k).cast("bigint")
     d = den.cast("bigint")
     n = num.cast("bigint") * scale + F.call_function("div", d, F.lit(2).cast("bigint"))

@@ -239,7 +239,7 @@ def _novelty_oracle() -> str:
                CAST((n_novel * 1000000 + n_shingles // 2) // n_shingles AS BIGINT)
                    AS novelty_e6
         FROM (SELECT d.doc_id, COUNT(*) AS n_shingles,
-                     SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS n_novel
+                     CAST(SUM(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
               FROM d JOIN first USING (shingle)
               GROUP BY d.doc_id)
     """

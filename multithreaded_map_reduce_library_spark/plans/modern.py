@@ -24,7 +24,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
     "variant_props_events",
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type

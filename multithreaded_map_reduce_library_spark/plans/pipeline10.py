@@ -114,7 +114,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS v
             FROM c
         )
-        SELECT tok, c_en, c_rest,
+        SELECT tok, CAST(c_en AS BIGINT) AS c_en, CAST(c_rest AS BIGINT) AS c_rest,
                CAST(FLOOR(
                    ((c_en + 1.0) / (n_en + v))
                    * (ln(((c_en + 1.0) / (n_en + v))

@@ -44,8 +44,8 @@ _MAD_K = 6.0  # flag |x - median| > K * MAD
                COUNT(*) AS n,
                CAST(FLOOR(ANY_VALUE(mad.m) * 10000.0 + 0.5) AS BIGINT) AS median_value_e4,
                CAST(FLOOR(ANY_VALUE(mad.d) * 10000.0 + 0.5) AS BIGINT) AS mad_value_e4,
-               SUM(CASE WHEN abs(e.value - mad.m) > {_MAD_K} * mad.d
-                        THEN 1 ELSE 0 END) AS n_outliers
+               CAST(SUM(CASE WHEN abs(e.value - mad.m) > {_MAD_K} * mad.d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN mad USING (event_type)
         GROUP BY e.event_type
     """,
@@ -151,7 +151,7 @@ def text_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END
                    AS split,
                COUNT(*) AS n_docs,
-               SUM(n_toks) AS n_tokens
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
         FROM s
         GROUP BY 1, 2
     """,

@@ -43,7 +43,8 @@ _BUDGET_TOKENS = 20000
                        ROWS UNBOUNDED PRECEDING) AS cum_toks
             FROM d WHERE n_toks > 0
         )
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM r WHERE cum_toks <= {_BUDGET_TOKENS}
         GROUP BY lang
@@ -114,7 +115,7 @@ def corpus_greedy_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
             GROUP BY user_id
         )
         SELECT COALESCE(base.user_id, delta.user_id) AS user_id,
-               COALESCE(base.v_e4, 0) + COALESCE(delta.v_e4, 0) AS v_e4,
+               CAST(COALESCE(base.v_e4, 0) + COALESCE(delta.v_e4, 0) AS BIGINT) AS v_e4,
                COALESCE(base.n, 0) + COALESCE(delta.n, 0) AS n,
                CASE WHEN base.user_id IS NULL THEN 'insert'
                     WHEN delta.user_id IS NULL THEN 'keep'

@@ -74,7 +74,7 @@ def _duck_kmeans_sql(iters: int = _KM_ITERS) -> str:
         + ",\n".join(ctes)
         + f"""
         SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
-               MAX(vec_id) AS max_vec, SUM(v[1]) AS s0
+               MAX(vec_id) AS max_vec, CAST(SUM(v[1]) AS BIGINT) AS s0
         FROM a{iters} GROUP BY cluster
     """
     )

@@ -57,9 +57,9 @@ _MIX_TEMP = 0.7        # temperature exponent (UnifiedQA/mT5-style)
                    row_number() OVER (ORDER BY frac DESC, lang) AS rk
             FROM base
         )
-        SELECT lang, n_toks, w_q,
-               base_alloc + CASE WHEN rk <= leftover.extra THEN 1 ELSE 0 END
-                   AS alloc_tokens
+        SELECT lang, CAST(n_toks AS BIGINT) AS n_toks, w_q,
+               CAST(base_alloc + CASE WHEN rk <= leftover.extra
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
         FROM ranked CROSS JOIN leftover
     """,
     tags=("corpus", "mixing", "temperature", "selection", "documents"),
@@ -119,12 +119,14 @@ _SWEEP_TS = (0.2, 0.4, 0.6, 0.8)
     oracle=f"""
         WITH base AS ({_mh_est_oracle()}),
         th(t, t_e6) AS (VALUES {", ".join(f"({t}, {int(round(t * 1e6))})" for t in _SWEEP_TS)})
-        SELECT th.t,
+        SELECT CAST(th.t AS DOUBLE) AS t,
                COUNT(*) AS n_pairs,
-               SUM(CASE WHEN base.est >= th.t THEN 1 ELSE 0 END) AS n_est_pos,
-               SUM(CASE WHEN base.exact_j_e6 >= th.t_e6 THEN 1 ELSE 0 END) AS n_exact_pos,
-               SUM(CASE WHEN base.est >= th.t AND base.exact_j_e6 >= th.t_e6
-                        THEN 1 ELSE 0 END) AS n_true_pos
+               CAST(SUM(CASE WHEN base.est >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_est_pos,
+               CAST(SUM(CASE WHEN base.exact_j_e6 >= th.t_e6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_pos,
+               CAST(SUM(CASE WHEN base.est >= th.t AND base.exact_j_e6 >= th.t_e6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos
         FROM base CROSS JOIN th
         GROUP BY th.t
     """,

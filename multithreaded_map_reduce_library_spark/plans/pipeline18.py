@@ -130,7 +130,7 @@ def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tf JOIN uni USING (tok) CROSS JOIN tot GROUP BY tf.doc_id
         )
         SELECT (SELECT COUNT(*) FROM t) AS n_docs,
-               (SELECT SUM(len(toks)) FROM t) AS n_tokens,
+               (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t) AS n_tokens,
                (SELECT COUNT(*) - COUNT(DISTINCT h) FROM t) AS n_exact_dup_docs,
                (SELECT COUNT(*) FROM boiler) AS n_boiler_lines,
                (SELECT COUNT(*) FROM lines JOIN boiler USING (line)) AS n_boiler_slots,

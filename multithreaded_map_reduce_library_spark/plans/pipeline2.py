@@ -232,7 +232,7 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM toked
             QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
         )
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
                CAST((SUM(tok) * 10000 + COUNT(tok) // 2) // COUNT(tok) AS BIGINT) AS avg_tokens_e4
         FROM deduped
         WHERE tok >= 20

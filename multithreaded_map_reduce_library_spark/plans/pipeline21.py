@@ -148,7 +148,7 @@ _DSIR_B = 64  # hashed feature buckets
         w AS (SELECT df.doc_id, SUM(df.c) AS n_toks,
                      SUM(df.c * lr.lr_q) AS w_q
               FROM df JOIN lr USING (bkt) GROUP BY df.doc_id)
-        SELECT doc_id, n_toks,
+        SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
                CAST(w_q AS DOUBLE) / CAST(n_toks AS DOUBLE) / 10000.0
                    AS avg_logratio
         FROM w
@@ -242,7 +242,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(FLOOR(cf.c * (ln(CAST(n.n AS DOUBLE) / cf.c) / ln(2.0))
                                 * 10000.0 + 0.5) AS BIGINT) AS bits_q
               FROM cf JOIN n USING (doc_id))
-        SELECT q.doc_id, n.n AS n_letters,
+        SELECT q.doc_id, CAST(n.n AS BIGINT) AS n_letters,
                CAST(SUM(q.bits_q) AS DOUBLE) / CAST(n.n AS DOUBLE) / 10000.0
                    AS entropy_bits
         FROM q JOIN n USING (doc_id)

@@ -61,7 +61,7 @@ def _bpe_chain_sql() -> tuple[str, str, list[str]]:
             FROM {prev} CROSS JOIN m{k} m
         )""")
         selects.append(
-            f"SELECT {k} AS rank, a AS tok_a, b AS tok_b, cnt AS pair_count FROM m{k}"
+            f"SELECT {k} AS rank, a AS tok_a, b AS tok_b, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
         )
         prev = f"w{k}"
     chain = f"""

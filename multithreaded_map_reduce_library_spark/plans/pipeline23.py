@@ -35,7 +35,8 @@ def _bpe_tokenize_oracle() -> str:
         j AS (SELECT dw.doc_id, len({final}.word) AS n_char,
                      len(string_split(trim({final}.rep), ' ')) AS n_bpe
               FROM dw JOIN {final} USING (word))
-        SELECT doc_id, SUM(n_char) AS n_sym_char, SUM(n_bpe) AS n_sym_bpe
+        SELECT doc_id, CAST(SUM(n_char) AS BIGINT) AS n_sym_char,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_sym_bpe
         FROM j GROUP BY doc_id
     """
 

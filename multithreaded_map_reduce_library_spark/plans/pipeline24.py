@@ -45,7 +45,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM c
         )
         SELECT n.n1, n.n2,
-               MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS d_num,
+               CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_num,
                CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
                    / (CAST(n.n1 AS DOUBLE) * n.n2) AS d_stat
         FROM cum CROSS JOIN n

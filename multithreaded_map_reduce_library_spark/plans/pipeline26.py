@@ -103,7 +103,7 @@ def _decile_oracle() -> str:
                        SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS en_tot
                 FROM scored)
         SELECT decile, COUNT(*) AS n_docs,
-               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_en,
+               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
                CAST(FLOOR(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * tot.n_tot
                           AS DOUBLE)
                      / CAST(COUNT(*) * tot.en_tot AS DOUBLE) * 1000000.0 + 0.5)
@@ -260,7 +260,7 @@ def _calibration_oracle() -> str:
             FROM scored
         )
         SELECT bin, COUNT(*) AS n_docs,
-               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                CAST(SUM(p_q) AS DOUBLE) / COUNT(*) / {_LR_GRID} AS mean_pred,
                CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                    AS frac_pos

@@ -212,8 +212,8 @@ _LB_BATCH = 8
                (COUNT(*) + {_LB_BATCH} - 1) // {_LB_BATCH} AS n_batches,
                -- pad to the LONGEST sequence in the bucket (what a real
                -- loader does), not the bucket's nominal upper bound
-               COUNT(*) * MAX(n_toks) - SUM(n_toks) AS pad_bucketed,
-               SUM(g.max_len - n_toks) AS pad_unbucketed
+               CAST(COUNT(*) * MAX(n_toks) - SUM(n_toks) AS BIGINT) AS pad_bucketed,
+               CAST(SUM(g.max_len - n_toks) AS BIGINT) AS pad_unbucketed
         FROM b CROSS JOIN g
         GROUP BY bucket
     """,

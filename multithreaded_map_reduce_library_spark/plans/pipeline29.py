@@ -179,7 +179,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(i * rev_q) AS wsum
             FROM k
         )
-        SELECT n AS n_customers, tot AS total_rev_q,
+        SELECT n AS n_customers, CAST(tot AS BIGINT) AS total_rev_q,
                CAST(FLOOR((2.0 * CAST(wsum AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
                      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000.0 + 0.5)
                     AS BIGINT) AS gini_e6

@@ -74,7 +74,8 @@ def _cms_bucket(col, i: int):
             SELECT COUNT(*) AS true_join_size
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         )
-        SELECT est.est_join_size, tru.true_join_size,
+        SELECT CAST(est.est_join_size AS BIGINT) AS est_join_size,
+               tru.true_join_size,
                CAST((est.est_join_size * 1000000 + tru.true_join_size // 2)
                     // tru.true_join_size AS BIGINT) AS overestimate_e6
         FROM est CROSS JOIN tru

@@ -141,7 +141,7 @@ def qgram_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tot AS (SELECT SUM(reg_cents) AS tot_cents FROM reg)
         SELECT nat.n_regionkey AS regionkey, nat.c_nationkey AS nationkey,
-               nat.nat_cents,
+               CAST(nat.nat_cents AS BIGINT) AS nat_cents,
                CAST((nat.nat_cents * 1000000 + reg.reg_cents // 2)
                     // reg.reg_cents AS BIGINT) AS share_of_region_e6,
                CAST((reg.reg_cents * 1000000 + tot.tot_cents // 2)
@@ -203,7 +203,7 @@ def _session_sweep_oracle() -> str:
     for gap in _ST_GAPS_MIN:
         parts.append(f"""
         SELECT {gap} AS gap_minutes, COUNT(*) AS n_sessions,
-               SUM(n_events) AS n_events,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
                CAST((CAST(SUM(n_events) AS BIGINT) * 1000000 + COUNT(*) // 2)
                     // COUNT(*) AS BIGINT) AS mean_events_e6
         FROM (

@@ -110,10 +110,10 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND CAST(e.ts AS DATE) - f.cohort_day <= 7
             GROUP BY f.cohort_day, day_offset
         )
-        SELECT cohort_day, day_offset, cents,
-               SUM(cents) OVER (PARTITION BY cohort_day
+        SELECT cohort_day, day_offset, CAST(cents AS BIGINT) AS cents,
+               CAST(SUM(cents) OVER (PARTITION BY cohort_day
                                 ORDER BY day_offset ASC
-                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
         FROM p
     """,
     tags=("analytics", "cohort", "ltv", "events"),

@@ -42,7 +42,7 @@ def _norm_dot(a: str) -> str:
             SELECT norm_q // 5000 AS bucket, COUNT(*) AS n_vecs
             FROM nq GROUP BY bucket
         )
-        SELECT b.bucket, b.bucket * 0.5 AS norm_lo, b.n_vecs,
+        SELECT b.bucket, CAST(b.bucket AS DOUBLE) * 0.5 AS norm_lo, b.n_vecs,
                CAST(FLOOR(CAST(CAST(g.s AS BIGINT) AS DOUBLE) / g.n / 10000.0
                           * 1000000.0 + 0.5) AS BIGINT) AS mean_norm_e6,
                CAST(FLOOR(sqrt((CAST(CAST(g.ss AS BIGINT) AS DOUBLE)

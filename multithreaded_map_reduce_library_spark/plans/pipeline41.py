@@ -146,7 +146,7 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM a
         )
         SELECT o_orderstatus, bucket, COUNT(*) AS n_orders,
-               SUM(cents) AS total_cents
+               CAST(SUM(cents) AS BIGINT) AS total_cents
         FROM b GROUP BY o_orderstatus, bucket
     """,
     tags=("analytics", "aging", "orders"),

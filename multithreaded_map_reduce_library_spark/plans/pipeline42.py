@@ -41,7 +41,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
                               * 10000.0 + 0.5) AS BIGINT) AS bits_q
             FROM t JOIN rt USING (cur)
         )
-        SELECT cur, MAX(rc) AS n_transitions,
+        SELECT cur, CAST(MAX(rc) AS BIGINT) AS n_transitions,
                CAST(SUM(bits_q) AS DOUBLE) / CAST(MAX(rc) AS DOUBLE) / 10000.0
                    AS cond_entropy_bits
         FROM q GROUP BY cur

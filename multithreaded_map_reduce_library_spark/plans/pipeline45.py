@@ -59,7 +59,8 @@ def _cp_dot(a: str, b: str) -> str:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY cl.cell
                                        ORDER BY cl.lang ASC) = 1
         )
-        SELECT mx.cell, mx.n_cell, lab.major_lang, mx.n_major,
+        SELECT mx.cell, CAST(mx.n_cell AS BIGINT) AS n_cell,
+               lab.major_lang, mx.n_major,
                CAST((mx.n_major * 1000000 + mx.n_cell // 2) // mx.n_cell AS BIGINT) AS purity_e6
         FROM mx JOIN lab ON mx.cell = lab.cell
     """,
@@ -201,8 +202,8 @@ _NY_BUDGET = 100
             FROM base
         )
         SELECT lang, nh, w_q,
-               base_alloc + CASE WHEN rk <= leftover.extra THEN 1 ELSE 0 END
-                   AS n_sample
+               CAST(base_alloc + CASE WHEN rk <= leftover.extra
+                                      THEN 1 ELSE 0 END AS BIGINT) AS n_sample
         FROM ranked CROSS JOIN leftover
     """,
     tags=("sampling", "stratified", "neyman", "allocation", "documents"),

@@ -31,7 +31,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM lineitem GROUP BY l_orderkey
         )
         SELECT o.o_orderkey, o.o_orderstatus,
-               l.n_lines, l.line_cents,
+               l.n_lines, CAST(l.line_cents AS BIGINT) AS line_cents,
                (l.first_ship - CAST(o.o_orderdate AS DATE)) AS days_to_first_ship,
                (l.last_ship - l.first_ship) AS ship_span_days
         FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey

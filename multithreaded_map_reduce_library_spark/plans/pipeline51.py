@@ -150,7 +150,7 @@ def tfidf_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(x * x) AS sxx
             FROM d GROUP BY event_type
         )
-        SELECT event_type, n AS n_days, sx AS n_events,
+        SELECT event_type, n AS n_days, CAST(sx AS BIGINT) AS n_events,
                CAST(FLOOR(CAST(n * sxx - sx * sx AS DOUBLE)
                      / CAST(n AS DOUBLE) / sx * 1000000.0 + 0.5) AS BIGINT) AS fano_e6
         FROM s

@@ -63,7 +63,7 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
                               * 1000000.0 + 0.5) AS BIGINT) AS lq
             FROM risk WHERE d > 0 AND n_risk > d
         )
-        SELECT t_hours, n_risk, d,
+        SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
                CAST(FLOOR(exp(CAST(SUM(lq) OVER (ORDER BY t_hours ASC
                                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                          / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS survival_e6

@@ -54,7 +54,7 @@ _FW_TOPK = 10
                    * 10000.0 + 0.5) AS BIGINT) AS z_q
             FROM c CROSS JOIN g
         )
-        SELECT tok, ce AS n_en, cr AS n_rest,
+        SELECT tok, CAST(ce AS BIGINT) AS n_en, CAST(cr AS BIGINT) AS n_rest,
                CAST(z_q AS DOUBLE) / 10000.0 AS zscore,
                CAST(ROW_NUMBER() OVER (ORDER BY ABS(z_q) DESC, tok ASC)
                     AS BIGINT) AS rnk

@@ -41,9 +41,11 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
                    COUNT(*) AS m
             FROM c1 GROUP BY k2 HAVING COUNT(*) = 2
         )
-        SELECT 1 AS level, k AS pos, a1 AS approx, d1 AS detail FROM c1
+        SELECT 1 AS level, k AS pos, CAST(a1 AS BIGINT) AS approx,
+               CAST(d1 AS BIGINT) AS detail FROM c1
         UNION ALL
-        SELECT 2 AS level, k2 AS pos, a1a + a1b AS approx, a1a - a1b AS detail
+        SELECT 2 AS level, k2 AS pos, CAST(a1a + a1b AS BIGINT) AS approx,
+               CAST(a1a - a1b AS BIGINT) AS detail
         FROM l2
     """,
     tags=("time-series", "wavelet", "events", "global-sort"),
@@ -123,7 +125,7 @@ def haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT decile, COUNT(*) AS n_customers, SUM(rev_q) AS dec_rev
             FROM k GROUP BY decile
         )
-        SELECT decile, n_customers, dec_rev,
+        SELECT decile, n_customers, CAST(dec_rev AS BIGINT) AS dec_rev,
                CAST((CAST(SUM(dec_rev) OVER (ORDER BY decile ASC
                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
                      + CAST(g.tot AS BIGINT) // 2) // CAST(g.tot AS BIGINT) AS BIGINT)

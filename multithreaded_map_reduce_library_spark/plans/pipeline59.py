@@ -28,7 +28,7 @@ _POW48 = 1 << 48
     "corpus_content_signature",
     oracle=f"""
         SELECT COUNT(*) AS n_docs,
-               SUM(octet_length(encode(text))) AS n_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
                CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
                                         1, 12)) AS BIGINT)) % {_POW48} AS BIGINT)
                    AS content_sig

@@ -114,8 +114,8 @@ _NS_POW = 0.75
             FROM base
         )
         SELECT tok, n,
-               base_slots + CASE WHEN rk <= leftover.extra THEN 1 ELSE 0 END
-                   AS n_slots
+               CAST(base_slots + CASE WHEN rk <= leftover.extra
+                                     THEN 1 ELSE 0 END AS BIGINT) AS n_slots
         FROM ranked CROSS JOIN leftover
     """,
     tags=("training-data", "negative-sampling", "allocation", "documents"),

@@ -51,7 +51,8 @@ from multithreaded_map_reduce_library_spark.sources.catalog import load_table
             FROM s
         )
         SELECT l_orderkey, l_linenumber,
-               base_cents + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc_cents
+               CAST(base_cents + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc_cents
         FROM r
     """,
     tags=("allocation", "proration", "money", "window"),
@@ -195,7 +196,7 @@ def linear_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE w <> '' GROUP BY doc_id, w),
         d AS (SELECT doc_id, SUM(n) AS n_tokens, SUM(n * n) AS sum_sq
               FROM c GROUP BY doc_id)
-        SELECT doc_id, n_tokens,
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(FLOOR((1.0 - CAST(sum_sq AS DOUBLE)
                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
                    * 1000000.0 + 0.5) AS BIGINT) AS simpson_e6

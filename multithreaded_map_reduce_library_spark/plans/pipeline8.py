@@ -164,7 +164,7 @@ _REG_RE = r"([A-Za-z0-9-]+\.[A-Za-z]+)$"
         SELECT host, reg_domain,
                reg_domain IN ('tracker.net', 'spam.click') AS blocked,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM h
         GROUP BY host, reg_domain, blocked
     """,
@@ -230,10 +230,11 @@ _BOILER_MIN_DOCS = 3
         )
         SELECT e.doc_id,
                COUNT(*) AS n_lines,
-               SUM(CASE WHEN freq.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
-               CAST({_LINE_W} AS BIGINT)
-                 * (COUNT(*) - SUM(CASE WHEN freq.line IS NOT NULL THEN 1 ELSE 0 END))
-                 AS n_kept_tokens
+               CAST(SUM(CASE WHEN freq.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler,
+               CAST({_LINE_W} * (COUNT(*)
+                         - SUM(CASE WHEN freq.line IS NOT NULL THEN 1 ELSE 0 END))
+                    AS BIGINT) AS n_kept_tokens
         FROM e LEFT JOIN freq USING (line)
         GROUP BY e.doc_id
     """,
@@ -304,7 +305,7 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * 10000.0 + 0.5) AS BIGINT) AS bits_q
             FROM tf JOIN uni USING (tok) CROSS JOIN tot
         )
-        SELECT doc_id, SUM(f) AS n_tokens,
+        SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_tokens,
                CAST(SUM(bits_q) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) / 10000.0
                    AS avg_bits
         FROM q GROUP BY doc_id

@@ -152,6 +152,7 @@ def _load_all() -> None:
         pipeline71,
         pipeline72,
         pipeline73,
+        pipeline74,
         relational,
         relational2,
         relational3,

@@ -33,10 +33,12 @@ def _e4(c):
     "map_funcs_user_event_profile",
     oracle="""
         SELECT user_id,
-               COALESCE(SUM(CASE WHEN event_type = 'click' THEN cnt END), 0) AS clicks,
-               COALESCE(SUM(CASE WHEN event_type = 'error' THEN cnt END), 0) AS errors,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN cnt END), 0) AS BIGINT)
+                   AS clicks,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN cnt END), 0) AS BIGINT)
+                   AS errors,
                COUNT(*) AS n_types,
-               SUM(CASE WHEN cnt >= 10 THEN 1 ELSE 0 END) AS hot_types
+               CAST(SUM(CASE WHEN cnt >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hot_types
         FROM (SELECT user_id, event_type, COUNT(*) AS cnt
               FROM events GROUP BY 1, 2)
         GROUP BY user_id

@@ -69,7 +69,7 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
                     WHEN old.cents <> new.cents THEN 'update'
                     ELSE 'unchanged' END AS change_type,
                COUNT(*) AS n_rows,
-               SUM(COALESCE(new.cents, old.cents)) AS price_cents
+               CAST(SUM(COALESCE(new.cents, old.cents)) AS BIGINT) AS price_cents
         FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
         GROUP BY 1
     """,
@@ -144,7 +144,9 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
                COUNT(DISTINCT o_totalprice),
-               ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+               -- exact: MIN/MAX select one stored parquet double bit-for-bit
+               -- (no arithmetic), so the raw value is cross-engine-identical
+               MIN(o_totalprice), MAX(o_totalprice)
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
@@ -173,8 +175,10 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def prof(col: str, numeric: bool, money: bool = False) -> DataFrame:
         if money:
-            mn: F.Column = F.round(F.min(col), 4)
-            mx: F.Column = F.round(F.max(col), 4)
+            # exact: MIN/MAX select one stored parquet double bit-for-bit
+            # (no arithmetic), so the raw value is cross-engine-identical
+            mn: F.Column = F.min(col)
+            mx: F.Column = F.max(col)
         elif numeric:
             mn = F.min(col).cast("double")
             mx = F.max(col).cast("double")
@@ -211,7 +215,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend_cents
             FROM orders GROUP BY o_custkey
         )
-        SELECT c AS o_custkey, n_orders, spend_cents
+        SELECT c AS o_custkey, n_orders,
+               CAST(spend_cents AS BIGINT) AS spend_cents
         FROM s a
         WHERE NOT EXISTS (
             SELECT 1 FROM s b
@@ -357,8 +362,9 @@ def approx_topk_tokens_exact_capacity(spark: SparkSession, sf_dir: str) -> DataF
                      COALESCE(prev.rev, 0) AS prev_cents
               FROM cur FULL OUTER JOIN prev ON cur.seg = prev.seg),
         t AS (SELECT SUM(cur_cents - prev_cents) AS total_delta FROM d)
-        SELECT seg, cur_cents, prev_cents,
-               cur_cents - prev_cents AS delta_cents,
+        SELECT seg, CAST(cur_cents AS BIGINT) AS cur_cents,
+               CAST(prev_cents AS BIGINT) AS prev_cents,
+               CAST(cur_cents - prev_cents AS BIGINT) AS delta_cents,
                CAST(FLOOR(CAST(cur_cents - prev_cents AS DOUBLE)
                    / CAST(total_delta AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
                    AS share_of_change_e6
@@ -427,7 +433,7 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      SUM(n) AS n_rows,
                      MIN(n) AS min_n, MAX(n) AS max_n
               FROM g)
-        SELECT n_groups, n_rows, min_n, max_n,
+        SELECT n_groups, CAST(n_rows AS BIGINT) AS n_rows, min_n, max_n,
                CAST((n_rows * 1000000 + n_groups // 2) // n_groups AS BIGINT) AS avg_n_e6,
                (SELECT COUNT(*) FROM g, s WHERE n * n_groups > 2 * n_rows)
                    AS n_hot_groups
@@ -478,9 +484,9 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
                    FROM orders)
         SELECT pri, COUNT(*) AS n_rows, COUNT(pri) AS n_non_null,
-               SUM(cents) AS cents,
-               SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL
-                        THEN cents ELSE 0 END) AS null_bucket_cents
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM NULL
+                        THEN cents ELSE 0 END) AS BIGINT) AS null_bucket_cents
         FROM x
         GROUP BY pri
         ORDER BY pri NULLS FIRST
@@ -533,7 +539,7 @@ def null_semantics_priority_report(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT t.n_customers,
                (SELECT COUNT(*) FROM r, t
                 WHERE r.cum - r.cents < (4 * t.total + 4) // 5) AS n_for_80pct,
-               t.total AS total_cents
+               CAST(t.total AS BIGINT) AS total_cents
         FROM t
     """,
     tags=("analytics", "pareto", "concentration", "window", "global-sort"),

@@ -178,7 +178,22 @@ def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
     explicit state variables, timers, and TTL available; requires the
     RocksDB state store provider (pinned session-wide by
     ``tune_existing`` — the provider a cluster deployment uses anyway
-    for large state)."""
+    for large state).
+
+    DOCUMENTED WON'T-RUN-HERE (the repo's one pytest skip): executing
+    this operator requires the ``google.protobuf`` runtime — Spark 4's
+    StatefulProcessor Python worker speaks a protobuf state-server
+    protocol (``pyspark/sql/streaming/proto``) — and this container has
+    no protobuf and forbids installs; there is no vendored pure-Python
+    copy inside pyspark to fall back on.  The operator is still the
+    correct Spark-first answer on a real cluster (protobuf ships with
+    every Spark distribution), so the code stays, the test
+    (``tests/test_streaming_late.py::
+    test_transform_with_state_totals_match_batch``) importorskips with
+    this citation and asserts equality with the batch GROUP BY wherever
+    protobuf exists, and the hashed registry twin for the same
+    semantics is ``stream_user_running_totals``
+    (applyInPandasWithState, protobuf-free, driver-green)."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -34,6 +34,7 @@ def main() -> int:
         f"A: {a.get('ts', '?')} total={a['value']}s sf={a['sf']}   "
         f"B: {b.get('ts', '?')} total={b['value']}s sf={b['sf']}"
     )
+    sa, sb = a.get("spread", {}), b.get("spread", {})
     rows = []
     for q in sorted(set(a["queries"]) | set(b["queries"])):
         ta, tb = a["queries"].get(q), b["queries"].get(q)
@@ -42,9 +43,21 @@ def main() -> int:
     rows.sort(key=lambda r: -(r[3] if r[3] is not None else float("inf")))
     for q, ta, tb, delta in rows:
         mark = ""
-        if delta is not None and ta and delta > max(0.2, 0.5 * ta):
-            mark = "  <-- regression"
-        print(f"{q:40s} A={ta} B={tb} delta={delta if delta is None else round(delta, 3)}{mark}")
+        spr = max(sa.get(q, 0.0), sb.get(q, 0.0))
+        if delta is not None and ta:
+            # Noise-aware call (round-4, VERDICT r3 item 8): each record
+            # carries the per-query max-min spread over its median-of-3
+            # samples; only a move beyond 2 spreads (with a 0.2 s floor
+            # for spread-less legacy records) is a regression, everything
+            # inside that band is the scheduler.
+            if delta > max(0.2, 2.0 * spr):
+                mark = "  <-- regression (>2x spread)"
+            elif delta > max(0.1, spr):
+                mark = "  (within noise: <=2x spread)"
+        print(
+            f"{q:40s} A={ta} B={tb} "
+            f"delta={delta if delta is None else round(delta, 3)} spread={spr}{mark}"
+        )
     return 0
 
 
