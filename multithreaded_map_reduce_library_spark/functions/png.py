@@ -9,19 +9,24 @@ and falls back to this decoder, replacing the round-1
 ``NotImplementedError`` stub with a working decode path.
 
 Decode envelope (round 3 widened it from "8-bit gray/RGB/RGBA only",
-closing the VERDICT r2 item-6 honest edge):
+closing the VERDICT r2 item-6 honest edge; round 4 added Adam7):
 
 * bit depth 8 and 16 for gray / RGB / RGBA (color types 0, 2, 6);
   16-bit output is a uint16 array;
 * palette images (color type 3) at bit depths 1, 2, 4, 8, expanded
   through PLTE to an (h, w, 3) uint8 array;
 * all five scanline filters, byte-correct per-pixel offsets (bpp) at
-  every depth.
+  every depth;
+* Adam7 interlace (method 1) for the full envelope above: the seven
+  reduced images are unfiltered independently (each pass restarts
+  filtering with its own stride, per spec §8.2) and scattered back by
+  the pass grid.
 
 Still out of envelope (raise ``NotImplementedError``, never a wrong
-pixel): Adam7 interlace, 1/2/4-bit grayscale, tRNS transparency.
+pixel): 1/2/4-bit grayscale, tRNS transparency.
 
-Spec: https://www.w3.org/TR/png-3/ (chunk layout §5, filters §9).
+Spec: https://www.w3.org/TR/png-3/ (chunk layout §5, interlace §8,
+filters §9).
 """
 
 from __future__ import annotations
@@ -33,6 +38,28 @@ _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 #: channels per non-palette PNG color type.
 _CHANNELS = {0: 1, 2: 3, 6: 4}
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, spec §8.2.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _passes(width: int, height: int, interlace: int):
+    """Yield (x0, y0, dx, dy, pass_width, pass_height) for each non-empty
+    reduced image; interlace 0 is the single full-frame pass."""
+    grid = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in grid:
+        wp = (width - x0 + dx - 1) // dx if width > x0 else 0
+        hp = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if wp > 0 and hp > 0:
+            yield x0, y0, dx, dy, wp, hp
 
 
 def is_png(payload: bytes) -> bool:
@@ -126,6 +153,38 @@ def encode_png_palette(indices: "object", palette: "list[tuple[int, int, int]]",
     )
 
 
+def encode_png_adam7(pixels: "list[list[int]] | object", channels: int = 1) -> bytes:
+    """Encode 8-bit pixels as an **Adam7-interlaced** PNG (interlace
+    method 1, filter 0 scanlines): the seven reduced images are emitted
+    in pass order, each scanline carrying only that pass's pixels —
+    fixture generator for the interlaced decode path."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3:
+        h, w, channels = arr.shape
+    elif arr.ndim == 2 and channels == 1:
+        h, w = arr.shape
+        arr = arr[:, :, None]
+    else:
+        h = arr.shape[0]
+        w = arr.shape[1] // channels
+        arr = arr.reshape(h, w, channels)
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy, _wp, hp in _passes(w, h, 1):
+        sub = arr[y0::dy, x0::dx]
+        for y in range(hp):
+            raw += b"\x00" + sub[y].tobytes()
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -179,10 +238,11 @@ def decode_png(payload: bytes) -> "tuple[int, int, int, object]":
     """Decode a PNG to ``(width, height, channels, ndarray[h, w, c])``.
 
     Supported (see module docstring): depth 8/16 x color types 0/2/6
-    (16-bit returns uint16), and palette (color type 3) at depths
-    1/2/4/8 expanded to RGB uint8. No interlace. Anything outside the
-    envelope raises ``NotImplementedError`` (never a wrong pixel);
-    malformed streams raise ``ValueError``.
+    (16-bit returns uint16), palette (color type 3) at depths 1/2/4/8
+    expanded to RGB uint8, each sequential or Adam7-interlaced (the
+    passes unfilter independently and scatter back by the pass grid).
+    Anything outside the envelope raises ``NotImplementedError`` (never
+    a wrong pixel); malformed streams raise ``ValueError``.
     """
     import numpy as np
 
@@ -190,7 +250,7 @@ def decode_png(payload: bytes) -> "tuple[int, int, int, object]":
         raise ValueError("not a PNG byte stream")
     pos = 8
     width = height = None
-    depth = color_type = 0
+    depth = color_type = interlace = 0
     plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
@@ -205,7 +265,7 @@ def decode_png(payload: bytes) -> "tuple[int, int, int, object]":
             ok = (color_type in _CHANNELS and depth in (8, 16)) or (
                 color_type == 3 and depth in (1, 2, 4, 8)
             )
-            if interlace != 0 or not ok:
+            if interlace not in (0, 1) or not ok:
                 raise NotImplementedError(
                     f"unsupported PNG: depth={depth} color_type={color_type} "
                     f"interlace={interlace}"
@@ -225,24 +285,48 @@ def decode_png(payload: bytes) -> "tuple[int, int, int, object]":
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        stride = -(-width * depth // 8)
-        rows = _unfilter(raw, height, stride, 1)
-        if depth == 8:
-            idx = rows[:, :width]
-        else:
-            bits = np.unpackbits(rows, axis=1)
-            idx = np.zeros((height, width), dtype=np.uint8)
-            for b in range(depth):
-                idx = (idx << 1) | bits[:, b::depth][:, :width]
+        idx = np.zeros((height, width), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, wp, hp in _passes(width, height, interlace):
+            stride = -(-wp * depth // 8)
+            nb = hp * (stride + 1)
+            rows = _unfilter(raw[off : off + nb], hp, stride, 1)
+            off += nb
+            if depth == 8:
+                sub = rows[:, :wp]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                sub = np.zeros((hp, wp), dtype=np.uint8)
+                for b in range(depth):
+                    sub = (sub << 1) | bits[:, b::depth][:, :wp]
+            idx[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG IDAT length does not match pass layout")
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return width, height, 3, plte[idx]
 
     channels = _CHANNELS[color_type]
     nbytes = depth // 8
-    stride = width * channels * nbytes
-    rows = _unfilter(raw, height, stride, channels * nbytes)
-    if depth == 8:
-        return width, height, channels, rows.reshape(height, width, channels)
-    arr16 = rows.reshape(height, stride).view(">u2").astype(np.uint16)
-    return width, height, channels, arr16.reshape(height, width, channels)
+    out = np.zeros(
+        (height, width, channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
+    off = 0
+    for x0, y0, dx, dy, wp, hp in _passes(width, height, interlace):
+        stride = wp * channels * nbytes
+        nb = hp * (stride + 1)
+        rows = _unfilter(raw[off : off + nb], hp, stride, channels * nbytes)
+        off += nb
+        if depth == 8:
+            sub = rows.reshape(hp, wp, channels)
+        else:
+            sub = (
+                rows.reshape(hp, stride)
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(hp, wp, channels)
+            )
+        out[y0::dy, x0::dx] = sub
+    if off != len(raw):
+        raise ValueError("PNG IDAT length does not match pass layout")
+    return width, height, channels, out

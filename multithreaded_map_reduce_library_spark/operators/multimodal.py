@@ -195,7 +195,8 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
 
 
 def embeddings_as_png_assets(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", width: int = 8
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", width: int = 8,
+    interlaced: bool = False,
 ) -> DataFrame:
     """Fabricate REAL image payloads from driver data: each embedding is
     quantized to 8-bit grey JVM-side (floor(clip((x+1)/2)*255) — plain SQL
@@ -207,7 +208,12 @@ def embeddings_as_png_assets(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.functions.png import (
+        encode_png,
+        encode_png_adam7,
+    )
+
+    enc = encode_png_adam7 if interlaced else encode_png
 
     q = F.transform(
         F.col(vec_col),
@@ -222,7 +228,7 @@ def embeddings_as_png_assets(
         out = []
         for p in pxs:
             a = np.asarray(list(p), dtype=np.uint8)
-            out.append(encode_png(a.reshape(len(a) // width, width)))
+            out.append(enc(a.reshape(len(a) // width, width)))
         return pd.Series(out)
 
     return emb.select(F.col(id_col).alias("asset_id"), q.alias("_px")).select(
@@ -274,6 +280,55 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA.fields])
 
     return assets.select("asset_id", "payload").mapInPandas(batches, DECODE_META_SCHEMA)
+
+
+CHECKSUM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sum_px", LongType(), True),
+        StructField("wsum_px", LongType(), True),
+    ]
+)
+
+
+def decode_image_checksum(assets: DataFrame) -> DataFrame:
+    """Like :func:`decode_image_meta` but adds a POSITION-WEIGHTED pixel
+    checksum ``wsum_px = Σ px[k] * (k+1)`` over the row-major flattened
+    image — permutation-SENSITIVE, so a decoder that lands the right
+    pixels in the wrong places (the failure mode of a bad Adam7
+    de-interlace scatter) breaks the hash even though the plain sum
+    survives. Same Arrow mapInPandas plan shape, stdlib codec only in
+    the hashed path."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from multithreaded_map_reduce_library_spark.functions.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, c, arr = decode_png(
+                    bytes(payload) if payload is not None else b""
+                )
+                flat = np.asarray(arr, dtype=np.int64).reshape(-1)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "sum_px": int(flat.sum()),
+                        "wsum_px": int((flat * np.arange(1, len(flat) + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHECKSUM_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, CHECKSUM_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:

@@ -1,12 +1,16 @@
-"""Pipeline batch 74 (round 4): WIDENED AUDIO ENVELOPE — stereo 24-bit
-PCM WAV, end to end.
+"""Pipeline batch 74 (round 4): WIDENED MEDIA ENVELOPES — stereo 24-bit
+PCM WAV and Adam7-interlaced PNG, end to end.
 
-Closes the "PCM16-mono-only" honest edge called out in VERDICT r3: the
-fabricate side now emits genuine RIFF/WAVE **stereo 24-bit** payloads
+Closes both remaining media honest edges called out in VERDICT r3. Audio:
+the fabricate side now emits genuine RIFF/WAVE **stereo 24-bit** payloads
 (interleaved 3-byte little-endian two's-complement frames, block align
 6), and the decode side is a generalized chunk-walk kernel
 (``operators/multimodal.py::wav_pcm_frame_energy``) accepting
 bits ∈ {16,24} × channels ∈ {1,2} with loud raises outside that envelope.
+Image: the stdlib PNG codec now decodes **Adam7 interlace** (method 1)
+across its whole depth × color-type envelope (``functions/png.py``), and
+the roundtrip here hashes a position-weighted checksum so the
+de-interlace scatter is proven placement-exact, not just sum-exact.
 
 Oracle discipline (same as pipeline62/63): every 24-bit sample is an
 exact IEEE quantization of the embedding column
@@ -75,6 +79,50 @@ def multimodal_wav_stereo24_energy(spark: SparkSession, sf_dir: str) -> DataFram
     frames), zero shuffles, no driver involvement."""
     emb = load_table(spark, sf_dir, "embeddings")
     return wav_pcm_frame_energy(embeddings_as_wav_stereo24_assets(emb), frame=WAV_FRAME)
+
+
+@register(
+    "multimodal_png_adam7_roundtrip",
+    oracle="""
+        WITH px AS (
+            SELECT vec_id AS asset_id, i,
+                   CAST(floor(least(greatest(
+                       (CAST(list_extract(embedding, i) AS DOUBLE) + 1.0) / 2.0,
+                       0.0), 1.0) * 255.0) AS BIGINT) AS v
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        )
+        SELECT asset_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(SUM(v * i) AS BIGINT) AS wsum_px
+        FROM px
+        GROUP BY asset_id
+    """,
+    tags=("multimodal", "image-decode", "png", "adam7", "mapInPandas"),
+)
+def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **Adam7-interlaced** image decode, end to end: the same 8-bit
+    grey quantization as ``multimodal_png_roundtrip``, but the pandas-UDF
+    encoder emits interlace-method-1 PNGs (seven reduced images, each
+    independently filtered) and the stdlib decoder de-interlaces them.
+    The output adds a position-weighted checksum ``wsum_px = Σ v_k·k``
+    over the row-major pixels (k = 1-based embedding index), which is
+    permutation-SENSITIVE: a de-interlace that lands right pixel values
+    at wrong pass offsets matches ``sum_px`` but breaks ``wsum_px`` —
+    the hash proves the pass grid, per-pass unfiltering, and the
+    scatter are position-exact.
+
+    Scale design: identical to the sequential roundtrip — Arrow-batched
+    map-side encode/decode, one skinny row per asset, zero shuffles."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_checksum,
+        embeddings_as_png_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decode_image_checksum(embeddings_as_png_assets(emb, interlaced=True))
 
 
 @register(

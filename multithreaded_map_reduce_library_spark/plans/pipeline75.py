@@ -1,0 +1,159 @@
+"""Pipeline batch 75 (round 4): Heaps'-law vocabulary growth — the
+token→type curve and its fitted exponent.
+
+V(n) ≈ K·n^β (Heaps/Herdan): how fast the vocabulary grows as the corpus
+is scanned. A training-data pipeline reads β to decide whether more data
+keeps buying new types (β near 1 = open vocabulary / noisy OCR; β ≈
+0.4–0.6 = natural language) and to size tokenizer vocabularies. Fits the
+repo's corpus-statistics tier next to Zipf (``token_zipf_tab``) and
+letter entropy.
+
+Exactness discipline: the only transcendental is ``ln``, quantized
+per-checkpoint to the 1e-4 grid (``FLOOR(ln(x)*1e4+0.5)`` — the same
+pattern letter_entropy/doc_unigram_logprob ship); the OLS fit then runs
+on exact BIGINT power sums with the n·Sxy−Sx·Sy products formed in
+DOUBLE (int64-overflow-safe, identical expression both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+_TOK_RE = "[ \\t\\r\\n]"
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(unnest(list_filter(string_split_regex(text, '{_TOK_RE}'),
+                                            x -> x <> ''))) AS tok
+            FROM documents
+        ),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM t GROUP BY doc_id),
+        first_doc AS (SELECT tok, MIN(doc_id) AS d0 FROM t GROUP BY tok),
+        new_types AS (SELECT d0 AS doc_id, COUNT(*) AS n_new FROM first_doc
+                      GROUP BY d0),
+        curve AS (
+            SELECT p.doc_id,
+                   SUM(p.n_toks) OVER (ORDER BY p.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_toks,
+                   SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_types
+            FROM per_doc p LEFT JOIN new_types nt USING (doc_id)
+        ),
+        q AS (
+            SELECT CAST(FLOOR(ln(CAST(cum_toks AS DOUBLE)) * 10000.0 + 0.5)
+                        AS BIGINT) AS lx,
+                   CAST(FLOOR(ln(CAST(cum_types AS DOUBLE)) * 10000.0 + 0.5)
+                        AS BIGINT) AS ly
+            FROM curve WHERE cum_toks > 0 AND cum_types > 0
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+                   CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+                   CAST(SUM(lx * lx) AS BIGINT) AS sxx
+            FROM q
+        ),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM per_doc) AS n_docs,
+                   (SELECT CAST(SUM(n_toks) AS BIGINT) FROM per_doc) AS n_tokens,
+                   (SELECT COUNT(*) FROM first_doc) AS n_types
+        )
+        SELECT tot.n_docs, tot.n_tokens, tot.n_types,
+               CAST(FLOOR((CAST(s.n AS DOUBLE) * s.sxy
+                           - CAST(s.sx AS DOUBLE) * s.sy)
+                          / (CAST(s.n AS DOUBLE) * s.sxx
+                             - CAST(s.sx AS DOUBLE) * s.sx)
+                          * 1000000.0 + 0.5) AS BIGINT) AS beta_e6,
+               CAST(FLOOR((CAST(s.sy AS DOUBLE) / 10000.0 / s.n
+                           - (CAST(s.n AS DOUBLE) * s.sxy
+                              - CAST(s.sx AS DOUBLE) * s.sy)
+                             / (CAST(s.n AS DOUBLE) * s.sxx
+                                - CAST(s.sx AS DOUBLE) * s.sx)
+                             * (CAST(s.sx AS DOUBLE) / 10000.0 / s.n))
+                          * 1000000.0 + 0.5) AS BIGINT) AS ln_k_e6
+        FROM s CROSS JOIN tot
+    """,
+    tags=("text-analysis", "corpus-stats", "heaps-law", "documents"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the corpus scanned in doc_id order: the
+    vocabulary-growth curve (cumulative types vs cumulative tokens at
+    every document boundary) and the OLS fit of ``ln V = ln K + β ln n``
+    over the per-document checkpoints — one row out: corpus totals plus
+    ``beta_e6`` and ``ln_k_e6`` on the integer grid.
+
+    Scale design: tokens shuffle once to find each type's FIRST document
+    (min doc_id per token — map-side combine); everything after runs on
+    per-document SKINNY relations (one row per doc). The cumulative
+    window is a global prefix sum over that skinny relation — at 100 TB
+    this becomes the standard two-pass distributed prefix sum
+    (per-partition partials + broadcast offsets) over ~millions of rows,
+    not the token table; the token-scale work stays one shuffle. The
+    OLS reduction is a single map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), _TOK_RE), lambda x: x != "")
+        ).alias("tok"),
+    )
+    per_doc = t.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    first_doc = t.groupBy("tok").agg(F.min("doc_id").alias("d0"))
+    new_types = first_doc.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_types"),
+        )
+        .filter((F.col("cum_toks") > 0) & (F.col("cum_types") > 0))
+    )
+    q = curve.select(
+        F.floor(F.log(F.col("cum_toks").cast("double")) * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("lx"),
+        F.floor(F.log(F.col("cum_types").cast("double")) * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    tot = per_doc.agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    ).crossJoin(first_doc.agg(F.count("*").alias("n_types")))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    intercept = F.col("sy").cast("double") / 10000.0 / F.col("n") - slope * (
+        sxd / 10000.0 / F.col("n")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))  # 1-row grand aggregate (BNLJ-exempt)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.floor(slope * 1000000.0 + 0.5).cast("bigint").alias("beta_e6"),
+            F.floor(intercept * 1000000.0 + 0.5).cast("bigint").alias("ln_k_e6"),
+        )
+    )

@@ -153,6 +153,7 @@ def _load_all() -> None:
         pipeline72,
         pipeline73,
         pipeline74,
+        pipeline75,
         relational,
         relational2,
         relational3,

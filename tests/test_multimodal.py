@@ -205,12 +205,20 @@ def test_png_decoder_palette_and_16bit_decode_exactly():
         assert arr.dtype == np.uint16
         assert (arr.reshape(h, w) == px).all()
 
-    # still-out-of-envelope forms raise cleanly
-    ihdr_interlaced = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # still-out-of-envelope forms raise cleanly (Adam7 — interlace 1 —
+    # DECODES as of round 4, tests/test_png_adam7.py; unknown interlace
+    # methods stay NotImplementedError, and an interlace claim over a
+    # sequential-layout payload is a loud length error, never a scatter)
+    ihdr_interlaced = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     bad1 = (_MAGIC + _chunk(b"IHDR", ihdr_interlaced)
             + _chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         decode_png(bad1)
+    ihdr_claims_adam7 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    bad1b = (_MAGIC + _chunk(b"IHDR", ihdr_claims_adam7)
+             + _chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + _chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(bad1b)
     ihdr_gray4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
     bad2 = (_MAGIC + _chunk(b"IHDR", ihdr_gray4)
             + _chunk(b"IDAT", zlib.compress(b"\x00" * 12)) + _chunk(b"IEND", b""))

@@ -76,6 +76,9 @@ ALLOW_PYTHON = {
     "multimodal_keyframe_select": "RAWV encode pandas UDF + mapInPandas frame-delta kernel",
     "multimodal_png_palette_roundtrip": "palette-PNG encode pandas UDF + mapInPandas stdlib decode",
     "multimodal_png16_roundtrip": "16-bit-PNG encode pandas UDF + mapInPandas stdlib decode",
+    "multimodal_wav_stereo24_energy": "stereo-24-bit WAV encode pandas UDF + mapInPandas chunk-walk decode",
+    "multimodal_wav_envelope_parity": "mono16 + stereo24 WAV encode/decode kernels joined per asset",
+    "multimodal_png_adam7_roundtrip": "Adam7 PNG encode pandas UDF + mapInPandas stdlib de-interlace",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
