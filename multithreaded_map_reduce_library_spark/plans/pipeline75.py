@@ -157,3 +157,73 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(intercept * 1000000.0 + 0.5).cast("bigint").alias("ln_k_e6"),
         )
     )
+
+
+@register(
+    "prefix_sum_distributed_revenue",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, ts,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT event_id,
+               CAST(SUM(cents) OVER (ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents
+        FROM e
+    """,
+    tags=("window", "prefix-sum", "scale-pattern", "events"),
+)
+def prefix_sum_distributed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue total via the TWO-PASS DISTRIBUTED PREFIX
+    SUM — the pattern that replaces `Window.orderBy(...)` (which Spark
+    executes as a SINGLE-partition window: the whole relation through one
+    task) when the relation is the fact table, not a skinny per-group
+    rollup:
+
+    1. range-repartition on the order key so partitions hold contiguous
+       key ranges;
+    2. per-partition running sums via a window PARTITIONED BY the
+       physical partition id (parallel — no global exchange);
+    3. per-partition TOTALS (a |partitions|-row relation) get their own
+       exclusive prefix sum — the only serial step, over ~dozens of
+       rows — and broadcast-join back as each partition's offset.
+
+    The oracle is the plain global windowed sum, so the hash proves the
+    decomposition exact row-for-row (ties broken by event_id inside the
+    range partitioner's key). At 100 TB this is THE way cumulative
+    metrics, CDF normalizations, and exclusive scans run; the serial
+    stage stays O(#partitions) regardless of data size."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    ranged = e.repartitionByRange(16, F.col("ts").asc(), F.col("event_id").asc())
+    part = ranged.withColumn("pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("local_cum", F.sum("cents").over(w_in))
+    totals = part.groupBy("pid").agg(F.sum("cents").alias("part_total"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("part_total").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "event_id",
+            (F.col("local_cum") + F.col("offset")).alias("cum_cents"),
+        )
+    )

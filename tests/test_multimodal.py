@@ -227,16 +227,20 @@ def test_png_decoder_palette_and_16bit_decode_exactly():
 
 
 def test_stdlib_decode_matches_pil_when_present():
-    """Where PIL is installed, the stdlib codec and PIL must agree
-    pixel-for-pixel on every encode_png output (gray/RGB/RGBA) — the
-    invariant that makes pinning the stdlib decoder in hashed queries
-    safe in ANY environment (VERDICT r2 item 1b)."""
+    """The stdlib codec must roundtrip encode_png output exactly in every
+    environment, and — where PIL happens to be installed — agree with PIL
+    pixel-for-pixel on the same bytes (the invariant that makes pinning
+    the stdlib decoder in hashed queries safe anywhere, VERDICT r2 item
+    1b). The roundtrip leg always runs, so this test PASSES (not skips)
+    in PIL-less containers; the PIL leg arms itself when importable."""
     import io
 
     import numpy as np
-    import pytest as _pytest
 
-    PIL = _pytest.importorskip("PIL.Image")
+    try:
+        import PIL.Image as PILImage
+    except ImportError:
+        PILImage = None
 
     from multithreaded_map_reduce_library_spark.functions.png import (
         decode_png,
@@ -248,9 +252,12 @@ def test_stdlib_decode_matches_pil_when_present():
         px = rng.randint(0, 256, size=shape).astype(np.uint8)
         payload = encode_png(px)
         _w, _h, _c, ours = decode_png(payload)
-        theirs = np.asarray(PIL.open(io.BytesIO(payload)))
-        assert ours.reshape(theirs.shape).tolist() == theirs.tolist()
-        assert int(ours.sum()) == int(theirs.astype(np.int64).sum())
+        ref = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(ours, ref)
+        if PILImage is not None:
+            theirs = np.asarray(PILImage.open(io.BytesIO(payload)))
+            assert ours.reshape(theirs.shape).tolist() == theirs.tolist()
+            assert int(ours.sum()) == int(theirs.astype(np.int64).sum())
 
 
 def test_hashed_decode_path_never_uses_pil_for_png(monkeypatch):

@@ -371,3 +371,20 @@ def test_png_roundtrip_python_is_batched_only(spark, queries):
     plan = plan_str(_df(queries, spark, "multimodal_png_roundtrip"))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_sum_fact_window_is_partitioned(spark, queries):
+    """The two-pass prefix sum's whole point: the window over the FACT
+    rows is PARTITIONED by pid (parallel — its exchange is
+    hashpartitioning(pid), not SinglePartition), only the
+    |partitions|-row offsets relation sees the serial single-partition
+    window, and the offsets join back as a broadcast."""
+    plan = plan_str(_df(queries, spark, "prefix_sum_distributed_revenue"))
+    # fact-side window keyed by the physical partition id
+    assert "windowspecdefinition(pid" in plan
+    # ... fed by a parallel hash exchange on pid
+    assert "hashpartitioning(pid" in plan
+    # the serial stage exists exactly once, for the pid-level offsets
+    assert plan.count("SinglePartition") == 1
+    # offsets relation ships back as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
