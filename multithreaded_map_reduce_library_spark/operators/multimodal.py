@@ -764,6 +764,129 @@ def wav_pcm_frame_energy(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame
     return assets.select("asset_id", "payload").mapInPandas(batches, WAV_PCM_ENERGY_SCHEMA)
 
 
+def embeddings_as_wav_float32_assets(emb: DataFrame, id_col: str = "vec_id",
+                                     vec_col: str = "embedding") -> DataFrame:
+    """Fabricate REAL RIFF/WAVE **IEEE float32** (format code 3) mono
+    payloads: the embedding values ARE the samples, bit-for-bit (the
+    parquet column is already float32), packed little-endian with the
+    fmt-3 header any DAW/loader recognizes. The zero-quantization-loss
+    member of the WAV family: the decode side recovers the exact stored
+    floats, so oracles replay samples straight from the column."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_wav_f32(samples: pd.Series) -> pd.Series:
+        out = []
+        for s in samples:
+            pcm = np.asarray(list(s), dtype="<f4").tobytes()
+            n = len(pcm)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + n)
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 3, 1, WAV_SAMPLE_RATE,
+                              WAV_SAMPLE_RATE * 4, 4, 32)
+                + b"data"
+                + struct.pack("<I", n)
+            )
+            out.append(hdr + pcm)
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col).alias("asset_id"),
+                      F.col(vec_col).alias("_s")).select(
+        "asset_id", to_wav_f32("_s").alias("payload")
+    )
+
+
+WAV_F32_ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("energy_q", LongType(), True),
+    ]
+)
+
+
+def wav_float32_frame_energy(assets: DataFrame, frame: int = WAV_FRAME) -> DataFrame:
+    """REAL IEEE-float32 WAV decode (format code 3) + per-frame energy on
+    the exact integer grid: each recovered float32 sample quantizes to
+    ``floor(float64(v) * 1e6 + 0.5)`` (float32→float64 is exact; the
+    scale and floor are single correctly-rounded IEEE ops, so any engine
+    replays it from the source column), and the frame energy is the
+    exact BIGINT Σq² — float samples, integer hashes.
+
+    Envelope: fmt 3 requires bits=32 and mono here; everything else
+    raises (fmt-1 PCM belongs to :func:`wav_pcm_frame_energy`). A data
+    chunk not divisible by 4 raises (truncated payload)."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, srs, ns, fidx, en = [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"asset {asset_id}: not a RIFF/WAVE payload")
+                pos, sr, bits, channels, fmt, data = 12, None, None, None, None, None
+                while pos + 8 <= len(raw):
+                    tag = raw[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                    if tag == b"fmt ":
+                        fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                    elif tag == b"data":
+                        data = body
+                if sr is None or data is None:
+                    raise ValueError(f"asset {asset_id}: missing fmt/data chunk")
+                if fmt != 3:
+                    raise NotImplementedError(
+                        f"WAV fmt {fmt}: IEEE-float decoder takes fmt 3 only"
+                    )
+                if bits != 32 or channels != 1:
+                    raise NotImplementedError(
+                        f"WAV float bits={bits} channels={channels}: "
+                        "float32 mono only"
+                    )
+                if len(data) % 4:
+                    raise ValueError(
+                        f"asset {asset_id}: data chunk {len(data)} bytes not a "
+                        "multiple of 4 (truncated?)"
+                    )
+                v = np.frombuffer(data, dtype="<f4").astype(np.float64)
+                q = np.floor(v * 1e6 + 0.5).astype(np.int64)
+                for f in range(len(q) // frame):
+                    w = q[f * frame : (f + 1) * frame]
+                    ids.append(asset_id)
+                    srs.append(sr)
+                    ns.append(len(q))
+                    fidx.append(f)
+                    en.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "frame_idx": fidx,
+                    "energy_q": en,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, WAV_F32_ENERGY_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # Video: fabricated RAWV containers — frame deltas for keyframe selection
 # --------------------------------------------------------------------------

@@ -49,38 +49,41 @@ _TOK_RE = "[ \\t\\r\\n]"
             FROM per_doc p LEFT JOIN new_types nt USING (doc_id)
         ),
         q AS (
-            SELECT CAST(FLOOR(ln(CAST(cum_toks AS DOUBLE)) * 10000.0 + 0.5)
-                        AS BIGINT) AS lx,
-                   CAST(FLOOR(ln(CAST(cum_types AS DOUBLE)) * 10000.0 + 0.5)
-                        AS BIGINT) AS ly
-            FROM curve WHERE cum_toks > 0 AND cum_types > 0
+            -- CASE guards keep ln() away from nonpositive inputs in BOTH
+            -- engines (Spark log(0) is NULL, DuckDB -inf — never compare)
+            SELECT cum_toks, cum_types,
+                   CASE WHEN cum_toks > 0 AND cum_types > 0
+                        THEN CAST(FLOOR(ln(CAST(cum_toks AS DOUBLE))
+                                        * 10000.0 + 0.5) AS BIGINT) END AS lx,
+                   CASE WHEN cum_toks > 0 AND cum_types > 0
+                        THEN CAST(FLOOR(ln(CAST(cum_types AS DOUBLE))
+                                        * 10000.0 + 0.5) AS BIGINT) END AS ly
+            FROM curve
         ),
         s AS (
-            SELECT COUNT(*) AS n,
+            SELECT COUNT(*) AS n_docs,
+                   CAST(MAX(cum_toks) AS BIGINT) AS n_tokens,
+                   CAST(MAX(cum_types) AS BIGINT) AS n_types,
+                   COUNT(lx) AS n,
                    CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
                    CAST(SUM(lx * ly) AS BIGINT) AS sxy,
                    CAST(SUM(lx * lx) AS BIGINT) AS sxx
             FROM q
-        ),
-        tot AS (
-            SELECT (SELECT COUNT(*) FROM per_doc) AS n_docs,
-                   (SELECT CAST(SUM(n_toks) AS BIGINT) FROM per_doc) AS n_tokens,
-                   (SELECT COUNT(*) FROM first_doc) AS n_types
         )
-        SELECT tot.n_docs, tot.n_tokens, tot.n_types,
-               CAST(FLOOR((CAST(s.n AS DOUBLE) * s.sxy
-                           - CAST(s.sx AS DOUBLE) * s.sy)
-                          / (CAST(s.n AS DOUBLE) * s.sxx
-                             - CAST(s.sx AS DOUBLE) * s.sx)
+        SELECT n_docs, n_tokens, n_types,
+               CAST(FLOOR((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
                           * 1000000.0 + 0.5) AS BIGINT) AS beta_e6,
-               CAST(FLOOR((CAST(s.sy AS DOUBLE) / 10000.0 / s.n
-                           - (CAST(s.n AS DOUBLE) * s.sxy
-                              - CAST(s.sx AS DOUBLE) * s.sy)
-                             / (CAST(s.n AS DOUBLE) * s.sxx
-                                - CAST(s.sx AS DOUBLE) * s.sx)
-                             * (CAST(s.sx AS DOUBLE) / 10000.0 / s.n))
+               CAST(FLOOR((CAST(sy AS DOUBLE) / 10000.0 / n
+                           - (CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy)
+                             / (CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                             * (CAST(sx AS DOUBLE) / 10000.0 / n))
                           * 1000000.0 + 0.5) AS BIGINT) AS ln_k_e6
-        FROM s CROSS JOIN tot
+        FROM s
     """,
     tags=("text-analysis", "corpus-stats", "heaps-law", "documents"),
 )
@@ -112,33 +115,41 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new")
     )
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_doc.join(new_types, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_toks"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_types"),
-        )
-        .filter((F.col("cum_toks") > 0) & (F.col("cum_types") > 0))
+    curve = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        F.sum("n_toks").over(w).alias("cum_toks"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_types"),
     )
+    # CASE guards keep ln() away from nonpositive inputs in BOTH engines
+    ok = (F.col("cum_toks") > 0) & (F.col("cum_types") > 0)
     q = curve.select(
-        F.floor(F.log(F.col("cum_toks").cast("double")) * 10000.0 + 0.5)
-        .cast("bigint")
-        .alias("lx"),
-        F.floor(F.log(F.col("cum_types").cast("double")) * 10000.0 + 0.5)
-        .cast("bigint")
-        .alias("ly"),
+        "cum_toks",
+        "cum_types",
+        F.when(
+            ok,
+            F.floor(F.log(F.col("cum_toks").cast("double")) * 10000.0 + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("lx"),
+        F.when(
+            ok,
+            F.floor(F.log(F.col("cum_types").cast("double")) * 10000.0 + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("ly"),
     )
+    # ONE aggregate carries the corpus totals AND the OLS power sums — no
+    # second scan branch, no cross join of grand aggregates
     s = q.agg(
-        F.count("*").alias("n"),
+        F.count("*").alias("n_docs"),
+        F.max("cum_toks").alias("n_tokens"),
+        F.max("cum_types").alias("n_types"),
+        F.count("lx").alias("n"),
         F.sum("lx").alias("sx"),
         F.sum("ly").alias("sy"),
         F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
         F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
     )
-    tot = per_doc.agg(
-        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
-    ).crossJoin(first_doc.agg(F.count("*").alias("n_types")))
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
@@ -147,15 +158,12 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = F.col("sy").cast("double") / 10000.0 / F.col("n") - slope * (
         sxd / 10000.0 / F.col("n")
     )
-    return (
-        s.crossJoin(F.broadcast(tot))  # 1-row grand aggregate (BNLJ-exempt)
-        .select(
-            "n_docs",
-            "n_tokens",
-            "n_types",
-            F.floor(slope * 1000000.0 + 0.5).cast("bigint").alias("beta_e6"),
-            F.floor(intercept * 1000000.0 + 0.5).cast("bigint").alias("ln_k_e6"),
-        )
+    return s.select(
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.floor(slope * 1000000.0 + 0.5).cast("bigint").alias("beta_e6"),
+        F.floor(intercept * 1000000.0 + 0.5).cast("bigint").alias("ln_k_e6"),
     )
 
 
@@ -227,3 +235,47 @@ def prefix_sum_distributed_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("local_cum") + F.col("offset")).alias("cum_cents"),
         )
     )
+
+
+@register(
+    "multimodal_wav_float32_energy",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id AS asset_id,
+                   CAST((i - 1) // 16 AS INTEGER) AS frame_idx,
+                   CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        )
+        SELECT asset_id,
+               CAST(16000 AS INTEGER) AS sample_rate,
+               CAST(64 AS INTEGER) AS n_samples,
+               frame_idx,
+               CAST(SUM(q * q) AS BIGINT) AS energy_q
+        FROM s
+        GROUP BY asset_id, frame_idx
+    """,
+    tags=("multimodal", "audio", "wav", "float32", "mapInPandas"),
+)
+def multimodal_wav_float32_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IEEE-float32 WAV (format code 3) round trip with ZERO
+    quantization loss: the embedding column is float32 in parquet, so the
+    fabricated fmt-3 payload carries the exact stored bits; the decoder
+    recovers them, quantizes to the 1e-6 integer grid (float32→float64
+    exact, one correctly-rounded multiply+floor), and emits per-frame
+    exact BIGINT energies. The oracle replays the identical quantization
+    straight from the column — a hash match proves the float bytes
+    survived the container round trip bit-for-bit.
+
+    Completes the WAV fmt envelope: fmt-1 PCM 16/24-bit mono/stereo
+    (pipeline62/74) + fmt-3 IEEE float mono here; everything else raises.
+
+    Scale design: same as every media kernel — Arrow-batched map-side
+    encode/decode, 4 skinny integer rows per asset, zero shuffles."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        embeddings_as_wav_float32_assets,
+        wav_float32_frame_energy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return wav_float32_frame_energy(embeddings_as_wav_float32_assets(emb))

@@ -124,3 +124,59 @@ def test_trailing_partial_frame_drops(spark):
     assert len(rows) == 1
     w = arr[:16].astype(np.int64)
     assert rows[0]["energy"] == int((w * w).sum())
+
+
+# ---- IEEE float32 (fmt 3) envelope --------------------------------------
+
+
+def _wav_f32(fmt=3, channels=1, bits=32, data=None, sr=16_000):
+    block = channels * bits // 8
+    if data is None:
+        data = bytes(block * 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, fmt, channels, sr, sr * block, block, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_float32_roundtrip_matches_numpy(spark):
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        embeddings_as_wav_float32_assets,
+        wav_float32_frame_energy,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(8)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float32)
+            for r in emb.collect()}
+    rows = wav_float32_frame_energy(embeddings_as_wav_float32_assets(emb)).collect()
+    assert len(rows) == 8 * 4
+    for r in rows:
+        v = vecs[r["asset_id"]].astype(np.float64)
+        q = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        w = q[r["frame_idx"] * WAV_FRAME : (r["frame_idx"] + 1) * WAV_FRAME]
+        assert r["energy_q"] == int((w * w).sum())
+
+
+def test_float32_decoder_rejects_pcm_and_odd_shapes(spark):
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        wav_float32_frame_energy,
+    )
+
+    def dec(payload):
+        df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+        return wav_float32_frame_energy(df).collect()
+
+    with pytest.raises(Exception, match="fmt 3 only"):
+        dec(_wav_f32(fmt=1))
+    with pytest.raises(Exception, match="float32 mono only"):
+        dec(_wav_f32(channels=2))
+    with pytest.raises(Exception, match="float32 mono only"):
+        dec(_wav_f32(bits=64))
+    with pytest.raises(Exception, match="multiple of 4"):
+        dec(_wav_f32(data=bytes(4 * 16 - 1)))

@@ -79,6 +79,7 @@ ALLOW_PYTHON = {
     "multimodal_wav_stereo24_energy": "stereo-24-bit WAV encode pandas UDF + mapInPandas chunk-walk decode",
     "multimodal_wav_envelope_parity": "mono16 + stereo24 WAV encode/decode kernels joined per asset",
     "multimodal_png_adam7_roundtrip": "Adam7 PNG encode pandas UDF + mapInPandas stdlib de-interlace",
+    "multimodal_wav_float32_energy": "IEEE-float32 WAV encode pandas UDF + mapInPandas fmt-3 decode",
     "ngram_jaccard_pairs": "shingle_hash32 pandas UDF index",
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
