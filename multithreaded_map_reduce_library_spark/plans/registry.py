@@ -154,6 +154,7 @@ def _load_all() -> None:
         pipeline73,
         pipeline74,
         pipeline75,
+        pipeline76,
         relational,
         relational2,
         relational3,

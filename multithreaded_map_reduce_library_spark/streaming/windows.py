@@ -87,6 +87,20 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).format("parquet").load(_as_stream_dir(path))
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over embeddings.parquet — the ingest-time view of a
+    media-asset drop (each row fabricates one WAV/PNG payload downstream;
+    a production pipeline decodes and features assets as they land, not
+    in nightly batch)."""
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAXFILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    return reader.load(_as_stream_dir(path))
+
+
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregate (late rows beyond the watermark
     are dropped and their window state evicted — bounded state at 100 TB/day
