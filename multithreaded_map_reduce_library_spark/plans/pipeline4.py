@@ -45,7 +45,10 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         d AS (SELECT DISTINCT tok, doc_id FROM tok WHERE tok <> '')
         SELECT tok AS token,
                COUNT(*) AS df,
-               list(doc_id ORDER BY doc_id) AS postings
+               -- CSV, not LIST: compound oracle outputs are driver-fragile
+               -- (pandas renders DuckDB LIST as numpy arrays, whose str()
+               -- differs from a Python list's) — same class as HUGEINT
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         FROM d GROUP BY tok
     """,
     tags=("search", "inverted-index", "documents", "text-analysis"),
@@ -66,7 +69,12 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _doc_tokens(spark, sf_dir).distinct()
     return d.groupBy(F.col("tok").alias("token")).agg(
         F.count("*").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

@@ -60,7 +60,7 @@ def _jl_oracle() -> str:
         )
     cols = ", ".join(dims)
     return f"""
-        SELECT vec_id, label, [{cols}] AS proj_e6
+        SELECT vec_id, label, array_to_string([{cols}], ',') AS proj_e6
         FROM embeddings
     """
 
@@ -106,7 +106,15 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_JL_OUT)
         ]
     )
-    return emb.select("vec_id", "label", proj.alias("proj_e6"))
+    # CSV, not array: compound oracle outputs are driver-fragile (pandas
+    # renders DuckDB LIST as numpy arrays — str() mismatch vs Python lists)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.array_join(
+            F.transform(proj, lambda x: x.cast("string")), ","
+        ).alias("proj_e6"),
+    )
 
 
 _WRS_K = 5  # sample size per language

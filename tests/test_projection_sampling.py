@@ -27,7 +27,7 @@ def test_jl_projection_preserves_pairwise_distance(spark):
         for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(20).collect()
     }
     proj = {
-        r["vec_id"]: [v / 1e6 for v in r["proj_e6"]]
+        r["vec_id"]: [int(v) / 1e6 for v in r["proj_e6"].split(",")]
         for r in _Q["jl_random_projection"].fn(spark, SF_SMALL).collect()
     }
     ids = sorted(emb)[:20]
@@ -132,7 +132,7 @@ def test_jl_projection_matches_exact_python_fold(spark):
     or sign-matrix bug."""
     emb = {r["vec_id"]: r["embedding"]
            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
-    got = {r["vec_id"]: r["proj_e6"]
+    got = {r["vec_id"]: [int(v) for v in r["proj_e6"].split(",")]
            for r in _Q["jl_random_projection"].fn(spark, SF_SMALL).collect()}
     assert set(got) == set(emb)
     for vid, proj in got.items():
