@@ -155,6 +155,8 @@ def _load_all() -> None:
         pipeline74,
         pipeline75,
         pipeline76,
+        pipeline77,
+        pipeline78,
         relational,
         relational2,
         relational3,

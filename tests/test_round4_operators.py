@@ -105,3 +105,154 @@ def test_stream_wav_ingest_invariant_to_micro_batching(spark, tmp_path):
     finally:
         os.environ.pop("SPARK_GRAFT_STREAM_MAXFILES", None)
     assert split == base
+
+
+# --------------------------------------------------------------------------
+# Sobel edge energy + WAV quadrature bin (pipeline77)
+# --------------------------------------------------------------------------
+
+
+def _decode_rows(spark, payloads):
+    """Run an Arrow kernel over literal binary payloads via a tiny DF."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("asset_id", LongType(), False), StructField("payload", BinaryType(), True)]
+    )
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], schema
+    )
+
+
+def test_sobel_constant_image_has_zero_edge_energy(spark):
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        image_sobel_energy,
+    )
+
+    flat = encode_png(np.full((8, 8), 123, dtype=np.uint8))
+    out = image_sobel_energy(_decode_rows(spark, [flat])).collect()[0]
+    assert out["edge_energy"] == 0 and out["edge_max"] == 0
+
+
+def test_sobel_vertical_step_energy_closed_form(spark):
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        image_sobel_energy,
+    )
+
+    # left half 0, right half 200: a pure vertical edge. For a step of
+    # height D at column 4 of an 8-wide image, interior columns 3 and 4
+    # see |gx| = 4D (kernel row sums 1+2+1), everything else 0.
+    a = np.zeros((8, 8), dtype=np.uint8)
+    a[:, 4:] = 200
+    out = image_sobel_energy(_decode_rows(spark, [encode_png(a)])).collect()[0]
+    # 6 interior rows x 2 columns x 4*200
+    assert out["edge_energy"] == 6 * 2 * 4 * 200
+    assert out["edge_max"] == 4 * 200
+
+
+def _wav_bytes(samples):
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", n) + pcm
+    )
+
+
+def test_quadrature_pure_tone_concentrates_power(spark):
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        wav_quadrature_energy,
+    )
+
+    amp = 1000
+    tone = [amp, 0, -amp, 0] * 16  # exact fs/4 cosine, 64 samples
+    out = wav_quadrature_energy(_decode_rows(spark, [_wav_bytes(tone)])).collect()[0]
+    assert out["re_q"] == 32 * amp and out["im_q"] == 0
+    assert out["power_q"] == (32 * amp) ** 2
+    assert out["energy"] == 32 * amp * amp
+    # Parseval at a right-angle bin: bin power == (N/2) * energy for a
+    # pure fs/4 tone (all signal energy lives in that bin)
+    assert out["power_q"] == 32 * out["energy"]
+
+
+def test_quadrature_dc_signal_has_zero_bin_power(spark):
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        wav_quadrature_energy,
+    )
+
+    out = wav_quadrature_energy(_decode_rows(spark, [_wav_bytes([700] * 64)])).collect()[0]
+    assert out["re_q"] == 0 and out["im_q"] == 0 and out["power_q"] == 0
+    assert out["energy"] == 64 * 700 * 700
+
+
+# --------------------------------------------------------------------------
+# Bloom FPR audit + k-core decomposition (pipeline78)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_audit_count_identities(spark):
+    from multithreaded_map_reduce_library_spark.plans.pipeline78 import (
+        _K_HASH,
+        _M_BITS,
+    )
+
+    q = all_queries()["bloom_fpr_audit"]
+    row = q.fn(spark, SF_SMALL).collect()[0]
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    # members/probes partition the customer key space (o_custkey ⊆ customers)
+    assert row["n_members"] + row["n_probes"] == n_cust
+    assert 0 < row["n_bits_set"] <= min(_M_BITS, _K_HASH * row["n_members"])
+    assert 0 <= row["n_false_pos"] <= row["n_probes"]
+    assert 0 <= row["fpr_e6"] <= 1_000_000
+    # sized for a low-FPR regime: observed rate should stay well under 20%
+    assert row["fpr_e6"] < 200_000
+
+
+def test_kcore_every_node_meets_degree_and_is_subset(spark):
+    from multithreaded_map_reduce_library_spark.plans.pipeline78 import _KCORE_K
+
+    q = all_queries()["kcore_decomposition"]
+    rows = q.fn(spark, SF_SMALL).collect()
+    assert rows, "3-core should be non-empty on the test graph"
+    core = {r["user_id"] for r in rows}
+    for r in rows:
+        # defining property: within-core degree >= k for every member
+        assert r["core_degree"] >= _KCORE_K
+    # the k-core is closed: recomputing degrees over the returned node set
+    # via the BFS edge rule must reproduce core_degree exactly
+    ev = load_table(spark, SF_SMALL, "events")
+    s = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"), F.hour("ts").alias("h"))
+        .distinct()
+    )
+    a = s.select(F.col("user_id").alias("ua"), "d", "h")
+    b = s.select(F.col("user_id").alias("ub"), "d", "h")
+    p = (
+        a.join(b, ["d", "h"])
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 1)
+        .collect()
+    )
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for r in p:
+        if r["ua"] in core and r["ub"] in core:
+            deg[r["ua"]] += 1
+            deg[r["ub"]] += 1
+    for r in rows:
+        assert deg[r["user_id"]] == r["core_degree"]
