@@ -157,6 +157,7 @@ def _load_all() -> None:
         pipeline76,
         pipeline77,
         pipeline78,
+        pipeline79,
         relational,
         relational2,
         relational3,

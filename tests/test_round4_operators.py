@@ -256,3 +256,62 @@ def test_kcore_every_node_meets_degree_and_is_subset(spark):
             deg[r["ub"]] += 1
     for r in rows:
         assert deg[r["user_id"]] == r["core_degree"]
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit + Page-Hinkley drift (pipeline79)
+# --------------------------------------------------------------------------
+
+
+def test_t_closeness_bounds_flag_and_python_replay(spark):
+    rows = all_queries()["t_closeness_audit"].fn(spark, SF_SMALL).collect()
+    assert rows
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.least(F.lit(9), F.floor(F.col("value") / 20.0)).alias("b"))
+        .collect()
+    )
+    from collections import Counter
+
+    byc = Counter((r["event_type"], r["b"]) for r in ev)
+    byg = Counter(r["b"] for r in ev)
+    n_total = len(ev)
+    for r in rows:
+        assert 0 <= r["emd_e6"] <= 1_000_000
+        assert r["t_ok"] == (r["emd_e6"] <= 200_000)
+        # exact replay: integer cumulative-count EMD
+        et, ncl = r["event_type"], r["n_class"]
+        cum_c = cum_g = num = 0
+        for b in range(9):  # boundaries 0..8
+            cum_c += byc.get((et, b), 0)
+            cum_g += byg.get(b, 0)
+            num += abs(cum_c * n_total - cum_g * ncl)
+        den = ncl * n_total * 9
+        q, rem = divmod(num, den)
+        expect = q * 10**6 + (rem * 10**6 + den // 2) // den
+        assert r["emd_e6"] == expect
+    assert sum(r["n_class"] for r in rows) == n_total
+
+
+def test_page_hinkley_statistic_properties(spark):
+    rows = sorted(
+        all_queries()["page_hinkley_drift"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # PH is nonnegative by construction (M_t minus its running min)
+    assert all(r["ph_scaled"] >= 0 for r in rows)
+    total = sum(r["cents"] for r in rows)
+    n = len(rows)
+    # last cumulative deviation telescopes: sum(c_i * n - total) == 0
+    assert rows[-1]["m_scaled"] == 0
+    # replay the recursion exactly (running min over observed M only)
+    m = 0
+    mmin = None
+    for r in rows:
+        m += r["cents"] * n - total
+        mmin = m if mmin is None else min(mmin, m)
+        assert r["m_scaled"] == m
+        assert r["ph_scaled"] == m - mmin
+        assert r["drift_alarm"] == ((m - mmin) * 100 > total * 10)
