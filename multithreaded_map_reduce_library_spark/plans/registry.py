@@ -158,6 +158,7 @@ def _load_all() -> None:
         pipeline77,
         pipeline78,
         pipeline79,
+        pipeline80,
         relational,
         relational2,
         relational3,

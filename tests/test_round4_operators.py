@@ -315,3 +315,95 @@ def test_page_hinkley_statistic_properties(spark):
         assert r["m_scaled"] == m
         assert r["ph_scaled"] == m - mmin
         assert r["drift_alarm"] == ((m - mmin) * 100 > total * 10)
+
+
+# --------------------------------------------------------------------------
+# Conformal coverage + IPS off-policy value (pipeline80)
+# --------------------------------------------------------------------------
+
+
+def test_conformal_marginal_coverage_near_target(spark):
+    rows = all_queries()["conformal_coverage_audit"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n_test = sum(r["n_test"] for r in rows)
+    n_cov = sum(r["n_covered"] for r in rows)
+    # split-conformal marginal guarantee: overall coverage ~ 1-α = 0.90
+    # (wide band: the guarantee is in expectation over splits)
+    assert 0.80 <= n_cov / n_test <= 0.99
+    qs = {r["qhat_cents"] for r in rows}
+    assert len(qs) == 1 and min(qs) > 0  # one global quantile, positive
+
+
+def test_conformal_qhat_is_kth_smallest_calibration_score(spark):
+    import math
+
+    from multithreaded_map_reduce_library_spark.plans.pipeline80 import (
+        _bucket,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    o = orders.join(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+        ),
+        "o_custkey",
+    ).select(
+        "seg",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+        _bucket(F.col("o_orderkey")).alias("bkt"),
+    )
+    cal = [(r["seg"], r["cents"]) for r in o.where(F.col("bkt") < 50).collect()]
+    from collections import defaultdict
+
+    s = defaultdict(int)
+    n = defaultdict(int)
+    for seg, cents in cal:
+        s[seg] += cents
+        n[seg] += 1
+    pred = {k: (s[k] * 1 + n[k] // 2) // n[k] for k in s}
+    scores = sorted(abs(c - pred[seg]) for seg, c in cal)
+    k = math.ceil((len(scores) + 1) * 90 / 100.0)
+    expect_q = scores[k - 1]
+    rows = all_queries()["conformal_coverage_audit"].fn(spark, SF_SMALL).collect()
+    assert rows[0]["qhat_cents"] == expect_q
+
+
+def test_ips_terms_sum_to_full_estimator(spark):
+    rows = all_queries()["ips_policy_value"].fn(spark, SF_SMALL).collect()
+    assert rows
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 10).alias("seg"),
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    n_seg = defaultdict(int)
+    n_click = defaultdict(int)
+    click_cents = defaultdict(int)
+    for r in ev:
+        n_seg[r["seg"]] += 1
+        if r["event_type"] == "click":
+            n_click[r["seg"]] += 1
+            click_cents[r["seg"]] += r["cents"]
+    n_total = sum(n_seg.values())
+    for r in rows:
+        g = r["seg"]
+        assert r["n_seg"] == n_seg[g] and r["n_target"] == n_click[g]
+        assert r["target_cents"] == click_cents[g]
+        # weight is the inverse propensity: >= 1 (clicks are a subset)
+        assert r["ips_weight_e6"] >= 1_000_000
+        num = click_cents[g] * n_seg[g]
+        den = n_click[g] * n_total
+        q, rem = divmod(num, den)
+        assert r["ips_term_e2"] == q * 100 + (rem * 100 + den // 2) // den
+    # IPS estimate of per-event reward: positive, and bounded by the max
+    # logged reward (a sanity ceiling for a frequency-weighted average)
+    est = sum(r["ips_term_e2"] for r in rows)
+    assert 0 < est <= max(r["cents"] for r in ev) * 100
