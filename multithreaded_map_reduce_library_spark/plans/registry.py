@@ -159,6 +159,7 @@ def _load_all() -> None:
         pipeline78,
         pipeline79,
         pipeline80,
+        pipeline81,
         relational,
         relational2,
         relational3,

@@ -407,3 +407,43 @@ def test_ips_terms_sum_to_full_estimator(spark):
     # logged reward (a sanity ceiling for a frequency-weighted average)
     est = sum(r["ips_term_e2"] for r in rows)
     assert 0 < est <= max(r["cents"] for r in ev) * 100
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter linkage + schema drift (pipeline81)
+# --------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_weight_ordering_and_pair_count(spark):
+    rows = all_queries()["fellegi_sunter_linkage"].fn(spark, SF_SMALL).collect()
+    w = {(r["g_seg"], r["g_bal"]): r["weight_e6"] for r in rows}
+    # agreement adds evidence: full agreement outranks partial outranks none
+    assert w[(1, 1)] > w[(1, 0)] > w[(0, 0)]
+    assert w[(1, 1)] > w[(0, 1)] > w[(0, 0)]
+    # blocked pair count: sum of C(n_block, 2) over nation blocks
+    from collections import Counter
+
+    nk = Counter(
+        r["c_nationkey"]
+        for r in load_table(spark, SF_SMALL, "customer").select("c_nationkey").collect()
+    )
+    expect_pairs = sum(n * (n - 1) // 2 for n in nk.values())
+    assert sum(r["n_pairs"] for r in rows) == expect_pairs
+
+
+def test_schema_drift_profile_identities(spark):
+    rows = all_queries()["schema_drift_detection"].fn(spark, SF_SMALL).collect()
+    by = {(r["col"], r["metric"]): r for r in rows}
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.count()
+    rc = by[("any", "row_count")]
+    assert rc["val_a"] + rc["val_b"] == n
+    # ndv of a snapshot can never exceed its row count
+    for col in ["o_totalprice", "o_orderstatus", "o_orderpriority", "o_custkey"]:
+        r = by[(col, "ndv")]
+        assert 0 < r["val_a"] <= rc["val_a"] and 0 < r["val_b"] <= rc["val_b"]
+    for r in rows:
+        den = max(abs(r["val_a"]), abs(r["val_b"]), 1)
+        num = abs(r["val_a"] - r["val_b"])
+        assert r["rel_delta_e6"] == (num * 10**6 + den // 2) // den
+        assert r["drift"] == (r["rel_delta_e6"] > 100_000)
