@@ -160,6 +160,7 @@ def _load_all() -> None:
         pipeline79,
         pipeline80,
         pipeline81,
+        pipeline82,
         relational,
         relational2,
         relational3,

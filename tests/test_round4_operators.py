@@ -447,3 +447,53 @@ def test_schema_drift_profile_identities(spark):
         num = abs(r["val_a"] - r["val_b"])
         assert r["rel_delta_e6"] == (num * 10**6 + den // 2) // den
         assert r["drift"] == (r["rel_delta_e6"] > 100_000)
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning + compaction planning (pipeline82)
+# --------------------------------------------------------------------------
+
+
+def test_zone_map_zones_partition_the_table(spark):
+    rows = sorted(
+        all_queries()["zone_map_pruning_audit"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["zone_id"],
+    )
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert [r["zone_id"] for r in rows] == list(range(len(rows)))
+    # every zone but the last is exactly full
+    assert all(r["n_rows"] == 500 for r in rows[:-1])
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    for r in rows:
+        assert r["min_date"] <= r["max_date"]
+        assert r["pruned"] == (r["max_date"] < lo or r["min_date"] >= hi)
+
+
+def test_compaction_bins_conserve_rows_and_replay(spark):
+    rows = all_queries()["compaction_bin_packing"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events")
+    assert sum(r["bin_rows"] for r in rows) == ev.count()
+    daily = sorted(
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    # replay cumulative packing
+    from collections import defaultdict
+
+    acc = 0
+    bins = defaultdict(lambda: [0, 0])
+    for d in daily:
+        b = acc // 2000
+        bins[b][0] += 1
+        bins[b][1] += d["n"]
+        acc += d["n"]
+    got = {r["bin_id"]: (r["n_files"], r["bin_rows"]) for r in rows}
+    assert got == {k: tuple(v) for k, v in bins.items()}
+    for r in rows:
+        assert r["fill_e6"] == (r["bin_rows"] * 10**6 + 1000) // 2000
