@@ -161,6 +161,7 @@ def _load_all() -> None:
         pipeline80,
         pipeline81,
         pipeline82,
+        pipeline83,
         relational,
         relational2,
         relational3,

@@ -497,3 +497,41 @@ def test_compaction_bins_conserve_rows_and_replay(spark):
     assert got == {k: tuple(v) for k, v in bins.items()}
     for r in rows:
         assert r["fill_e6"] == (r["bin_rows"] * 10**6 + 1000) // 2000
+
+
+# --------------------------------------------------------------------------
+# Source LOO valuation + k-fold CV (pipeline83)
+# --------------------------------------------------------------------------
+
+
+def test_loo_contributions_are_consistent_with_direct_recompute(spark):
+    rows = all_queries()["source_loo_contribution"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 1
+    nn = sum(r["n_docs"] for r in rows)
+    gg = sum(r["n_good"] for r in rows)
+    for r in rows:
+        assert r["m_all_e6"] == (gg * 10**6 + nn // 2) // nn
+        d = nn - r["n_docs"]
+        assert r["m_without_e6"] == ((gg - r["n_good"]) * 10**6 + d // 2) // d
+        assert r["contribution_e6"] == r["m_all_e6"] - r["m_without_e6"]
+    # a source whose good-share beats the corpus average must contribute
+    # positively, and vice versa (sign property of LOO)
+    for r in rows:
+        own = r["n_good"] / r["n_docs"]
+        rest = (gg - r["n_good"]) / (nn - r["n_docs"])
+        if own > rest:
+            assert r["contribution_e6"] >= 0
+        elif own < rest:
+            assert r["contribution_e6"] <= 0
+
+
+def test_kfold_covers_all_orders_and_mae_positive(spark):
+    rows = all_queries()["kfold_cv_mae"].fn(spark, SF_SMALL).collect()
+    assert sorted(r["fold"] for r in rows) == [0, 1, 2, 3, 4]
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_test"] for r in rows) == n
+    for r in rows:
+        # a constant-per-segment model has irreducible error on real data
+        assert r["mae_cents_e2"] > 0
+    # folds are md5-balanced: no fold should hold more than half the data
+    assert max(r["n_test"] for r in rows) < n / 2
