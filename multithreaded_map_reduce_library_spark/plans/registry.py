@@ -162,6 +162,7 @@ def _load_all() -> None:
         pipeline81,
         pipeline82,
         pipeline83,
+        pipeline84,
         relational,
         relational2,
         relational3,

@@ -535,3 +535,57 @@ def test_kfold_covers_all_orders_and_mae_positive(spark):
         assert r["mae_cents_e2"] > 0
     # folds are md5-balanced: no fold should hold more than half the data
     assert max(r["n_test"] for r in rows) < n / 2
+
+
+# --------------------------------------------------------------------------
+# Noisy release mechanism + sequential patterns (pipeline84)
+# --------------------------------------------------------------------------
+
+
+def test_noisy_release_noise_distribution_and_replay(spark):
+    import hashlib
+    import math
+
+    rows = all_queries()["dp_noisy_release"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_noisy"] == r["n_true"] + r["noise"]
+
+        def geom(which):
+            key = f"{which}|{r['event_type']}|{r['day'].isoformat()}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            return math.floor(math.log(1.0 - u) / math.log(0.6))
+
+        assert r["noise"] == geom("g1") - geom("g2")
+    # symmetric mechanism: mean noise over many cells is near zero
+    # (|mean| well under one unit per cell for hundreds of cells)
+    noises = [r["noise"] for r in rows]
+    assert abs(sum(noises)) < len(noises)
+
+
+def test_sequential_patterns_support_and_containment(spark):
+    rows = all_queries()["sequential_pattern_mining"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] >= 3
+        assert r["n_occurrences"] >= r["n_users"]
+    # every reported trigram's bigram prefix must occur at least as often
+    # (anti-monotone support — Apriori property on contiguous patterns)
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import Counter, defaultdict
+
+    tri = Counter()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["event_type"])
+    for u, seq in by_user.items():
+        for i in range(len(seq) - 2):
+            tri[(seq[i], seq[i + 1], seq[i + 2])] += 1
+    for r in rows:
+        assert tri[(r["e1"], r["e2"], r["e3"])] == r["n_occurrences"]
