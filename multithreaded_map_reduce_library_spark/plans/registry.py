@@ -163,6 +163,7 @@ def _load_all() -> None:
         pipeline82,
         pipeline83,
         pipeline84,
+        pipeline85,
         relational,
         relational2,
         relational3,

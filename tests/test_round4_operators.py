@@ -589,3 +589,69 @@ def test_sequential_patterns_support_and_containment(spark):
             tri[(seq[i], seq[i + 1], seq[i + 2])] += 1
     for r in rows:
         assert tri[(r["e1"], r["e2"], r["e3"])] == r["n_occurrences"]
+
+
+# --------------------------------------------------------------------------
+# RANSAC trend fit + Mann-Kendall test (pipeline85)
+# --------------------------------------------------------------------------
+
+
+def _daily_cents(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")).alias("c")
+        )
+        .collect()
+    )
+    return [r["c"] for r in sorted(rows, key=lambda r: r["day"])]
+
+
+def test_ransac_exactly_one_winner_and_inlier_replay(spark):
+    rows = all_queries()["ransac_trend_fit"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 8
+    winners = [r for r in rows if r["is_best"]]
+    assert len(winners) == 1
+    top = max(r["n_inliers"] for r in rows)
+    assert winners[0]["n_inliers"] == top
+    # min-id tie-break among top scorers
+    assert winners[0]["cand_id"] == min(
+        r["cand_id"] for r in rows if r["n_inliers"] == top
+    )
+    y = _daily_cents(spark)
+    n, total = len(y), sum(y)
+    for r in rows:
+        inl = sum(
+            1
+            for px in range(n)
+            if abs((y[px] - r["y1"]) * (r["x2"] - r["x1"]) - (px - r["x1"]) * (r["y2"] - r["y1"]))
+            * 10 * n
+            <= total * abs(r["x2"] - r["x1"])
+        )
+        assert inl == r["n_inliers"]
+        assert r["x1"] != r["x2"]  # sampled pairs are always distinct days
+
+
+def test_mann_kendall_exact_replay(spark):
+    import math
+
+    row = all_queries()["mann_kendall_trend"].fn(spark, SF_SMALL).collect()[0]
+    y = _daily_cents(spark)
+    n = len(y)
+    assert row["n"] == n
+    s = sum(
+        (1 if y[j] > y[i] else -1 if y[j] < y[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert row["s_stat"] == s
+    from collections import Counter
+
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(y).values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    assert row["var18"] == var18
+    zc = (s - 1.0) if s > 0 else (s + 1.0) if s < 0 else 0.0
+    z = zc / math.sqrt(var18 / 18.0)
+    assert row["z_e6"] == math.floor(z * 1e6 + 0.5)

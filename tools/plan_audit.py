@@ -124,6 +124,8 @@ ALLOW_BNLJ = {
     "naive_bayes_langid": "vocab x langs smoothing grid: broadcast 5-row label domain",
     "burrows_delta_sources": "broadcast top-30 token list x sources (bounded by TOPK)",
     "sorted_neighborhood_pairs": "rank band theta join (width 3) by contract",
+    "ransac_trend_fit": "8 candidate models x day-level rollup (metadata-sized both sides)",
+    "mann_kendall_trend": "O(days^2) sign-pair theta join on the day rollup, never the fact table",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
