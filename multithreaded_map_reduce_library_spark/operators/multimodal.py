@@ -1115,3 +1115,75 @@ def wav_quadrature_energy(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in QUADRATURE_SCHEMA.fields])
 
     return assets.select("asset_id", "payload").mapInPandas(batches, QUADRATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image preprocessing: histogram equalization over REAL decoded PNG pixels
+# --------------------------------------------------------------------------
+
+HISTEQ_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_px", IntegerType(), True),
+        StructField("n_buckets_used", IntegerType(), True),
+        StructField("eq_sum", LongType(), True),
+        StructField("eq_wsum", LongType(), True),
+    ]
+)
+
+_HISTEQ_BUCKETS = 16
+
+
+def image_hist_equalization(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode + histogram equalization: bucket the grayscale
+    pixels into 16 levels, build the per-image CDF, and remap each pixel
+    with the classic transfer function
+    ``map(v) = round((cdf(v) − cdf_min) · 15 / (N − cdf_min))`` (half-up
+    integer; 0 for a flat image where N = cdf_min) — the standard
+    contrast-normalization preprocessing step. Output is the equalized
+    image's exact integer sum and POSITION-WEIGHTED checksum
+    Σ map(px_k)·(k+1), so a remap that permutes pixels or mis-assigns one
+    bucket breaks the hash.
+
+    Scale shape: per-asset Arrow kernel (mapInPandas) over the binary
+    scan — map-side only, one skinny row per asset, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from multithreaded_map_reduce_library_spark.functions.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, c, arr = decode_png(
+                    bytes(payload) if payload is not None else b""
+                )
+                if c != 1:
+                    raise NotImplementedError("histeq: grayscale images only")
+                flat = np.asarray(arr, dtype=np.int64).reshape(-1)
+                n = len(flat)
+                bucket = flat >> 4  # 256 levels -> 16 buckets
+                hist = np.bincount(bucket, minlength=_HISTEQ_BUCKETS)
+                cdf = np.cumsum(hist)
+                nonzero = np.nonzero(hist)[0]
+                cdf_min = int(cdf[nonzero[0]]) if len(nonzero) else 0
+                den = n - cdf_min
+                if den == 0:
+                    mapped = np.zeros(_HISTEQ_BUCKETS, dtype=np.int64)
+                else:
+                    num = (cdf - cdf_min) * (_HISTEQ_BUCKETS - 1)
+                    mapped = (num + den // 2) // den  # half-up, num >= 0
+                eq = mapped[bucket]
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_px": n,
+                        "n_buckets_used": int(len(nonzero)),
+                        "eq_sum": int(eq.sum()),
+                        "eq_wsum": int((eq * np.arange(1, n + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in HISTEQ_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, HISTEQ_SCHEMA)

@@ -164,6 +164,7 @@ def _load_all() -> None:
         pipeline83,
         pipeline84,
         pipeline85,
+        pipeline86,
         relational,
         relational2,
         relational3,

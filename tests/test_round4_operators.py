@@ -655,3 +655,51 @@ def test_mann_kendall_exact_replay(spark):
     zc = (s - 1.0) if s > 0 else (s + 1.0) if s < 0 else 0.0
     z = zc / math.sqrt(var18 / 18.0)
     assert row["z_e6"] == math.floor(z * 1e6 + 0.5)
+
+
+# --------------------------------------------------------------------------
+# Benford audit + histogram equalization (pipeline86)
+# --------------------------------------------------------------------------
+
+
+def test_benford_digits_partition_and_expected_shares(spark):
+    import math
+
+    rows = all_queries()["benford_first_digit_audit"].fn(spark, SF_SMALL).collect()
+    digits = sorted(r["digit"] for r in rows)
+    assert set(digits) <= set(range(1, 10))
+    n = load_table(spark, SF_SMALL, "orders").where(F.col("o_totalprice") >= 1.0).count()
+    assert sum(r["n"] for r in rows) == n
+    for r in rows:
+        expect = math.floor(math.log10(1.0 + 1.0 / r["digit"]) * 1e6 + 0.5)
+        assert r["exp_e6"] == expect
+        assert r["dev_e6"] == abs(r["obs_e6"] - r["exp_e6"])
+    # Benford expected shares themselves sum to 1 (sanity of the formula)
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_histeq_flat_image_maps_to_zero_and_ramp_spreads(spark):
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        image_hist_equalization,
+    )
+
+    flat = encode_png(np.full((8, 8), 200, dtype=np.uint8))
+    # a perfect ramp: each of 16 buckets holds exactly 4 pixels
+    ramp = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    out = {
+        r["asset_id"]: r
+        for r in image_hist_equalization(_decode_rows(spark, [flat, ramp])).collect()
+    }
+    # flat image: N == cdf_min -> everything maps to 0
+    assert out[0]["n_buckets_used"] == 1
+    assert out[0]["eq_sum"] == 0 and out[0]["eq_wsum"] == 0
+    # ramp: bucket k has cdf 4(k+1), cdf_min=4 -> map(k)=round(4k*15/60)=k
+    r = out[1]
+    assert r["n_buckets_used"] == 16
+    expect_map = [round(4 * k * 15 / 60) for k in range(16)]
+    px = [(i * 4) >> 4 for i in range(64)]
+    assert r["eq_sum"] == sum(expect_map[b] for b in px)
+    assert r["eq_wsum"] == sum(expect_map[b] * (i + 1) for i, b in enumerate(px))
