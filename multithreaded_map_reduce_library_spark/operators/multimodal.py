@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -1187,3 +1188,81 @@ def image_hist_equalization(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in HISTEQ_SCHEMA.fields])
 
     return assets.select("asset_id", "payload").mapInPandas(batches, HISTEQ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio analysis: integer autocorrelation at dyadic lags (periodicity)
+# --------------------------------------------------------------------------
+
+AUTOCORR_LAGS = (1, 2, 4, 8, 16)
+
+AUTOCORR_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("lag", IntegerType(), True),
+        StructField("acf_raw", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("is_dominant", BooleanType(), True),
+    ]
+)
+
+
+def wav_autocorrelation(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode + unnormalized autocorrelation Σ s[n]·s[n−L] at
+    the dyadic lags (1, 2, 4, 8, 16) — the integer core of
+    autocorrelation pitch/periodicity detection: a waveform with period
+    P spikes at lags near P. One row per (asset, lag) with the exact
+    integer ACF value, the zero-lag energy, and a dominant-lag flag
+    (max ACF, smallest-lag tie-break). All-integer, replayable by a SQL
+    oracle from the fabricated samples.
+
+    Scale shape: RIFF chunk-walk + numpy shifted dot products inside
+    Arrow batches; map-side, |lags| skinny rows per asset, no shuffle."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"asset {asset_id}: not a RIFF/WAVE payload")
+                pos, sr, bits, channels, data = 12, None, None, None, None
+                while pos + 8 <= len(raw):
+                    tag = raw[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                    if tag == b"fmt ":
+                        fmt, channels, sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if fmt != 1:
+                            raise NotImplementedError(f"WAV fmt {fmt}: PCM only")
+                    elif tag == b"data":
+                        data = body
+                if sr is None or data is None:
+                    raise ValueError(f"asset {asset_id}: missing fmt/data chunk")
+                if bits != 16 or channels != 1:
+                    raise NotImplementedError(
+                        f"WAV bits={bits} channels={channels}: PCM16 mono only"
+                    )
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                energy = int((s * s).sum())
+                acfs = [(lag, int((s[lag:] * s[:-lag]).sum())) for lag in AUTOCORR_LAGS]
+                best = max(acfs, key=lambda t: (t[1], -t[0]))
+                for lag, v in acfs:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "lag": lag,
+                            "acf_raw": v,
+                            "energy": energy,
+                            "is_dominant": (lag, v) == best,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUTOCORR_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, AUTOCORR_SCHEMA)

@@ -165,6 +165,7 @@ def _load_all() -> None:
         pipeline84,
         pipeline85,
         pipeline86,
+        pipeline87,
         relational,
         relational2,
         relational3,

@@ -703,3 +703,59 @@ def test_histeq_flat_image_maps_to_zero_and_ramp_spreads(spark):
     px = [(i * 4) >> 4 for i in range(64)]
     assert r["eq_sum"] == sum(expect_map[b] for b in px)
     assert r["eq_wsum"] == sum(expect_map[b] * (i + 1) for i, b in enumerate(px))
+
+
+# --------------------------------------------------------------------------
+# WAV autocorrelation + decayed top-k (pipeline87)
+# --------------------------------------------------------------------------
+
+
+def test_autocorr_periodic_tone_peaks_at_its_period(spark):
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        wav_autocorrelation,
+    )
+
+    amp = 900
+    # period-4 square-ish wave: [A, A, -A, -A] repeated
+    wave = ([amp, amp, -amp, -amp] * 16)
+    rows = wav_autocorrelation(_decode_rows(spark, [_wav_bytes(wave)])).collect()
+    by_lag = {r["lag"]: r for r in rows}
+    assert set(by_lag) == {1, 2, 4, 8, 16}
+    # full-period lags align perfectly: acf == energy minus edge terms
+    n = 64
+    for lag in (4, 8, 16):
+        assert by_lag[lag]["acf_raw"] == (n - lag) * amp * amp
+    # half-period lag anti-correlates
+    assert by_lag[2]["acf_raw"] == -(n - 2) * amp * amp
+    dom = [r for r in rows if r["is_dominant"]]
+    assert len(dom) == 1 and dom[0]["lag"] == 4  # smallest-lag tie-break
+
+
+def test_decayed_topk_exact_bitshift_scores(spark):
+    rows = all_queries()["decayed_topk_event_types"].fn(spark, SF_SMALL).collect()
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    daily = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    last = max(r["day"] for r in daily)
+    from collections import defaultdict
+
+    score = defaultdict(int)
+    total = defaultdict(int)
+    for r in daily:
+        age = (last - r["day"]).days
+        total[r["event_type"]] += r["cnt"]
+        if age <= 20:
+            score[r["event_type"]] += r["cnt"] * (1 << (20 - age))
+    for r in rows:
+        assert r["score"] == score[r["event_type"]]
+        assert r["n_total"] == total[r["event_type"]]
+    # ranking is by decayed score (desc), name tie-break (asc)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a["score"] > b["score"] or (
+            a["score"] == b["score"] and a["event_type"] < b["event_type"]
+        )
