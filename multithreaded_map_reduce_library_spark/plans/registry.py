@@ -166,6 +166,7 @@ def _load_all() -> None:
         pipeline85,
         pipeline86,
         pipeline87,
+        pipeline88,
         relational,
         relational2,
         relational3,

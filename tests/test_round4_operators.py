@@ -759,3 +759,52 @@ def test_decayed_topk_exact_bitshift_scores(spark):
         assert a["score"] > b["score"] or (
             a["score"] == b["score"] and a["event_type"] < b["event_type"]
         )
+
+
+# --------------------------------------------------------------------------
+# RLE sort-order audit + sentence stats (pipeline88)
+# --------------------------------------------------------------------------
+
+
+def test_rle_runs_bounds_and_date_order_helps(spark):
+    rows = all_queries()["rle_sort_order_audit"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    n = load_table(spark, SF_SMALL, "orders").count()
+    by = {(r["col"], r["sort_order"]): r for r in rows}
+    for r in rows:
+        assert r["n_rows"] == n
+        # runs bounded by [ndv, n]
+        assert 1 <= r["n_runs"] <= n
+        assert r["run_ratio_e6"] == (r["n_runs"] * 10**6 + n // 2) // n
+    # key order is effectively random w.r.t. status: expect run counts
+    # near the independence expectation; a 3-value column can't beat 1/3
+    # of rows by much under random order, so by_key runs stay high
+    assert by[("o_orderstatus", "by_key")]["n_runs"] > n // 4
+
+
+def test_sentence_stats_replay_small_sample(spark):
+    import re
+
+    rows = all_queries()["sentence_length_stats"].fn(spark, SF_SMALL).collect()
+    assert rows
+    docs = load_table(spark, SF_SMALL, "documents").select("lang", "text").collect()
+    from collections import defaultdict
+
+    cnt = defaultdict(int)
+    tok = defaultdict(int)
+    long_c = defaultdict(int)
+    for d in docs:
+        for s in re.split(r"[.!?]+", d["text"]):
+            if not s.strip():
+                continue
+            t = len(re.sub(r"[ \t\r\n]+", " ", s.strip()).split(" "))
+            cnt[d["lang"]] += 1
+            tok[d["lang"]] += t
+            if t >= 12:
+                long_c[d["lang"]] += 1
+    for r in rows:
+        g = r["lang"]
+        assert r["n_sentences"] == cnt[g]
+        assert r["n_tokens"] == tok[g]
+        assert r["mean_len_e2"] == (tok[g] * 100 + cnt[g] // 2) // cnt[g]
+        assert r["long_share_e6"] == (long_c[g] * 10**6 + cnt[g] // 2) // cnt[g]
