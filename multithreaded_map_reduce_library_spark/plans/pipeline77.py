@@ -71,6 +71,7 @@ _PX = (
         GROUP BY vec_id
     """,
     tags=("multimodal", "image", "png", "sobel", "mapInPandas", "quality"),
+    bench=True,
 )
 def multimodal_sobel_edge_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image sharpness screen over REAL PNG bytes: fabricate genuine PNG

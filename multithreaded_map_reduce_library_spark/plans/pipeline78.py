@@ -191,6 +191,7 @@ def _kcore_oracle() -> str:
     "kcore_decomposition",
     oracle=_kcore_oracle(),
     tags=("graph", "kcore", "iterative", "events"),
+    bench=True,
 )
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-core of the co-purchase graph (k=3, 6 peeling rounds): nodes

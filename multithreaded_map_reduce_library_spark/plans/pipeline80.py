@@ -100,6 +100,7 @@ def _bucket(col):
         GROUP BY o_orderpriority
     """,
     tags=("ml-eval", "conformal", "orders", "customer", "calibration"),
+    bench=True,
 )
 def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal coverage audit: the 'model' predicts an order's

@@ -167,6 +167,7 @@ def _load_all() -> None:
         pipeline86,
         pipeline87,
         pipeline88,
+        pipeline89,
         relational,
         relational2,
         relational3,

@@ -808,3 +808,56 @@ def test_sentence_stats_replay_small_sample(spark):
         assert r["n_tokens"] == tok[g]
         assert r["mean_len_e2"] == (tok[g] * 100 + cnt[g] // 2) // cnt[g]
         assert r["long_share_e6"] == (long_c[g] * 10**6 + cnt[g] // 2) // cnt[g]
+
+
+# --------------------------------------------------------------------------
+# Huber location + varint postings sizing (pipeline89)
+# --------------------------------------------------------------------------
+
+
+def test_huber_iteration_replay_and_bounds(spark):
+    row = all_queries()["huber_location_daily"].fn(spark, SF_SMALL).collect()[0]
+    y = _daily_cents(spark)
+    n = len(y)
+    assert row["n_days"] == n
+    s = sum(y)
+    mu = (s + n // 2) // n
+    assert row["mean_cents"] == mu
+    k = mu // 2
+    assert row["k_cents"] == k
+    m = mu
+    for _ in range(3):
+        m = (sum(min(max(v, m - k), m + k) for v in y) + n // 2) // n
+    assert row["huber_cents"] == m
+    assert row["shift_cents"] == mu - m
+    # the Huber estimate stays inside the clip interval of the mean
+    assert mu - k <= row["huber_cents"] <= mu + k
+
+
+def test_varint_sizing_bounds_and_manual_spotcheck(spark):
+    rows = all_queries()["postings_varint_size_estimate"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 50
+        # varint never beats 1 byte/posting nor loses to 5
+        assert r["df"] <= r["varint_bytes"] <= 5 * r["df"]
+        assert r["raw_bytes"] == 8 * r["df"]
+        assert r["ratio_e6"] == (r["varint_bytes"] * 10**6 + (r["raw_bytes"] // 2)) // r["raw_bytes"]
+    # spot-check one token end to end
+    import re
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    tok = rows[0]["tok"]
+    ids = sorted(
+        {d["doc_id"] for d in docs if tok in re.split(r"[ \t\r\n]+", d["text"].lower())}
+    )
+    def vb(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2097152 else 4 if g < 268435456 else 5
+
+    prev = 0
+    total = 0
+    for i in ids:
+        total += vb(i - prev)
+        prev = i
+    assert rows[0]["df"] == len(ids)
+    assert rows[0]["varint_bytes"] == total
