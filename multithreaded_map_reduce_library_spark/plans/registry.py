@@ -168,6 +168,9 @@ def _load_all() -> None:
         pipeline87,
         pipeline88,
         pipeline89,
+        pipeline90,
+        pipeline91,
+        pipeline92,
         relational,
         relational2,
         relational3,

@@ -861,3 +861,48 @@ def test_varint_sizing_bounds_and_manual_spotcheck(spark):
         prev = i
     assert rows[0]["df"] == len(ids)
     assert rows[0]["varint_bytes"] == total
+
+
+# --------------------------------------------------------------------------
+# Matrix profile + SAX symbols (pipeline90)
+# --------------------------------------------------------------------------
+
+
+def test_matrix_profile_exact_replay(spark):
+    rows = all_queries()["matrix_profile_daily"].fn(spark, SF_SMALL).collect()
+    y = _daily_cents(spark)
+    n = len(y)
+    assert len(rows) == n - 2  # one row per length-3 window
+    wins = [(y[i], y[i + 1], y[i + 2]) for i in range(n - 2)]
+
+    def d2(a, b):
+        return sum((x - z) ** 2 for x, z in zip(a, b))
+
+    by = {r["i"]: r for r in rows}
+    mins = {}
+    for i in range(n - 2):
+        cand = [(d2(wins[i], wins[j]), j) for j in range(n - 2) if abs(i - j) >= 3]
+        mins[i] = min(cand)
+        assert by[i]["mp"] == mins[i][0]
+        assert by[i]["nn_j"] == mins[i][1]
+    motifs = [r for r in rows if r["is_motif"]]
+    assert len(motifs) == 1
+    exp_i = min(range(n - 2), key=lambda i: (mins[i][0], i))
+    assert motifs[0]["i"] == exp_i
+
+
+def test_sax_words_cover_all_days_with_balanced_alphabet(spark):
+    rows = all_queries()["sax_weekly_symbols"].fn(spark, SF_SMALL).collect()
+    y = _daily_cents(spark)
+    n = len(y)
+    assert sum(r["n_days"] for r in rows) == n
+    allword = "".join(r["sax_word"] for r in rows)
+    assert len(allword) == n
+    assert set(allword) <= set("abcd")
+    from collections import Counter
+
+    c = Counter(allword)
+    # ntile(4) balances bucket sizes to within 1
+    assert max(c.values()) - min(c.values()) <= 1
+    for r in rows:
+        assert len(r["sax_word"]) == r["n_days"] <= 7

@@ -128,6 +128,7 @@ ALLOW_BNLJ = {
     "sorted_neighborhood_pairs": "rank band theta join (width 3) by contract",
     "ransac_trend_fit": "8 candidate models x day-level rollup (metadata-sized both sides)",
     "mann_kendall_trend": "O(days^2) sign-pair theta join on the day rollup, never the fact table",
+    "matrix_profile_daily": "O(days^2) window-distance theta join on the day rollup, never the fact table",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
