@@ -171,6 +171,10 @@ def _load_all() -> None:
         pipeline90,
         pipeline91,
         pipeline92,
+        pipeline93,
+        pipeline94,
+        pipeline95,
+        pipeline96,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,412 @@
+"""Round-4 session-3 operator invariants: exact Python replays of the
+ranking-metric, distribution-stat, community, valuation, and hashing
+queries (pipelines 91-94) — properties independent of the DuckDB oracle,
+so a cross-engine coincidence can't mask a shared logic bug.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+from .conftest import SF_SMALL
+
+
+def _docs_scored(spark):
+    """(score, is_en) per document, replayed with plain Python."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "lang").collect()
+    out = []
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        out.append((r["doc_id"], r["text"].count(" the "), r["lang"] == "en"))
+    return out
+
+
+def _ir(num: int, den: int, k: int) -> int:
+    """Half-up integer ratio, truncating div (mirrors functions/grid.py)."""
+    q = (num * 10**k + den // 2) // den
+    return q
+
+
+# --------------------------------------------------------------------------
+# classifier_auc_exact (pipeline91)
+# --------------------------------------------------------------------------
+
+
+def test_auc_matches_pairwise_definition(spark):
+    row = all_queries()["classifier_auc_exact"].fn(spark, SF_SMALL).collect()[0]
+    scored = _docs_scored(spark)
+    pos = [s for _, s, en in scored if en]
+    neg = [s for _, s, en in scored if not en]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    # doubled Mann-Whitney U straight from the pairwise definition:
+    # 2U = 2*#(pos>neg) + #(pos==neg)
+    u2 = sum(2 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n
+    )
+    assert row["u2_stat"] == u2
+    assert row["auc_e6"] == _ir(u2, 2 * len(pos) * len(neg), 6)
+
+
+# --------------------------------------------------------------------------
+# average_precision_ranking (pipeline91)
+# --------------------------------------------------------------------------
+
+
+def test_average_precision_exact_replay(spark):
+    row = all_queries()["average_precision_ranking"].fn(spark, SF_SMALL).collect()[0]
+    scored = _docs_scored(spark)
+    ranked = sorted(scored, key=lambda t: (-t[1], t[0]))
+    terms, cum = [], 0
+    for i, (_, _, en) in enumerate(ranked, start=1):
+        if en:
+            cum += 1
+            terms.append(_ir(cum, i, 6))
+    assert row["n_docs"] == len(scored)
+    assert row["n_pos"] == len(terms)
+    assert row["ap_e6"] == _ir(sum(terms), len(terms), 0)
+    # AP of a ranking is never worse than the base rate floor of 0 and
+    # never exceeds 1
+    assert 0 <= row["ap_e6"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# retrieval_mrr_eval (pipeline91)
+# --------------------------------------------------------------------------
+
+
+def test_mrr_exact_replay(spark):
+    row = all_queries()["retrieval_mrr_eval"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    rrs, p1 = [], 0
+    for rows in by_user.values():
+        rows.sort(
+            key=lambda r: (
+                r["value"] is None,  # NULLS LAST under DESC
+                -(r["value"] if r["value"] is not None else 0.0),
+                r["event_id"],
+            )
+        )
+        first = next(
+            (i for i, r in enumerate(rows, 1) if r["event_type"] == "purchase"), None
+        )
+        if first is not None:
+            rrs.append(_ir(1, first, 6))
+            p1 += first == 1
+    assert row["n_users"] == len(rrs)
+    assert row["mrr_e6"] == _ir(sum(rrs), len(rrs), 0)
+    assert row["p_at_1_e6"] == _ir(p1, len(rrs), 6)
+
+
+# --------------------------------------------------------------------------
+# histogram_emd_drift (pipeline92)
+# --------------------------------------------------------------------------
+
+
+def test_emd_exact_replay_and_bounds(spark):
+    row = all_queries()["histogram_emd_drift"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    import math
+
+    from datetime import date
+
+    epoch = date(1970, 1, 1)
+    wd, we = Counter(), Counter()
+    for r in ev:
+        if r["event_type"] != "purchase" or r["value"] is None:
+            continue
+        b = math.floor(r["value"] * 100.0 + 0.5) // 1000
+        if ((r["ts"].date() - epoch).days % 7) in (2, 3):
+            we[b] += 1
+        else:
+            wd[b] += 1
+    n1, n2 = sum(wd.values()), sum(we.values())
+    assert (row["n_weekday"], row["n_weekend"]) == (n1, n2)
+    bins = sorted(set(wd) | set(we))
+    assert row["n_bins"] == len(bins)
+    c1 = c2 = emd = 0
+    for b in bins:
+        c1 += wd[b]
+        c2 += we[b]
+        emd += abs(c1 * n2 - c2 * n1)
+    assert row["emd_num"] == emd
+    # EMD in bin units is bounded by the bin span
+    assert 0 <= row["emd_bins_e6"] <= (bins[-1] - bins[0]) * 1_000_000
+
+
+# --------------------------------------------------------------------------
+# spearman_daily_rank_corr (pipeline92)
+# --------------------------------------------------------------------------
+
+
+def test_spearman_exact_replay(spark):
+    row = all_queries()["spearman_daily_rank_corr"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    import math
+
+    days: dict = {}
+    for r in ev:
+        d = r["ts"].date()
+        cents, cnt = days.get(d, (0, 0))
+        if r["event_type"] == "purchase" and r["value"] is not None:
+            cents += math.floor(r["value"] * 100.0 + 0.5)
+        days[d] = (cents, cnt + 1)
+    xs = [c for c, _ in days.values()]
+    ys = [n for _, n in days.values()]
+
+    def r2(vals):
+        return [
+            2 * sum(1 for o in vals if o < v) + sum(1 for o in vals if o == v) + 1
+            for v in vals
+        ]
+
+    rx, ry = r2(xs), r2(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    assert row["n_days"] == n
+    assert row["spearman_num"] == n * sxy - sx * sy
+    assert row["var_x"] == n * sxx - sx * sx
+    assert row["var_y"] == n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert row["rho_e6"] == math.floor(rho * 1e6 + 0.5)
+    assert -1_000_000 <= row["rho_e6"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# label_propagation_communities (pipeline93)
+# --------------------------------------------------------------------------
+
+
+def _copurchase_adj(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "user_id").collect()
+    slots: dict = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        slots.setdefault((r["ts"].date(), r["ts"].hour), set()).add(r["user_id"])
+    adj: dict = {}
+    for users in slots.values():
+        us = sorted(users)
+        for i, a in enumerate(us):
+            for b in us[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_label_propagation_exact_replay(spark):
+    rows = all_queries()["label_propagation_communities"].fn(spark, SF_SMALL).collect()
+    adj = _copurchase_adj(spark)
+    labels = {u: u for u in adj}
+    for _ in range(3):  # 3 synchronous rounds, majority-then-min
+        labels = {
+            u: min(
+                Counter(labels[v] for v in nbrs).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for u, nbrs in adj.items()
+        }
+    got = {r["user_id"]: r["community"] for r in rows}
+    assert got == labels
+    sizes = Counter(labels.values())
+    for r in rows:
+        assert r["community_size"] == sizes[r["community"]]
+
+
+# --------------------------------------------------------------------------
+# knn_shapley_valuation (pipeline94)
+# --------------------------------------------------------------------------
+
+
+def test_knn_shapley_exact_replay(spark):
+    rows = all_queries()["knn_shapley_valuation"].fn(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    import math
+
+    def cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    tests = [r for r in emb if r["vec_id"] % 20 == 0]
+    train = [r for r in emb if r["vec_id"] % 20 != 0]
+    SCALE, K = 10**9, 3
+
+    def tdiv(a, b):  # truncate toward zero, like both engines' integer div
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    totals = Counter()
+    for q in tests:
+        ranked = sorted(
+            train,
+            key=lambda t: (-cos(q["embedding"], t["embedding"]), t["vec_id"]),
+        )
+        nn = len(ranked)
+        m = [1 if t["label"] == q["label"] else 0 for t in ranked]
+        s = [0] * nn
+        acc = tdiv(m[-1] * SCALE, nn)
+        s[-1] = acc
+        for i in range(nn - 1, 0, -1):  # 1-based index i of the earlier point
+            acc += tdiv((m[i - 1] - m[i]) * min(K, i) * SCALE, K * i)
+            s[i - 1] = acc
+        for t, v in zip(ranked, s):
+            totals[t["vec_id"]] += v
+    got = {r["train_id"]: r["shapley_sum_e9"] for r in rows}
+    assert got == dict(totals)
+    assert all(r["n_tests"] == len(tests) for r in rows)
+
+
+# --------------------------------------------------------------------------
+# feature_hash_collision_audit (pipeline94)
+# --------------------------------------------------------------------------
+
+
+def test_feature_hash_audit_exact_replay(spark):
+    row = all_queries()["feature_hash_collision_audit"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    vocab = set()
+    for r in docs:
+        for tok in r["text"].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" "):
+            if tok:
+                vocab.add(tok)
+    buckets = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4096 for t in vocab
+    )
+    assert row["vocab_size"] == len(vocab)
+    assert row["buckets_used"] == len(buckets)
+    assert row["colliding_tokens"] == sum(n for n in buckets.values() if n > 1)
+    assert row["max_bucket_load"] == max(buckets.values())
+    assert row["collision_rate_e6"] == _ir(len(vocab) - len(buckets), len(vocab), 6)
+    assert row["load_factor_e6"] == _ir(len(vocab), 4096, 6)
+
+
+# --------------------------------------------------------------------------
+# consistent_hash_ring_churn (pipeline95)
+# --------------------------------------------------------------------------
+
+
+def test_ring_churn_exact_replay(spark):
+    row = all_queries()["consistent_hash_ring_churn"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id").collect()
+    ring8 = sorted(
+        int(hashlib.md5(f"ring{s}#{v}".encode()).hexdigest()[:8], 16) * 64 + s
+        for s in range(8)
+        for v in range(16)
+    )
+    ring7 = [p for p in ring8 if p % 64 != 7]
+
+    def assign(kpos, ring):
+        at_or_after = [p for p in ring if p >= kpos * 64]
+        return (at_or_after[0] if at_or_after else ring[0]) % 64
+
+    moved = 0
+    loads = Counter()
+    for r in docs:
+        kpos = int(hashlib.md5(f"k{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        s8, s7 = assign(kpos, ring8), assign(kpos, ring7)
+        loads[s8] += 1
+        moved += s8 != s7
+    assert row["n_keys"] == len(docs)
+    assert row["n_moved"] == moved
+    assert row["moved_rate_e6"] == _ir(moved, len(docs), 6)
+    assert row["max_shard_load"] == max(loads.values())
+    assert row["min_shard_load"] == min(loads.values())
+    # the consistent-hashing contract: only the removed shard's keys move
+    assert moved == loads[7]
+
+
+# --------------------------------------------------------------------------
+# harmonic_centrality_bounded (pipeline95)
+# --------------------------------------------------------------------------
+
+
+def test_harmonic_centrality_exact_replay(spark):
+    rows = all_queries()["harmonic_centrality_bounded"].fn(spark, SF_SMALL).collect()
+    adj = _copurchase_adj(spark)
+    got = {r["user_id"]: r for r in rows}
+    assert set(got) == set(adj)
+    for u in adj:
+        # exact BFS distances from u, capped at 3
+        dist = {u: 0}
+        frontier = [u]
+        for d in (1, 2, 3):
+            nxt = []
+            for x in frontier:
+                for v in adj[x]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        c = Counter(d for v, d in dist.items() if v != u)
+        r = got[u]
+        assert (r["n_dist1"], r["n_dist2"], r["n_dist3"]) == (c[1], c[2], c[3])
+        assert r["harmonic_e6"] == c[1] * 1_000_000 + c[2] * 500_000 + c[3] * 333_333
+
+
+# --------------------------------------------------------------------------
+# unigram_lm_segmentation (pipeline96)
+# --------------------------------------------------------------------------
+
+
+def test_unigram_segmentation_exact_replay(spark):
+    import math
+
+    rows = all_queries()["unigram_lm_segmentation"].fn(spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    toks = []
+    for r in docs:
+        for t in r["text"].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" "):
+            if t:
+                toks.append(t)
+    gcnt = {1: Counter(), 2: Counter(), 3: Counter()}
+    for t in toks:
+        for n in (1, 2, 3):
+            for i in range(len(t) - n + 1):
+                gcnt[n][t[i : i + n]] += 1
+    total = sum(gcnt[1].values())
+    pieces = dict(gcnt[1])
+    for n, k in ((2, 64), (3, 32)):
+        top = sorted(gcnt[n].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        pieces.update(dict(top))
+    cost = {
+        g: math.floor(math.log(total / c) * 1e6 + 0.5) for g, c in pieces.items()
+    }
+    wcnt = Counter(t for t in toks if len(t) <= 16)
+    words = sorted(wcnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    got = {r["word"]: r for r in rows}
+    assert set(got) == {w for w, _ in words}
+    for w, freq in words:
+        # exact DP over (cost*32 + pieces) packed values
+        INF = float("inf")
+        dp = [0] + [INF] * len(w)
+        for pos in range(1, len(w) + 1):
+            for l in (1, 2, 3):
+                if l <= pos and w[pos - l : pos] in cost:
+                    cand = dp[pos - l] + cost[w[pos - l : pos]] * 32 + 1
+                    if cand < dp[pos]:
+                        dp[pos] = cand
+        r = got[w]
+        assert r["freq"] == freq and r["word_len"] == len(w)
+        assert r["seg_cost_e6"] == dp[len(w)] // 32
+        assert r["n_pieces"] == dp[len(w)] % 32
+        assert 1 <= r["n_pieces"] <= len(w)

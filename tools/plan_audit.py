@@ -129,6 +129,8 @@ ALLOW_BNLJ = {
     "ransac_trend_fit": "8 candidate models x day-level rollup (metadata-sized both sides)",
     "mann_kendall_trend": "O(days^2) sign-pair theta join on the day rollup, never the fact table",
     "matrix_profile_daily": "O(days^2) window-distance theta join on the day rollup, never the fact table",
+    "knn_shapley_valuation": "broadcast 5% test split x training corpus scoring (knn_bruteforce plan shape)",
+    "consistent_hash_ring_churn": "128-point ring broadcast successor lookup (metadata-sized build side)",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
