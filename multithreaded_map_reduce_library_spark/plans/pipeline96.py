@@ -1,0 +1,241 @@
+"""Pipeline batch 96 (round 4): UNIGRAM-LM TOKENIZER SEGMENTATION — the
+SentencePiece-style tokenizer primitive the BPE family was missing. BPE
+(``bpe_learn_merges`` / ``bpe_tokenize_corpus``) tokenizes by greedy
+merges; a unigram LM tokenizer instead picks the segmentation of each
+word that MINIMIZES total piece cost (-log piece probability) — a
+shortest path over the word's character positions (Viterbi).
+
+``unigram_lm_segmentation``:
+1. Build the piece vocabulary from the corpus token stream: every
+   character, the top-64 character bigrams, the top-32 trigrams
+   (deterministic (count DESC, gram ASC) cut).
+2. Cost of a piece = -ln(count / total_char_count), e6-quantized — the
+   integer-grid form of the unigram LM negative log-likelihood.
+3. For the top-40 most frequent words (length ≤ 16) run the exact DP:
+   dist(pos) = min over pieces ending at pos of dist(start) + cost.
+   16 unrolled relaxation rounds (a length-16 word uses ≤ 16 pieces);
+   costs are packed as cost_e6*32 + n_pieces, so the argmin also
+   tie-breaks deterministically toward fewer pieces.
+
+Everything after the e6 cost grid is integer arithmetic, and the DP is
+plain joins — no recursion, no UDF, both engines run the identical
+unrolled program.
+
+Reference parity anchor: the reference engine (mapreduce.h:44-83) has no
+tokenizer tier; this extends the driver-mandated superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+_TOP_BIGRAMS = 64
+_TOP_TRIGRAMS = 32
+_TOP_WORDS = 40
+_MAX_WLEN = 16
+_PACK = 32  # packed = cost_e6 * 32 + n_pieces (n_pieces <= 16 < 32)
+
+_DUCK_TOKS = """
+        toks AS MATERIALIZED (
+            SELECT tok FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '[ \t\r\n]'), t -> t <> '')) AS u(tok)
+        )"""
+
+
+def _duck_grams(n: int) -> str:
+    return f"""(
+            SELECT substr(tok, CAST(p AS INTEGER), {n}) AS gram
+            FROM (SELECT tok, UNNEST(range(1, len(tok) - {n - 1} + 1)) AS p FROM toks)
+        )"""
+
+
+def _unigram_oracle() -> str:
+    rounds = []
+    prev = "dp0"
+    for t in range(1, _MAX_WLEN + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+        # round references the previous one twice — unmaterialized, dp16
+        # would expand to 2^16 copies of the corpus scan subtree (observed
+        # as an EMFILE blowup before any result).
+        rounds.append(
+            f"""
+        dp{t} AS MATERIALIZED (
+            SELECT word, pos, MIN(v) AS v FROM (
+                SELECT word, pos, v FROM {prev}
+                UNION ALL
+                SELECT g.word, g.pos_to AS pos, d.v + g.w32 AS v
+                FROM {prev} d JOIN eg g ON g.word = d.word AND g.pos_from = d.pos
+            ) GROUP BY word, pos
+        )"""
+        )
+        prev = f"dp{t}"
+    return f"""
+        WITH {_DUCK_TOKS},
+        g1 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(1)} GROUP BY gram),
+        g2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(2)} GROUP BY gram),
+        g3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(3)} GROUP BY gram),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g1),
+        pieces AS (
+            SELECT gram, cnt FROM g1
+            UNION ALL
+            SELECT gram, cnt FROM (
+                SELECT gram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rn FROM g2
+            ) WHERE rn <= {_TOP_BIGRAMS}
+            UNION ALL
+            SELECT gram, cnt FROM (
+                SELECT gram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rn FROM g3
+            ) WHERE rn <= {_TOP_TRIGRAMS}
+        ),
+        costs AS (
+            SELECT gram,
+                   CAST(FLOOR(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS cost_e6
+            FROM pieces CROSS JOIN tot
+        ),
+        words AS MATERIALIZED (
+            SELECT word, freq FROM (
+                SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+                FROM toks WHERE len(tok) <= {_MAX_WLEN}
+                GROUP BY tok
+            ) WHERE rn <= {_TOP_WORDS}
+        ),
+        eg AS MATERIALIZED (
+            SELECT w.word, CAST(e.pos_to - e.l AS BIGINT) AS pos_from,
+                   CAST(e.pos_to AS BIGINT) AS pos_to,
+                   c.cost_e6 * {_PACK} + 1 AS w32
+            FROM words w,
+                 LATERAL (
+                     SELECT CAST(p AS BIGINT) AS pos_to, CAST(l AS BIGINT) AS l,
+                            substr(w.word, CAST(p - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+                     FROM (SELECT UNNEST(range(1, len(w.word) + 1)) AS p),
+                          (SELECT UNNEST([1, 2, 3]) AS l)
+                     WHERE l <= p
+                 ) e
+            JOIN costs c ON c.gram = e.piece
+        ),
+        dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS v FROM words),
+        {",".join(rounds)}
+        SELECT w.word, w.freq, CAST(len(w.word) AS BIGINT) AS word_len,
+               CAST(d.v // {_PACK} AS BIGINT) AS seg_cost_e6,
+               CAST(d.v % {_PACK} AS BIGINT) AS n_pieces
+        FROM words w JOIN {prev} d ON d.word = w.word AND d.pos = len(w.word)
+    """
+
+
+@register(
+    "unigram_lm_segmentation",
+    oracle=_unigram_oracle(),
+    tags=("tokenizer", "unigram-lm", "viterbi", "documents", "topk", "global-sort"),
+)
+def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) optimal segmentation cost of the
+    corpus's top-40 words: piece vocabulary = every character + top-64
+    bigrams + top-32 trigrams of the token stream, piece cost =
+    e6-quantized -ln(count/total_chars), and per word the exact minimal
+    total cost over all segmentations plus the piece count of that
+    optimum (fewest-pieces tie-break via cost*32+pieces packing) — a
+    16-round unrolled Bellman-Ford over the word's positions, where 16
+    relaxations are exact because a length-16 word has at most 16
+    pieces.
+
+    Scale design: the corpus-sized work is the three n-gram counting
+    shuffles (map-side combined, the wordcount shape) and the word
+    frequency rollup; the top-k cuts are tiny global windows on gram
+    rollups; the DP itself runs on a 40-word × 17-position relation —
+    metadata, regardless of corpus size. This is the plan shape a real
+    tokenizer trainer uses at 100 TB: corpus passes for counts, DP on
+    the (bounded) vocabulary."""
+    from multithreaded_map_reduce_library_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok")).localCheckpoint()
+
+    def grams(n: int) -> DataFrame:
+        pos = F.explode(F.sequence(F.lit(1), F.length("tok") - F.lit(n - 1))).alias("p")
+        return (
+            toks.where(F.length("tok") >= n)
+            .select("tok", pos)
+            .select(F.expr(f"substring(tok, p, {n})").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    g1 = grams(1).localCheckpoint()
+    tot = g1.agg(F.sum("cnt").cast("bigint").alias("total"))
+
+    def topcut(df: DataFrame, k: int) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("gram")))
+        return df.withColumn("rn", rn).where(F.col("rn") <= k).select("gram", "cnt")
+
+    pieces = g1.unionAll(topcut(grams(2), _TOP_BIGRAMS)).unionAll(
+        topcut(grams(3), _TOP_TRIGRAMS)
+    )
+    costs = pieces.crossJoin(F.broadcast(tot)).select(
+        "gram",
+        F.floor(
+            F.log(F.col("total").cast("double") / F.col("cnt").cast("double"))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cost_e6"),
+    )
+    wrn = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word")))
+    words = (
+        toks.where(F.length("tok") <= _MAX_WLEN)
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .withColumn("rn", wrn)
+        .where(F.col("rn") <= _TOP_WORDS)
+        .select("word", "freq")
+        .localCheckpoint()
+    )
+    span = words.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos_to"),
+    ).select("word", "pos_to", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("l"))
+    eg = (
+        span.where(F.col("l") <= F.col("pos_to"))
+        .select(
+            "word",
+            (F.col("pos_to") - F.col("l")).cast("bigint").alias("pos_from"),
+            F.col("pos_to").cast("bigint").alias("pos_to"),
+            F.expr("substring(word, pos_to - l + 1, l)").alias("piece"),
+        )
+        .join(costs.withColumnRenamed("gram", "piece"), "piece")
+        .select(
+            "word", "pos_from", "pos_to", (F.col("cost_e6") * _PACK + 1).alias("w32")
+        )
+        .localCheckpoint()
+    )
+    dp = words.select(
+        "word", F.lit(0).cast("bigint").alias("pos"), F.lit(0).cast("bigint").alias("v")
+    )
+    for _ in range(_MAX_WLEN):
+        relaxed = (
+            dp.withColumnRenamed("pos", "pos_from")
+            .join(eg, ["word", "pos_from"])
+            .select("word", F.col("pos_to").alias("pos"), (F.col("v") + F.col("w32")).alias("v"))
+        )
+        dp = (
+            dp.unionAll(relaxed)
+            .groupBy("word", "pos")
+            .agg(F.min("v").alias("v"))
+            .localCheckpoint()
+        )
+    pk = F.lit(_PACK).cast("bigint")
+    return (
+        words.join(dp, "word")
+        .where(F.col("pos") == F.length("word"))
+        .select(
+            "word",
+            "freq",
+            F.length("word").cast("bigint").alias("word_len"),
+            F.call_function("div", F.col("v"), pk).alias("seg_cost_e6"),
+            (F.col("v") % pk).cast("bigint").alias("n_pieces"),
+        )
+    )
