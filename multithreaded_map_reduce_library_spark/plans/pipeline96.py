@@ -40,16 +40,21 @@ _MAX_WLEN = 16
 _PACK = 32  # packed = cost_e6 * 32 + n_pieces (n_pieces <= 16 < 32)
 
 _DUCK_TOKS = """
-        toks AS MATERIALIZED (
+        toks AS (
             SELECT tok FROM documents,
                  UNNEST(list_filter(string_split_regex(text, '[ \t\r\n]'), t -> t <> '')) AS u(tok)
+        ),
+        wf AS MATERIALIZED (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
         )"""
 
 
 def _duck_grams(n: int) -> str:
+    # gram counts over the word-frequency rollup, weighted by freq —
+    # exactly the token-stream counts at a fraction of the explode volume
     return f"""(
-            SELECT substr(tok, CAST(p AS INTEGER), {n}) AS gram
-            FROM (SELECT tok, UNNEST(range(1, len(tok) - {n - 1} + 1)) AS p FROM toks)
+            SELECT substr(tok, CAST(p AS INTEGER), {n}) AS gram, freq
+            FROM (SELECT tok, freq, UNNEST(range(1, len(tok) - {n - 1} + 1)) AS p FROM wf)
         )"""
 
 
@@ -75,9 +80,9 @@ def _unigram_oracle() -> str:
         prev = f"dp{t}"
     return f"""
         WITH {_DUCK_TOKS},
-        g1 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(1)} GROUP BY gram),
-        g2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(2)} GROUP BY gram),
-        g3 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM {_duck_grams(3)} GROUP BY gram),
+        g1 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(1)} GROUP BY gram),
+        g2 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(2)} GROUP BY gram),
+        g3 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(3)} GROUP BY gram),
         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g1),
         pieces AS (
             SELECT gram, cnt FROM g1
@@ -97,10 +102,9 @@ def _unigram_oracle() -> str:
         ),
         words AS MATERIALIZED (
             SELECT word, freq FROM (
-                SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
-                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
-                FROM toks WHERE len(tok) <= {_MAX_WLEN}
-                GROUP BY tok
+                SELECT tok AS word, freq,
+                       ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rn
+                FROM wf WHERE len(tok) <= {_MAX_WLEN}
             ) WHERE rn <= {_TOP_WORDS}
         ),
         eg AS MATERIALIZED (
@@ -130,6 +134,7 @@ def _unigram_oracle() -> str:
     "unigram_lm_segmentation",
     oracle=_unigram_oracle(),
     tags=("tokenizer", "unigram-lm", "viterbi", "documents", "topk", "global-sort"),
+    bench=True,
 )
 def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) optimal segmentation cost of the
@@ -152,16 +157,24 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multithreaded_map_reduce_library_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("tok")).localCheckpoint()
+    # one corpus-sized shuffle (the wordcount shape); all gram counting
+    # then runs over this vocabulary-sized rollup, weighted by freq —
+    # identical counts to a token-stream pass at a fraction of the volume
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint()
+    )
 
     def grams(n: int) -> DataFrame:
         pos = F.explode(F.sequence(F.lit(1), F.length("tok") - F.lit(n - 1))).alias("p")
         return (
-            toks.where(F.length("tok") >= n)
-            .select("tok", pos)
-            .select(F.expr(f"substring(tok, p, {n})").alias("gram"))
+            wf.where(F.length("tok") >= n)
+            .select("tok", "freq", pos)
+            .select(F.expr(f"substring(tok, p, {n})").alias("gram"), "freq")
             .groupBy("gram")
-            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
 
     g1 = grams(1).localCheckpoint()
@@ -186,9 +199,8 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrn = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word")))
     words = (
-        toks.where(F.length("tok") <= _MAX_WLEN)
-        .groupBy(F.col("tok").alias("word"))
-        .agg(F.count("*").cast("bigint").alias("freq"))
+        wf.where(F.length("tok") <= _MAX_WLEN)
+        .select(F.col("tok").alias("word"), "freq")
         .withColumn("rn", wrn)
         .where(F.col("rn") <= _TOP_WORDS)
         .select("word", "freq")
@@ -215,18 +227,15 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = words.select(
         "word", F.lit(0).cast("bigint").alias("pos"), F.lit(0).cast("bigint").alias("v")
     )
-    for _ in range(_MAX_WLEN):
+    for t in range(_MAX_WLEN):
         relaxed = (
             dp.withColumnRenamed("pos", "pos_from")
             .join(eg, ["word", "pos_from"])
             .select("word", F.col("pos_to").alias("pos"), (F.col("v") + F.col("w32")).alias("v"))
         )
-        dp = (
-            dp.unionAll(relaxed)
-            .groupBy("word", "pos")
-            .agg(F.min("v").alias("v"))
-            .localCheckpoint()
-        )
+        dp = dp.unionAll(relaxed).groupBy("word", "pos").agg(F.min("v").alias("v"))
+        if t % 4 == 3:  # flatten lineage without one job per round
+            dp = dp.localCheckpoint()
     pk = F.lit(_PACK).cast("bigint")
     return (
         words.join(dp, "word")
