@@ -58,8 +58,13 @@ def _duck_grams(n: int) -> str:
         )"""
 
 
-def _unigram_oracle() -> str:
-    rounds = []
+def duck_dp_ctes() -> tuple[str, str]:
+    """The unrolled optimal-segmentation DP as a CTE block (needs the
+    :func:`duck_vocab_ctes` block in scope): returns (ctes, final_name).
+    Shared with the WordPiece-greedy regret query (pipeline97)."""
+    rounds = [
+        "dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS v FROM words)"
+    ]
     prev = "dp0"
     for t in range(1, _MAX_WLEN + 1):
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
@@ -78,8 +83,13 @@ def _unigram_oracle() -> str:
         )"""
         )
         prev = f"dp{t}"
-    return f"""
-        WITH {_DUCK_TOKS},
+    return ",".join(rounds), prev
+
+
+def duck_vocab_ctes() -> str:
+    """toks/wf/gram-count/piece-cost/words/eg CTE block (no WITH keyword) —
+    the unigram-LM piece graph, shared with pipeline97."""
+    return f"""{_DUCK_TOKS},
         g1 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(1)} GROUP BY gram),
         g2 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(2)} GROUP BY gram),
         g3 AS (SELECT gram, CAST(SUM(freq) AS BIGINT) AS cnt FROM {_duck_grams(3)} GROUP BY gram),
@@ -120,13 +130,18 @@ def _unigram_oracle() -> str:
                      WHERE l <= p
                  ) e
             JOIN costs c ON c.gram = e.piece
-        ),
-        dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS v FROM words),
-        {",".join(rounds)}
+        )"""
+
+
+def _unigram_oracle() -> str:
+    dp_ctes, dp_final = duck_dp_ctes()
+    return f"""
+        WITH {duck_vocab_ctes()},
+        {dp_ctes}
         SELECT w.word, w.freq, CAST(len(w.word) AS BIGINT) AS word_len,
                CAST(d.v // {_PACK} AS BIGINT) AS seg_cost_e6,
                CAST(d.v % {_PACK} AS BIGINT) AS n_pieces
-        FROM words w JOIN {prev} d ON d.word = w.word AND d.pos = len(w.word)
+        FROM words w JOIN {dp_final} d ON d.word = w.word AND d.pos = len(w.word)
     """
 
 
@@ -154,6 +169,26 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata, regardless of corpus size. This is the plan shape a real
     tokenizer trainer uses at 100 TB: corpus passes for counts, DP on
     the (bounded) vocabulary."""
+    words, eg = build_piece_graph(spark, sf_dir)
+    dp = run_optimal_dp(words, eg)
+    pk = F.lit(_PACK).cast("bigint")
+    return (
+        words.join(dp, "word")
+        .where(F.col("pos") == F.length("word"))
+        .select(
+            "word",
+            "freq",
+            F.length("word").cast("bigint").alias("word_len"),
+            F.call_function("div", F.col("v"), pk).alias("seg_cost_e6"),
+            (F.col("v") % pk).cast("bigint").alias("n_pieces"),
+        )
+    )
+
+
+def build_piece_graph(spark: SparkSession, sf_dir: str):
+    """(words, eg): the top-40 word set with frequencies, and the piece
+    edge list (word, pos_from, pos_to, w32 = cost_e6*32 + 1). Shared with
+    the WordPiece-greedy regret query (pipeline97)."""
     from multithreaded_map_reduce_library_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -224,6 +259,12 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return words, eg
+
+
+def run_optimal_dp(words: DataFrame, eg: DataFrame) -> DataFrame:
+    """16-round unrolled Bellman-Ford over the piece graph: (word, pos, v)
+    with v = packed min cost to reach pos from 0."""
     dp = words.select(
         "word", F.lit(0).cast("bigint").alias("pos"), F.lit(0).cast("bigint").alias("v")
     )
@@ -236,15 +277,4 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dp = dp.unionAll(relaxed).groupBy("word", "pos").agg(F.min("v").alias("v"))
         if t % 4 == 3:  # flatten lineage without one job per round
             dp = dp.localCheckpoint()
-    pk = F.lit(_PACK).cast("bigint")
-    return (
-        words.join(dp, "word")
-        .where(F.col("pos") == F.length("word"))
-        .select(
-            "word",
-            "freq",
-            F.length("word").cast("bigint").alias("word_len"),
-            F.call_function("div", F.col("v"), pk).alias("seg_cost_e6"),
-            (F.col("v") % pk).cast("bigint").alias("n_pieces"),
-        )
-    )
+    return dp

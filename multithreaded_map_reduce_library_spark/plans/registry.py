@@ -175,6 +175,7 @@ def _load_all() -> None:
         pipeline94,
         pipeline95,
         pipeline96,
+        pipeline97,
         relational,
         relational2,
         relational3,

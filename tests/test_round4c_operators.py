@@ -410,3 +410,104 @@ def test_unigram_segmentation_exact_replay(spark):
         assert r["seg_cost_e6"] == dp[len(w)] // 32
         assert r["n_pieces"] == dp[len(w)] % 32
         assert 1 <= r["n_pieces"] <= len(w)
+
+
+# --------------------------------------------------------------------------
+# wordpiece_greedy_regret (pipeline97)
+# --------------------------------------------------------------------------
+
+
+def test_wordpiece_regret_exact_replay(spark):
+    import math
+
+    rows = all_queries()["wordpiece_greedy_regret"].fn(spark, SF_SMALL).collect()
+    opt = {
+        r["word"]: r
+        for r in all_queries()["unigram_lm_segmentation"].fn(spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    toks = []
+    for r in docs:
+        for t in r["text"].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" "):
+            if t:
+                toks.append(t)
+    gcnt = {1: Counter(), 2: Counter(), 3: Counter()}
+    for t in toks:
+        for n in (1, 2, 3):
+            for i in range(len(t) - n + 1):
+                gcnt[n][t[i : i + n]] += 1
+    total = sum(gcnt[1].values())
+    pieces = dict(gcnt[1])
+    for n, k in ((2, 64), (3, 32)):
+        pieces.update(dict(sorted(gcnt[n].items(), key=lambda kv: (-kv[1], kv[0]))[:k]))
+    cost = {g: math.floor(math.log(total / c) * 1e6 + 0.5) for g, c in pieces.items()}
+    got = {r["word"]: r for r in rows}
+    assert set(got) == set(opt)
+    for w, r in got.items():
+        # greedy longest-match walk
+        pos, gcost, gp = 0, 0, 0
+        while pos < len(w):
+            for l in (3, 2, 1):
+                if pos + l <= len(w) and w[pos : pos + l] in cost:
+                    gcost += cost[w[pos : pos + l]]
+                    gp += 1
+                    pos += l
+                    break
+        assert (r["greedy_cost_e6"], r["greedy_pieces"]) == (gcost, gp)
+        o = opt[w]
+        assert (r["opt_cost_e6"], r["opt_pieces"]) == (o["seg_cost_e6"], o["n_pieces"])
+        assert r["regret_e6"] == gcost - o["seg_cost_e6"]
+        assert r["regret_e6"] >= 0  # greedy can never beat the DP optimum
+
+
+# --------------------------------------------------------------------------
+# psi_value_drift (pipeline97)
+# --------------------------------------------------------------------------
+
+
+def test_psi_exact_replay_and_nonnegative(spark):
+    import math
+
+    from datetime import date
+
+    row = all_queries()["psi_value_drift"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    epoch = date(1970, 1, 1)
+    wd, we = Counter(), Counter()
+    for r in ev:
+        if r["event_type"] != "purchase" or r["value"] is None:
+            continue
+        b = math.floor(r["value"] * 100.0 + 0.5) // 1000
+        (we if ((r["ts"].date() - epoch).days % 7) in (2, 3) else wd)[b] += 1
+    bins = sorted(set(wd) | set(we))
+    t1, t2, nb = sum(wd.values()), sum(we.values()), len(bins)
+    psi = 0
+    for b in bins:
+        p1 = (wd[b] + 1) / (t1 + nb)
+        p2 = (we[b] + 1) / (t2 + nb)
+        psi += math.floor((p1 - p2) * math.log(p1 / p2) * 1e9 + 0.5)
+    assert (row["n_weekday"], row["n_weekend"], row["n_bins"]) == (t1, t2, nb)
+    assert row["psi_e9"] == psi
+    # every (p1-p2)ln(p1/p2) term is >= 0, so the quantized sum can dip
+    # below zero only by rounding — bounded by half a unit per bin
+    assert row["psi_e9"] >= -nb
+
+
+# --------------------------------------------------------------------------
+# hash_partition_balance_audit (pipeline97)
+# --------------------------------------------------------------------------
+
+
+def test_partition_balance_exact_replay(spark):
+    from multithreaded_map_reduce_library_spark.functions.hashing import djb2
+
+    row = all_queries()["hash_partition_balance_audit"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("user_id").distinct().collect()
+    loads = Counter(djb2(str(r["user_id"])) % 32 for r in ev)
+    n = sum(loads.values())
+    assert row["n_keys"] == n
+    assert row["n_partitions_used"] == len(loads)
+    assert row["max_load"] == max(loads.values())
+    assert row["min_load"] == min(loads.values())
+    assert row["max_over_avg_e6"] == _ir(max(loads.values()) * 32, n, 6)
+    assert row["min_over_avg_e6"] == _ir(min(loads.values()) * 32, n, 6)
