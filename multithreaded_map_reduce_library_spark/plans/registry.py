@@ -176,6 +176,7 @@ def _load_all() -> None:
         pipeline95,
         pipeline96,
         pipeline97,
+        pipeline98,
         relational,
         relational2,
         relational3,

@@ -511,3 +511,111 @@ def test_partition_balance_exact_replay(spark):
     assert row["min_load"] == min(loads.values())
     assert row["max_over_avg_e6"] == _ir(max(loads.values()) * 32, n, 6)
     assert row["min_over_avg_e6"] == _ir(min(loads.values()) * 32, n, 6)
+
+
+# --------------------------------------------------------------------------
+# ndcg_at_k_ranking (pipeline98)
+# --------------------------------------------------------------------------
+
+
+def test_ndcg_exact_replay(spark):
+    import math
+
+    row = all_queries()["ndcg_at_k_ranking"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    rel = {"purchase": 3, "signup": 2, "click": 1}
+    ndcgs = []
+    for rows in by_user.values():
+        gains = [(1 << rel.get(r["event_type"], 0)) - 1 for r in rows]
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: (
+                rows[i]["value"] is None,
+                -(rows[i]["value"] if rows[i]["value"] is not None else 0.0),
+                rows[i]["event_id"],
+            ),
+        )
+
+        def dcg(seq):
+            return sum(
+                math.floor(g / math.log2(i + 2) * 1e9 + 0.5)
+                for i, g in enumerate(seq[:10])
+            )
+
+        d = dcg([gains[i] for i in order])
+        ideal = dcg(sorted(gains, reverse=True))
+        if ideal > 0:
+            ndcgs.append(_ir(d, ideal, 6))
+    assert row["n_users"] == len(ndcgs)
+    assert row["mean_ndcg_e6"] == _ir(sum(ndcgs), len(ndcgs), 0)
+    assert row["min_ndcg_e6"] == min(ndcgs)
+    assert row["max_ndcg_e6"] == max(ndcgs)
+    assert 0 < row["mean_ndcg_e6"] <= 1_000_001  # half-up rounding headroom
+
+
+# --------------------------------------------------------------------------
+# dictionary_encoding_audit (pipeline98)
+# --------------------------------------------------------------------------
+
+
+def test_dictionary_encoding_exact_replay(spark):
+    import math
+
+    rows = {r["column_name"]: r for r in
+            all_queries()["dictionary_encoding_audit"].fn(spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events").select("event_type").collect()
+    docs = load_table(spark, SF_SMALL, "documents").select("lang", "source").collect()
+    for cname, vals in (
+        ("events.event_type", [r["event_type"] for r in ev]),
+        ("documents.lang", [r["lang"] for r in docs]),
+        ("documents.source", [r["source"] for r in docs]),
+    ):
+        vals = [v for v in vals if v is not None]
+        distinct = set(vals)
+        bits = max(1, math.ceil(math.log2(len(distinct))))
+        raw = sum(len(v) for v in vals)
+        dictb = sum(len(v) + 4 for v in distinct)
+        payload = (len(vals) * bits + 7) // 8
+        r = rows[cname]
+        assert (r["n_rows"], r["n_distinct"], r["bits_per_code"]) == (
+            len(vals), len(distinct), bits,
+        )
+        assert (r["raw_bytes"], r["dict_bytes"], r["payload_bytes"]) == (
+            raw, dictb, payload,
+        )
+        assert r["compression_e6"] == _ir(raw, payload + dictb, 6)
+        assert r["compression_e6"] > 1_000_000  # encoding must actually win here
+
+
+# --------------------------------------------------------------------------
+# hodges_lehmann_daily (pipeline98)
+# --------------------------------------------------------------------------
+
+
+def test_hodges_lehmann_exact_replay(spark):
+    row = all_queries()["hodges_lehmann_daily"].fn(spark, SF_SMALL).collect()[0]
+    y = _daily_cents(spark)
+    walsh = sorted(y[i] + y[j] for i in range(len(y)) for j in range(i, len(y)))
+    m = len(walsh)
+    assert row["n_days"] == len(y)
+    assert row["n_pairs"] == m
+    assert row["hl_x4_cents"] == walsh[(m + 1) // 2 - 1] + walsh[(m + 2) // 2 - 1]
+    # HL sits between the min and max daily revenue (location estimator)
+    assert 4 * min(y) <= row["hl_x4_cents"] <= 4 * max(y)
+
+
+def _daily_cents(spark):
+    import math
+
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    days: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["value"] is not None:
+            d = r["ts"].date()
+            days[d] = days.get(d, 0) + math.floor(r["value"] * 100.0 + 0.5)
+    return [days[d] for d in sorted(days)]

@@ -131,6 +131,7 @@ ALLOW_BNLJ = {
     "matrix_profile_daily": "O(days^2) window-distance theta join on the day rollup, never the fact table",
     "knn_shapley_valuation": "broadcast 5% test split x training corpus scoring (knn_bruteforce plan shape)",
     "consistent_hash_ring_churn": "128-point ring broadcast successor lookup (metadata-sized build side)",
+    "hodges_lehmann_daily": "O(days^2) Walsh-average theta join on the day rollup, never the fact table",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
