@@ -177,6 +177,7 @@ def _load_all() -> None:
         pipeline96,
         pipeline97,
         pipeline98,
+        pipeline99,
         relational,
         relational2,
         relational3,

@@ -619,3 +619,93 @@ def _daily_cents(spark):
             d = r["ts"].date()
             days[d] = days.get(d, 0) + math.floor(r["value"] * 100.0 + 0.5)
     return [days[d] for d in sorted(days)]
+
+
+# --------------------------------------------------------------------------
+# anova_value_by_type (pipeline99)
+# --------------------------------------------------------------------------
+
+
+def test_anova_exact_replay(spark):
+    import math
+
+    row = all_queries()["anova_value_by_type"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    groups: dict = {}
+    for r in ev:
+        if r["value"] is not None:
+            groups.setdefault(r["event_type"], []).append(
+                math.floor(r["value"] * 100.0 + 0.5)
+            )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    sg2n = sum(float(sum(v)) * float(sum(v)) / float(len(v)) for v in groups.values())
+    ssb = sg2n - float(s) * float(s) / float(n)
+    ssw = float(q) - sg2n
+    sst = float(q) - float(s) * float(s) / float(n)
+    assert (row["n"], row["k"]) == (n, k)
+    assert row["f_e6"] == math.floor(ssb / ssw * (n - k) / (k - 1) * 1e6 + 0.5)
+    assert row["eta2_e6"] == math.floor(ssb / sst * 1e6 + 0.5)
+    assert 0 <= row["eta2_e6"] <= 1_000_000 and row["f_e6"] >= 0
+
+
+# --------------------------------------------------------------------------
+# theil_index_inequality (pipeline99)
+# --------------------------------------------------------------------------
+
+
+def test_theil_exact_replay_and_bounds(spark):
+    import math
+
+    row = all_queries()["theil_index_inequality"].fn(spark, SF_SMALL).collect()[0]
+    y = _daily_cents(spark)
+    n, s = len(y), sum(y)
+    theil = sum(
+        math.floor(x / s * math.log(x * n / s) * 1e9 + 0.5) for x in y if x > 0
+    )
+    assert row["n_days"] == n
+    assert row["theil_e9"] == theil
+    # 0 <= T <= ln(n), up to per-term half-unit rounding
+    assert -n <= row["theil_e9"] <= math.log(n) * 1e9 + n
+
+
+# --------------------------------------------------------------------------
+# did_weekend_effect (pipeline99)
+# --------------------------------------------------------------------------
+
+
+def test_did_exact_replay(spark):
+    import math
+
+    from datetime import date, timedelta
+
+    row = all_queries()["did_weekend_effect"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    epoch = date(1970, 1, 1)
+    pts = [
+        (
+            math.floor(r["value"] * 100.0 + 0.5),
+            ((r["ts"].date() - epoch).days % 7) in (2, 3),
+            r["ts"].date(),
+        )
+        for r in ev
+        if r["event_type"] == "purchase" and r["value"] is not None
+    ]
+    lo, hi = min(d for _, _, d in pts), max(d for _, _, d in pts)
+    cut = lo + timedelta(days=(hi - lo).days // 2)
+    cells: dict = {}
+    for c, we, d in pts:
+        key = (d > cut, we)
+        s, n = cells.get(key, (0, 0))
+        cells[key] = (s + c, n + 1)
+    assert row["n_events"] == len(pts)
+    for (post, we), col in (
+        ((False, False), "pre_wd_mean_e2"),
+        ((False, True), "pre_we_mean_e2"),
+        ((True, False), "post_wd_mean_e2"),
+        ((True, True), "post_we_mean_e2"),
+    ):
+        s, n = cells[(post, we)]
+        assert row[col] == _ir(s, n, 2)
