@@ -1266,3 +1266,66 @@ def wav_autocorrelation(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUTOCORR_SCHEMA.fields])
 
     return assets.select("asset_id", "payload").mapInPandas(batches, AUTOCORR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image resize: exact 2x box downscale over real PNG bytes
+# --------------------------------------------------------------------------
+
+DOWNSCALE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("ds_sum", LongType(), True),
+        StructField("ds_wsum", LongType(), True),
+    ]
+)
+
+
+def image_downscale2(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode + exact 2x box-filter downscale: each output pixel
+    is the half-up integer mean of its 2x2 source block,
+    ``(a+b+c+d+2) // 4`` — the resize primitive of a vision-data
+    ingestion pipeline, in the integer form a SQL oracle replays
+    bit-for-bit. Output is the downscaled image's exact sum and
+    POSITION-WEIGHTED checksum (row-major), so a transposed, shifted, or
+    mis-averaged block breaks the hash. Odd dimensions are out of the
+    tested envelope and raise rather than guess.
+
+    Scale shape: per-asset Arrow kernel (mapInPandas) over the binary
+    scan — map-side only, one skinny row per asset, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from multithreaded_map_reduce_library_spark.functions.png import decode_png
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, c, arr = decode_png(
+                    bytes(payload) if payload is not None else b""
+                )
+                if c != 1:
+                    raise NotImplementedError("downscale2: grayscale images only")
+                if w % 2 or h % 2:
+                    raise NotImplementedError("downscale2: even dimensions only")
+                img = np.asarray(arr, dtype=np.int64).reshape(h, w)
+                blk = (
+                    img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]
+                )
+                ds = (blk + 2) // 4  # half-up, operands nonnegative
+                flat = ds.reshape(-1)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "out_w": w // 2,
+                        "out_h": h // 2,
+                        "ds_sum": int(flat.sum()),
+                        "ds_wsum": int((flat * np.arange(1, len(flat) + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DOWNSCALE_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, DOWNSCALE_SCHEMA)

@@ -178,6 +178,7 @@ def _load_all() -> None:
         pipeline97,
         pipeline98,
         pipeline99,
+        pipeline100,
         relational,
         relational2,
         relational3,

@@ -709,3 +709,68 @@ def test_did_exact_replay(spark):
     ):
         s, n = cells[(post, we)]
         assert row[col] == _ir(s, n, 2)
+
+
+# --------------------------------------------------------------------------
+# multimodal_png_downscale2 (pipeline100)
+# --------------------------------------------------------------------------
+
+
+def test_png_downscale2_exact_replay(spark):
+    import math
+
+    rows = all_queries()["multimodal_png_downscale2"].fn(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    got = {r["asset_id"]: r for r in rows}
+    assert set(got) == {r["vec_id"] for r in emb}
+    for e in emb:
+        px = [
+            math.floor(min(max((float(x) + 1.0) / 2.0, 0.0), 1.0) * 255.0)
+            for x in e["embedding"]
+        ]
+        img = [px[r * 8 : (r + 1) * 8] for r in range(8)]
+        ds = []
+        for y in range(4):
+            for x in range(4):
+                blk = (
+                    img[2 * y][2 * x]
+                    + img[2 * y][2 * x + 1]
+                    + img[2 * y + 1][2 * x]
+                    + img[2 * y + 1][2 * x + 1]
+                )
+                ds.append((blk + 2) // 4)
+        r = got[e["vec_id"]]
+        assert (r["out_w"], r["out_h"]) == (4, 4)
+        assert r["ds_sum"] == sum(ds)
+        assert r["ds_wsum"] == sum(v * (k + 1) for k, v in enumerate(ds))
+        # box means stay inside the source range
+        assert all(0 <= v <= 255 for v in ds)
+
+
+def test_png_downscale2_small_grid_through_real_codec(spark):
+    """Hand-built 2x2 PNG through encode->kernel: one output pixel, the
+    half-up mean — and odd dimensions must raise, not guess."""
+    import pandas as pd
+
+    from multithreaded_map_reduce_library_spark.functions.png import encode_png
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        image_downscale2,
+    )
+
+    png = encode_png([[10, 11], [12, 14]])
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [png]})
+    )
+    row = image_downscale2(assets).collect()[0]
+    assert (row["out_w"], row["out_h"]) == (1, 1)
+    assert row["ds_sum"] == (10 + 11 + 12 + 14 + 2) // 4  # 12 (half-up of 11.75)
+    assert row["ds_wsum"] == row["ds_sum"]
+
+    odd = encode_png([[1, 2, 3], [4, 5, 6]])
+    assets_odd = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [2], "payload": [odd]})
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="even dimensions"):
+        image_downscale2(assets_odd).collect()

@@ -80,6 +80,7 @@ ALLOW_PYTHON = {
     "multimodal_sobel_edge_energy": "PNG encode pandas UDF + mapInPandas Sobel kernel",
     "multimodal_wav_quadrature": "WAV encode pandas UDF + mapInPandas quadrature kernel",
     "multimodal_hist_equalization": "PNG encode pandas UDF + mapInPandas hist-eq kernel",
+    "multimodal_png_downscale2": "PNG encode pandas UDF + mapInPandas 2x box-downscale kernel",
     "multimodal_wav_autocorr": "WAV encode pandas UDF + mapInPandas autocorrelation kernel",
     "multimodal_wav_envelope_parity": "mono16 + stereo24 WAV encode/decode kernels joined per asset",
     "multimodal_png_adam7_roundtrip": "Adam7 PNG encode pandas UDF + mapInPandas stdlib de-interlace",
