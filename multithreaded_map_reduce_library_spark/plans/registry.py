@@ -179,6 +179,7 @@ def _load_all() -> None:
         pipeline98,
         pipeline99,
         pipeline100,
+        pipeline101,
         relational,
         relational2,
         relational3,

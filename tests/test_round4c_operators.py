@@ -774,3 +774,106 @@ def test_png_downscale2_small_grid_through_real_codec(spark):
 
     with pytest.raises(Exception, match="even dimensions"):
         image_downscale2(assets_odd).collect()
+
+
+# --------------------------------------------------------------------------
+# markov_removal_attribution (pipeline101)
+# --------------------------------------------------------------------------
+
+
+def test_markov_removal_exact_replay(spark):
+    import math
+
+    rows = all_queries()["markov_removal_attribution"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    journeys: dict = {}
+    for r in ev:
+        journeys.setdefault(r["user_id"], []).append(r)
+    trans = Counter()
+    for rs in journeys.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        seq = [r["event_type"] for r in rs]
+        trans[("START", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            if a != "purchase":
+                trans[(a, b)] += 1
+        if seq[-1] != "purchase":
+            trans[(seq[-1], "NULL")] += 1
+
+    states = {s for pair in trans for s in pair}
+
+    def reach(removed):
+        t = Counter()
+        for (a, b), c in trans.items():
+            if a == removed:
+                continue
+            t[(a, "NULL" if b == removed else b)] += c
+        tot = Counter()
+        for (a, _), c in t.items():
+            tot[a] += c
+        p = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(12):
+            p = {
+                s: (
+                    1.0
+                    if s == "purchase"
+                    else sum(
+                        c / tot[a] * p[b] for (a, b), c in t.items() if a == s
+                    )
+                )
+                for s in states
+            }
+        return math.floor(p["START"] * 1e9 + 0.5)
+
+    got = {r["variant"]: r for r in rows}
+    full = reach("")
+    assert got["full"]["p_conv_e9"] == full
+    assert got["full"]["removal_effect_e6"] == 0
+    for c in ("click", "error", "signup", "view"):
+        pv = reach(c)
+        r = got[f"rm_{c}"]
+        assert r["p_conv_e9"] == pv
+        assert r["removal_effect_e6"] == _ir(full - pv, full, 6)
+        assert r["removal_effect_e6"] >= 0  # removing a channel never helps
+
+
+# --------------------------------------------------------------------------
+# shapley_channel_attribution (pipeline101)
+# --------------------------------------------------------------------------
+
+
+def test_shapley_channels_exact_replay_and_efficiency(spark):
+    rows = all_queries()["shapley_channel_attribution"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "event_type").collect()
+    chans = ("click", "error", "signup", "view")
+    users: dict = {}
+    for r in ev:
+        mask, conv = users.get(r["user_id"], (0, 0))
+        if r["event_type"] in chans:
+            mask |= 1 << chans.index(r["event_type"])
+        if r["event_type"] == "purchase":
+            conv = 1
+        users[r["user_id"]] = (mask, conv)
+
+    def v(s):
+        members = [(m, c) for m, c in users.values() if m & ~s & 15 == 0]
+        if not members:
+            return 0
+        return _ir(sum(c for _, c in members), len(members), 9)
+
+    w24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    got = {r["channel"]: r["shapley_x24_e9"] for r in rows}
+    total = 0
+    for i, c in enumerate(chans):
+        bit = 1 << i
+        sh = sum(
+            w24[bin(s).count("1")] * (v(s + bit) - v(s))
+            for s in range(16)
+            if not s & bit
+        )
+        assert got[c] == sh
+        total += sh
+    # efficiency axiom: Shapley values sum to v(grand) - v(empty), x24
+    assert total == 24 * (v(15) - v(0))

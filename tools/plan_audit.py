@@ -133,6 +133,8 @@ ALLOW_BNLJ = {
     "knn_shapley_valuation": "broadcast 5% test split x training corpus scoring (knn_bruteforce plan shape)",
     "consistent_hash_ring_churn": "128-point ring broadcast successor lookup (metadata-sized build side)",
     "hodges_lehmann_daily": "O(days^2) Walsh-average theta join on the day rollup, never the fact table",
+    "markov_removal_attribution": "5-row variant broadcast against the transition rollup (bounded by channel count)",
+    "shapley_channel_attribution": "16-coalition broadcast against the user rollup (bounded by 2^channels)",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
