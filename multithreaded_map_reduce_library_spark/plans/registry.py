@@ -180,6 +180,7 @@ def _load_all() -> None:
         pipeline99,
         pipeline100,
         pipeline101,
+        pipeline102,
         relational,
         relational2,
         relational3,

@@ -877,3 +877,75 @@ def test_shapley_channels_exact_replay_and_efficiency(spark):
         total += sh
     # efficiency axiom: Shapley values sum to v(grand) - v(empty), x24
     assert total == 24 * (v(15) - v(0))
+
+
+# --------------------------------------------------------------------------
+# decision_stump_quality (pipeline102)
+# --------------------------------------------------------------------------
+
+
+def test_decision_stump_exact_replay(spark):
+    import math
+
+    row = all_queries()["decision_stump_quality"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select("n_chars", "lang").collect()
+    pts = sorted((r["n_chars"], r["lang"] == "en") for r in docs)
+    n = len(pts)
+    p = sum(1 for _, e in pts if e)
+    xs = sorted({x for x, _ in pts})
+    best = None
+    for thr in xs:
+        nl = sum(1 for x, _ in pts if x <= thr)
+        pl = sum(1 for x, e in pts if x <= thr and e)
+        if nl == n:
+            continue
+        nr, pr = n - nl, p - pl
+        g = math.floor(
+            (2.0 * pl * (nl - pl) / (float(nl) * n)
+             + 2.0 * pr * (nr - pr) / (float(nr) * n)) * 1e9 + 0.5
+        )
+        if best is None or (g, thr) < best:
+            best = (g, thr, nl, pl, nr, pr)
+    g, thr, nl, pl, nr, pr = best
+    root = math.floor(2.0 * p * (n - p) / (float(n) * n) * 1e9 + 0.5)
+    assert row["best_threshold"] == thr
+    assert (row["n_left"], row["pos_left"], row["n_right"], row["pos_right"]) == (
+        nl, pl, nr, pr,
+    )
+    assert row["split_gini_e9"] == g
+    assert row["root_gini_e9"] == root
+    assert row["gain_e9"] == root - g
+    assert row["gain_e9"] >= 0  # a best split never increases impurity
+
+
+# --------------------------------------------------------------------------
+# cramer_von_mises_drift (pipeline102)
+# --------------------------------------------------------------------------
+
+
+def test_cvm_exact_replay(spark):
+    import math
+
+    from datetime import date
+
+    row = all_queries()["cramer_von_mises_drift"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "event_type", "value").collect()
+    epoch = date(1970, 1, 1)
+    wd, we = Counter(), Counter()
+    for r in ev:
+        if r["event_type"] != "purchase" or r["value"] is None:
+            continue
+        v = math.floor(r["value"] * 100.0 + 0.5)
+        (we if ((r["ts"].date() - epoch).days % 7) in (2, 3) else wd)[v] += 1
+    n, m = sum(wd.values()), sum(we.values())
+    c1 = c2 = t = 0
+    for v in sorted(set(wd) | set(we)):
+        c1 += wd[v]
+        c2 += we[v]
+        d = float(c1 * m - c2 * n)
+        t += math.floor(
+            (wd[v] + we[v]) * d * d / (float(n) * m * (n + m) * (n + m)) * 1e9 + 0.5
+        )
+    assert (row["n_weekday"], row["n_weekend"]) == (n, m)
+    assert row["cvm_t_e9"] == t
+    assert row["cvm_t_e9"] >= 0
