@@ -181,6 +181,7 @@ def _load_all() -> None:
         pipeline100,
         pipeline101,
         pipeline102,
+        pipeline103,
         relational,
         relational2,
         relational3,

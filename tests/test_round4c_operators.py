@@ -949,3 +949,32 @@ def test_cvm_exact_replay(spark):
     assert (row["n_weekday"], row["n_weekend"]) == (n, m)
     assert row["cvm_t_e9"] == t
     assert row["cvm_t_e9"] >= 0
+
+
+# --------------------------------------------------------------------------
+# stream_cms_user_counts_daily (pipeline103)
+# --------------------------------------------------------------------------
+
+
+def test_stream_cms_matches_batch_sketch(spark):
+    rows = all_queries()["stream_cms_user_counts_daily"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "user_id").collect()
+    days: dict = {}
+    for r in ev:
+        counters = days.setdefault(r["ts"].date(), [0] * 128)
+        for d in range(4):
+            c = int(hashlib.md5(f"{d}|{r['user_id']}".encode()).hexdigest()[:8], 16) % 32
+            counters[d * 32 + c] += 1
+    got = {r["day"]: r for r in rows}
+    assert set(got) == set(days)
+    for day, counters in days.items():
+        r = got[day]
+        n = sum(counters) // 4
+        assert r["n_events"] == n
+        assert r["cms_checksum"] == sum(v * (i + 1) for i, v in enumerate(counters))
+        assert r["sum_row_max"] == sum(
+            max(counters[d * 32 : (d + 1) * 32]) for d in range(4)
+        )
+        # conservation law: every row's counters sum to n_events
+        for d in range(4):
+            assert sum(counters[d * 32 : (d + 1) * 32]) == n
