@@ -182,6 +182,7 @@ def _load_all() -> None:
         pipeline101,
         pipeline102,
         pipeline103,
+        pipeline104,
         relational,
         relational2,
         relational3,

@@ -978,3 +978,51 @@ def test_stream_cms_matches_batch_sketch(spark):
         # conservation law: every row's counters sum to n_events
         for d in range(4):
             assert sum(counters[d * 32 : (d + 1) * 32]) == n
+
+
+# --------------------------------------------------------------------------
+# capture_recapture_users (pipeline104)
+# --------------------------------------------------------------------------
+
+
+def test_capture_recapture_exact_replay(spark):
+    from datetime import date
+
+    row = all_queries()["capture_recapture_users"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "user_id").collect()
+    epoch = date(1970, 1, 1)
+    wd, we = set(), set()
+    for r in ev:
+        (we if ((r["ts"].date() - epoch).days % 7) in (2, 3) else wd).add(r["user_id"])
+    n1, n2, m = len(wd), len(we), len(wd & we)
+    assert (row["n1"], row["n2"], row["m"]) == (n1, n2, m)
+    assert row["n_observed"] == len(wd | we)
+    assert row["lincoln_petersen_est"] == _ir(n1 * n2, m, 0)
+    assert row["chapman_est"] == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    # both estimators should not undercut the recapture arithmetic floor
+    assert row["chapman_est"] >= max(n1, n2)
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage_chao1 (pipeline104)
+# --------------------------------------------------------------------------
+
+
+def test_chao1_exact_replay(spark):
+    import math
+
+    row = all_queries()["vocab_coverage_chao1"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        for t in r["text"].replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" "):
+            if t:
+                cnt[t] += 1
+    s = len(cnt)
+    n = sum(cnt.values())
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    assert (row["s_obs"], row["n_tokens"], row["f1"], row["f2"]) == (s, n, f1, f2)
+    assert row["p0_unseen_e6"] == _ir(f1, n, 6)
+    assert row["chao1_richness"] == s + math.floor(f1 * f1 / (2.0 * max(f2, 1)) + 0.5)
+    assert row["chao1_richness"] >= s  # richness estimate never below observed
