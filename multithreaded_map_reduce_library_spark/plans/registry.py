@@ -183,6 +183,9 @@ def _load_all() -> None:
         pipeline102,
         pipeline103,
         pipeline104,
+        pipeline105,
+        pipeline106,
+        pipeline107,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,278 @@
+"""Round-4 session-4 operator invariants: exact Python replays of the
+experimentation queries (pipeline105) — properties independent of the
+DuckDB oracle, so a cross-engine coincidence can't mask a shared logic
+bug."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import defaultdict
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+from .conftest import SF_SMALL
+
+_CUT = datetime.datetime(2024, 1, 16)
+
+
+def _grid(x: float, k: int = 6) -> int:
+    return math.floor(x * float(10**k) + 0.5)
+
+
+def _per_user(spark):
+    """(user_id -> [(ts, cents, event_type)]) replayed in plain Python."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "value", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        if r["value"] is None:
+            continue
+        by_user[r["user_id"]].append(
+            (r["ts"], math.floor(r["value"] * 100.0 + 0.5), r["event_type"])
+        )
+    return by_user
+
+
+def test_cuped_matches_python_replay(spark):
+    row = all_queries()["cuped_adjusted_lift"].fn(spark, SF_SMALL).collect()[0]
+    by_user = _per_user(spark)
+    xs, ys, arms = [], [], []
+    for uid, recs in by_user.items():
+        xs.append(sum(c for ts, c, _ in recs if ts < _CUT))
+        ys.append(sum(c for ts, c, _ in recs if ts >= _CUT))
+        arms.append(uid % 2)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cov = float(sxy) * n - float(sx) * sy
+    vx = float(sxx) * n - float(sx) * sx
+    vy = float(syy) * n - float(sy) * sy
+    theta = cov / vx
+    nt = sum(arms)
+    nc = n - nt
+    syt = sum(y for y, a in zip(ys, arms) if a)
+    syc = sy - syt
+    sxt = sum(x for x, a in zip(xs, arms) if a)
+    sxc = sx - sxt
+    diff_raw = float(syt) / nt - float(syc) / nc
+    diff_x = float(sxt) / nt - float(sxc) / nc
+    assert row["n_users"] == n and row["n_treat"] == nt and row["n_ctrl"] == nc
+    assert row["theta_e6"] == _grid(theta)
+    assert row["diff_raw_e6"] == _grid(diff_raw)
+    assert row["diff_cuped_e6"] == _grid(diff_raw - theta * diff_x)
+    assert row["var_reduction_e6"] == _grid((cov * cov) / (vx * vy))
+    # rho^2 is a fraction of variance removed: 0 <= rho^2 <= 1
+    assert 0 <= row["var_reduction_e6"] <= 10**6
+
+
+def test_smd_matches_python_replay(spark):
+    rows = {
+        r["covariate"]: r
+        for r in all_queries()["covariate_balance_smd"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"ev_cnt", "val_cents", "n_types", "active_days"}
+    by_user = _per_user(spark)
+    cov_vals = defaultdict(lambda: ([], []))  # covariate -> (treat list, ctrl list)
+    for uid, recs in by_user.items():
+        pre = [(ts, c, et) for ts, c, et in recs if ts < _CUT]
+        if not pre:
+            continue
+        covs = {
+            "ev_cnt": len(pre),
+            "val_cents": sum(c for _, c, _ in pre),
+            "n_types": len({et for _, _, et in pre}),
+            "active_days": len({ts.date() for ts, _, _ in pre}),
+        }
+        for k, v in covs.items():
+            cov_vals[k][0 if uid % 2 == 1 else 1].append(v)
+    for k, (tv, cv) in cov_vals.items():
+        nt, nc = len(tv), len(cv)
+        mean_t = float(sum(tv)) / nt
+        mean_c = float(sum(cv)) / nc
+        var_t = float(sum(v * v for v in tv)) / nt - mean_t * mean_t
+        var_c = float(sum(v * v for v in cv)) / nc - mean_c * mean_c
+        r = rows[k]
+        assert (r["n_treat"], r["n_ctrl"]) == (nt, nc)
+        assert r["mean_t_e6"] == _grid(mean_t)
+        assert r["mean_c_e6"] == _grid(mean_c)
+        if var_t + var_c == 0:
+            assert r["smd_e6"] == 0
+        else:
+            smd = (mean_t - mean_c) / math.sqrt((var_t + var_c) / 2.0)
+            assert r["smd_e6"] == _grid(smd)
+
+
+# --------------------------------------------------------------------------
+# brier_decomposition (pipeline106)
+# --------------------------------------------------------------------------
+
+
+def test_brier_decomposition_replay_and_identity(spark):
+    row = all_queries()["brier_decomposition"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select("text", "lang").collect()
+    pts = [
+        (min(r["text"].count(" the "), 10), 1 if r["lang"] == "en" else 0) for r in docs
+    ]
+    n = len(pts)
+    p = sum(o for _, o in pts)
+    sq = sum((k - 10 * o) ** 2 for k, o in pts)
+    assert (row["n_docs"], row["n_pos"]) == (n, p)
+
+    def _ir(num, den, k):
+        return (num * 10**k + den // 2) // den
+
+    assert row["brier_e9"] == _ir(sq, 100 * n, 9)
+    assert row["uncertainty_e9"] == _ir(p * (n - p), n * n, 9)
+    bins = defaultdict(lambda: [0, 0])
+    for k, o in pts:
+        bins[k][0] += 1
+        bins[k][1] += o
+    srel = sum(
+        math.floor(
+            float((k * nk - 10 * pk) ** 2) / (100.0 * nk) * 1e9 + 0.5
+        )
+        for k, (nk, pk) in bins.items()
+    )
+    sres = sum(
+        math.floor(
+            (float(pk) * n - float(p) * nk) ** 2 / (float(nk) * n * n) * 1e9 + 0.5
+        )
+        for k, (nk, pk) in bins.items()
+    )
+    assert row["reliability_e9"] == (srel + n // 2) // n
+    assert row["resolution_e9"] == (sres + n // 2) // n
+    # Murphy identity BS = REL - RES + UNC, up to per-bin e9 quantization
+    resid = row["brier_e9"] - (
+        row["reliability_e9"] - row["resolution_e9"] + row["uncertainty_e9"]
+    )
+    assert abs(resid) <= len(bins) + 2
+
+
+# --------------------------------------------------------------------------
+# nelson_aalen_conversion (pipeline106)
+# --------------------------------------------------------------------------
+
+
+def test_nelson_aalen_replay_and_km_bound(spark):
+    qs = all_queries()
+    na = sorted(
+        (r["t_hours"], r["n_risk"], r["d"], r["cumhaz_e6"], r["fh_survival_e6"])
+        for r in qs["nelson_aalen_conversion"].fn(spark, SF_SMALL).collect()
+    )
+    # exact replay of the risk-set walk
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    views, buys, t_end = {}, {}, max(r["ts"] for r in ev)
+    for r in ev:
+        if r["event_type"] == "view":
+            views[r["user_id"]] = min(views.get(r["user_id"], r["ts"]), r["ts"])
+        elif r["event_type"] == "purchase":
+            buys[r["user_id"]] = min(buys.get(r["user_id"], r["ts"]), r["ts"])
+    obs = []
+    for uid, tv in views.items():
+        tb = buys.get(uid)
+        if tb is not None and tb > tv:
+            obs.append((math.floor((tb - tv).total_seconds() / 3600), 1))
+        else:
+            obs.append((math.floor((t_end - tv).total_seconds() / 3600), 0))
+    times = defaultdict(lambda: [0, 0])  # t -> [d, leaving]
+    for t, c in obs:
+        times[t][0] += c
+        times[t][1] += 1
+    n_risk, cum, expect = len(obs), 0, []
+    for t in sorted(times):
+        d, leaving = times[t]
+        if d > 0:
+            cum += (d * 10**6 + n_risk // 2) // n_risk
+            expect.append(
+                (t, n_risk, d, cum, math.floor(math.exp(-cum / 1e6) * 1e6 + 0.5))
+            )
+        n_risk -= leaving
+    assert na == sorted(expect)
+    # cumulative hazard is nondecreasing; exp(-H) >= KM product-limit
+    km = {
+        r["t_hours"]: r["survival_e6"]
+        for r in qs["kaplan_meier_conversion"].fn(spark, SF_SMALL).collect()
+    }
+    for t, _, _, _, fh in na:
+        if t in km:
+            assert fh >= km[t] - 1  # 1e-6 grid slack
+
+
+# --------------------------------------------------------------------------
+# hdr_quantile_sketch / hdr_quantiles_by_type (pipeline107)
+# --------------------------------------------------------------------------
+
+
+def _hdr_bid(v: int) -> int:
+    if v < 32:
+        return v
+    msb = v.bit_length() - 1
+    return 64 * msb + (v >> (msb - 5))
+
+
+def _hdr_lo_w(bid: int) -> tuple[int, int]:
+    if bid < 32:
+        return bid, 1
+    msb, r = divmod(bid, 64)
+    return r << (msb - 5), 1 << (msb - 5)
+
+
+def test_hdr_sketch_matches_python_replay(spark):
+    rows = all_queries()["hdr_quantile_sketch"].fn(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    vals = [
+        math.floor(r["value"] * 100.0 + 0.5)
+        for r in ev
+        if r["event_type"] == "purchase" and r["value"] is not None
+    ]
+    n = len(vals)
+    sketch = defaultdict(int)
+    for v in vals:
+        sketch[_hdr_bid(v)] += 1
+    svals = sorted(vals)
+    by_q = {r["q"]: r for r in rows}
+    assert set(by_q) == {50, 90, 95, 99}
+    for q, r in by_q.items():
+        t = (q * n + 99) // 100
+        assert r["target_rank"] == t
+        # estimate: first bucket whose cumulative count reaches t
+        cum = 0
+        for bid in sorted(sketch):
+            cum += sketch[bid]
+            if cum >= t:
+                lo, w = _hdr_lo_w(bid)
+                break
+        assert (r["est_lo"], r["bucket_width"]) == (lo, w)
+        assert r["exact_v"] == svals[t - 1]
+        assert r["within"] is True
+        # HDR guarantee: width <= lo/32 for the log range (exact below 32)
+        assert r["est_lo"] < 32 or r["bucket_width"] * 32 <= r["est_lo"]
+        assert r["n_buckets"] == len(sketch)
+        assert r["n_distinct"] == len(set(vals))
+    # mergeability: per-half sketches sum to the global sketch
+    half = len(vals) // 2
+    s1, s2 = defaultdict(int), defaultdict(int)
+    for v in vals[:half]:
+        s1[_hdr_bid(v)] += 1
+    for v in vals[half:]:
+        s2[_hdr_bid(v)] += 1
+    merged = defaultdict(int)
+    for s in (s1, s2):
+        for k, c in s.items():
+            merged[k] += c
+    assert dict(merged) == dict(sketch)
+
+
+def test_hdr_by_type_within_always_true(spark):
+    rows = all_queries()["hdr_quantiles_by_type"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10  # 5 event types x 2 quantiles
+    for r in rows:
+        assert r["within"] is True
+        assert r["est_lo"] <= r["exact_v"] < r["est_lo"] + r["bucket_width"]
