@@ -186,6 +186,7 @@ def _load_all() -> None:
         pipeline105,
         pipeline106,
         pipeline107,
+        pipeline108,
         relational,
         relational2,
         relational3,

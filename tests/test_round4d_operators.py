@@ -276,3 +276,69 @@ def test_hdr_by_type_within_always_true(spark):
     for r in rows:
         assert r["within"] is True
         assert r["est_lo"] <= r["exact_v"] < r["est_lo"] + r["bucket_width"]
+
+
+# --------------------------------------------------------------------------
+# repeated_ngram_audit / stream_hdr_quantiles_daily (pipeline108)
+# --------------------------------------------------------------------------
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = [t for t in __import__("re").split(r"[ \t\r\n]", text) if t != ""]
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_repeated_ngram_audit_replay(spark):
+    rows = {
+        r["max_rep_n"]: (r["n_docs"], r["share_e6"])
+        for r in all_queries()["repeated_ngram_audit"].fn(spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    hist = defaultdict(int)
+    for r in docs:
+        level = 0
+        for n in (2, 4, 8, 16):
+            sh = _shingles(r["text"], n)
+            if len(sh) > len(set(sh)):
+                level = n
+        hist[level] += 1
+    n_total = len(docs)
+    assert rows == {
+        k: (c, (c * 10**6 + n_total // 2) // n_total) for k, c in hist.items()
+    }
+    # shares add to ~1
+    assert abs(sum(s for _, s in rows.values()) - 10**6) <= len(rows)
+
+
+def test_stream_hdr_daily_matches_batch_replay(spark):
+    rows = {
+        r["day"]: r
+        for r in all_queries()["stream_hdr_quantiles_daily"].fn(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "value").collect()
+    by_day = defaultdict(list)
+    for r in ev:
+        if r["value"] is not None:
+            by_day[r["ts"].date()].append(math.floor(r["value"] * 100.0 + 0.5))
+    assert set(rows) == set(by_day)
+    for day, vals in by_day.items():
+        counters = defaultdict(int)
+        for v in vals:
+            counters[_hdr_bid(v)] += 1
+        r = rows[day]
+        assert r["n_events"] == len(vals)
+        assert r["hdr_checksum"] == sum(c * (b + 1) for b, c in counters.items())
+        for q, col in ((50, "p50_lo"), (95, "p95_lo")):
+            t = (q * len(vals) + 99) // 100
+            cum = 0
+            for b in sorted(counters):
+                cum += counters[b]
+                if cum >= t:
+                    lo, w = _hdr_lo_w(b)
+                    break
+            assert r[col] == lo
+            # sketch bound: the true quantile lies in [lo, lo+w)
+            exact = sorted(vals)[t - 1]
+            assert lo <= exact < lo + w
