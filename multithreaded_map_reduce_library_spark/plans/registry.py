@@ -187,6 +187,7 @@ def _load_all() -> None:
         pipeline106,
         pipeline107,
         pipeline108,
+        pipeline109,
         relational,
         relational2,
         relational3,

@@ -342,3 +342,75 @@ def test_stream_hdr_daily_matches_batch_replay(spark):
             # sketch bound: the true quantile lies in [lo, lo+w)
             exact = sorted(vals)[t - 1]
             assert lo <= exact < lo + w
+
+
+# --------------------------------------------------------------------------
+# graph_diameter_double_sweep / max_drawdown_daily (pipeline109)
+# --------------------------------------------------------------------------
+
+
+def test_double_sweep_matches_python_bfs(spark):
+    row = all_queries()["graph_diameter_double_sweep"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    slots = {(r["user_id"], r["ts"].date(), r["ts"].hour)
+             for r in ev if r["event_type"] == "purchase"}
+    pair_counts = defaultdict(int)
+    by_slot = defaultdict(set)
+    for uid, d, h in slots:
+        by_slot[(d, h)].add(uid)
+    for us in by_slot.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                pair_counts[(us[i], us[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in pair_counts.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def bfs(src, depth=8):
+        dist = {src: 0}
+        frontier = [src]
+        for k in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = k
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    seed = min(adj)
+    d1 = bfs(seed)
+    ecc1 = max(d1.values())
+    far = min(u for u, l in d1.items() if l == ecc1)
+    d2 = bfs(far)
+    assert (row["seed_node"], row["ecc_seed"], row["far_node"]) == (seed, ecc1, far)
+    assert row["diameter_lb"] == max(d2.values())
+    assert row["n_reached"] == len(d2)
+    # double-sweep property: second eccentricity >= first
+    assert row["diameter_lb"] >= row["ecc_seed"]
+
+
+def test_max_drawdown_matches_python_replay(spark):
+    row = all_queries()["max_drawdown_daily"].fn(spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r["o_orderdate"].date()] += math.floor(r["o_totalprice"] * 100.0 + 0.5)
+    peak, mdd, trough_day, trough_v, peak_at_trough = 0, -1, None, None, None
+    for day in sorted(daily):
+        v = daily[day]
+        peak = max(peak, v)
+        if peak - v > mdd:
+            mdd, trough_day, trough_v, peak_at_trough = peak - v, day, v, peak
+    peak_day = min(d for d in daily if d <= trough_day and daily[d] == peak_at_trough)
+    assert (row["peak_day"], row["trough_day"]) == (peak_day, trough_day)
+    assert (row["peak_cents"], row["trough_cents"]) == (peak_at_trough, trough_v)
+    assert row["max_drawdown_cents"] == mdd
