@@ -188,6 +188,7 @@ def _load_all() -> None:
         pipeline107,
         pipeline108,
         pipeline109,
+        pipeline110,
         relational,
         relational2,
         relational3,

@@ -414,3 +414,55 @@ def test_max_drawdown_matches_python_replay(spark):
     assert (row["peak_day"], row["trough_day"]) == (peak_day, trough_day)
     assert (row["peak_cents"], row["trough_cents"]) == (peak_at_trough, trough_v)
     assert row["max_drawdown_cents"] == mdd
+
+
+# --------------------------------------------------------------------------
+# rollup_lattice_cardinalities / watermark_lateness_audit (pipeline110)
+# --------------------------------------------------------------------------
+
+
+def test_rollup_lattice_replay(spark):
+    rows = {
+        r["gid"]: r
+        for r in all_queries()["rollup_lattice_cardinalities"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(range(8))
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_orderdate"
+    ).collect()
+    base = [(r["o_orderstatus"], r["o_orderpriority"], r["o_orderdate"].year)
+            for r in orders]
+    n_base = len(base)
+    for gid in range(8):
+        keep = [not (gid & 4), not (gid & 2), not (gid & 1)]
+        cells = {tuple(v if k else None for v, k in zip(t, keep)) for t in base}
+        r = rows[gid]
+        assert r["n_cells"] == len(cells)
+        # conservation: every grouping covers every base row exactly once
+        assert r["n_rows_covered"] == n_base
+        assert r["compression_e6"] == (len(cells) * 10**6 + n_base // 2) // n_base
+
+
+def test_watermark_lateness_replay(spark):
+    row = all_queries()["watermark_lateness_audit"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts"
+    ).collect()
+    recs = sorted(
+        (int(r["ts"].timestamp()) // 300, r["user_id"], r["event_id"],
+         int(r["ts"].timestamp()))
+        for r in ev
+    )
+    run_max, lates = -1, []
+    for _, _, _, es in recs:
+        run_max = max(run_max, es)
+        lates.append(run_max - es)
+    n = len(lates)
+    assert row["n_events"] == n
+    assert row["n_late"] == sum(1 for l in lates if l > 0)
+    assert row["max_s"] == max(lates)
+    s = sorted(lates)
+    for q, col in ((50, "p50_s"), (95, "p95_s"), (99, "p99_s")):
+        assert row[col] == s[(q * n + 99) // 100 - 1]
+    # the 5-minute batch arrival model bounds lateness by one batch
+    assert row["max_s"] < 300
