@@ -189,6 +189,7 @@ def _load_all() -> None:
         pipeline108,
         pipeline109,
         pipeline110,
+        pipeline111,
         relational,
         relational2,
         relational3,

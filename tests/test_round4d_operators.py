@@ -466,3 +466,67 @@ def test_watermark_lateness_replay(spark):
         assert row[col] == s[(q * n + 99) // 100 - 1]
     # the 5-minute batch arrival model bounds lateness by one batch
     assert row["max_s"] < 300
+
+
+# --------------------------------------------------------------------------
+# mutual_information_type_weekday / kendall_tau_daily (pipeline111)
+# --------------------------------------------------------------------------
+
+
+def test_mutual_information_replay(spark):
+    row = all_queries()["mutual_information_type_weekday"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "ts").collect()
+    epoch = datetime.date(1970, 1, 1)
+    pts = [(r["event_type"], (r["ts"].date() - epoch).days % 7) for r in ev]
+    n = len(pts)
+    jd, mx, my = defaultdict(int), defaultdict(int), defaultdict(int)
+    for x, y in pts:
+        jd[(x, y)] += 1
+        mx[x] += 1
+        my[y] += 1
+    mi = sum(
+        math.floor((c / n) * math.log(c * n / (mx[x] * my[y])) * 1e9 + 0.5)
+        for (x, y), c in jd.items()
+    )
+    hx = sum(math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5) for c in mx.values())
+    hy = sum(math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5) for c in my.values())
+    assert (row["n_events"], row["mi_e9"], row["hx_e9"], row["hy_e9"]) == (n, mi, hx, hy)
+    hmin = min(hx, hy)
+    assert row["nmi_e6"] == (mi * 10**6 + hmin // 2) // hmin
+    # MI is nonnegative and bounded by both marginal entropies
+    assert 0 <= row["mi_e9"] <= min(hx, hy) + len(jd)
+
+
+def test_kendall_tau_replay(spark):
+    row = all_queries()["kendall_tau_daily"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = daily[r["ts"].date()]
+        d[0] += 1
+        if r["event_type"] == "purchase":
+            d[1] += math.floor(r["value"] * 100.0 + 0.5)
+    series = [tuple(v) for _, v in sorted(daily.items())]
+    c = d = tx = ty = txy = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            de = series[i][0] - series[j][0]
+            dr = series[i][1] - series[j][1]
+            if de * dr > 0:
+                c += 1
+            elif de * dr < 0:
+                d += 1
+            elif de == 0 and dr == 0:
+                txy += 1
+            elif de == 0:
+                tx += 1
+            else:
+                ty += 1
+    n0 = len(series) * (len(series) - 1) // 2
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert (row["ties_x"], row["ties_y"], row["ties_both"]) == (tx, ty, txy)
+    tau = (c - d) / math.sqrt(float(n0 - tx - txy) * (n0 - ty - txy))
+    assert row["tau_b_e6"] == math.floor(tau * 1e6 + 0.5)
+    assert -(10**6) <= row["tau_b_e6"] <= 10**6
