@@ -190,6 +190,7 @@ def _load_all() -> None:
         pipeline109,
         pipeline110,
         pipeline111,
+        pipeline112,
         relational,
         relational2,
         relational3,

@@ -530,3 +530,76 @@ def test_kendall_tau_replay(spark):
     tau = (c - d) / math.sqrt(float(n0 - tx - txy) * (n0 - ty - txy))
     assert row["tau_b_e6"] == math.floor(tau * 1e6 + 0.5)
     assert -(10**6) <= row["tau_b_e6"] <= 10**6
+
+
+# --------------------------------------------------------------------------
+# isotonic_calibration_fit / expected_calibration_error (pipeline112)
+# --------------------------------------------------------------------------
+
+
+def _forecast_bins(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("text", "lang").collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in docs:
+        k = min(r["text"].count(" the "), 10)
+        bins[k][0] += 1
+        bins[k][1] += 1 if r["lang"] == "en" else 0
+    return dict(bins)
+
+
+def test_isotonic_fit_matches_pava_and_is_monotone(spark):
+    rows = sorted(
+        (r["k"], r["n_k"], r["pos_k"], r["rate_e9"], r["fitted_e9"])
+        for r in all_queries()["isotonic_calibration_fit"].fn(spark, SF_SMALL).collect()
+    )
+    bins = _forecast_bins(spark)
+    assert [(k, n, p) for k, n, p, _, _ in rows] == [
+        (k, *bins[k]) for k in sorted(bins)
+    ]
+    # fitted is monotone nondecreasing
+    fitted = [f for *_, f in rows]
+    assert fitted == sorted(fitted)
+    # PAVA replay on exact rationals, then e9-compare to the minimax fit.
+    # (PAVA pools on exact fractions; the query quantizes each interval
+    # rate before max-min, so allow 1 grid ulp.)
+    blocks = [
+        [n, p] for k, (n, p) in sorted(bins.items())
+    ]  # [weight, positives] per block
+    stack = []
+    for w, p in blocks:
+        stack.append([w, p])
+        while len(stack) >= 2 and stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]:
+            w2, p2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += p2
+    # expand PAVA blocks back over the original bins
+    expanded = []
+    bi = 0
+    for w, p in stack:
+        acc = 0
+        while acc < w:
+            acc += blocks[bi][0]
+            expanded.append((p, w))
+            bi += 1
+    assert len(expanded) == len(rows)
+    for (k, n, p, _, fitted_e9), (bp, bw) in zip(rows, expanded):
+        pava_e9 = (bp * 10**9 + bw // 2) // bw
+        assert abs(fitted_e9 - pava_e9) <= 1
+    # pool preservation: total positives match
+    assert sum(p for _, p in stack) == sum(p for _, (n, p) in bins.items())
+
+
+def test_ece_exact_replay(spark):
+    row = all_queries()["expected_calibration_error"].fn(spark, SF_SMALL).collect()[0]
+    bins = _forecast_bins(spark)
+    n = sum(nk for nk, _ in bins.values())
+    sg = sum(abs(k * nk - 10 * pk) for k, (nk, pk) in bins.items())
+    assert row["n_docs"] == n
+    assert row["n_bins"] == len(bins)
+    assert row["ece_e9"] == (sg * 10**9 + (10 * n) // 2) // (10 * n)
+    mce = max(
+        (abs(k * nk - 10 * pk) * 10**9 + (10 * nk) // 2) // (10 * nk)
+        for k, (nk, pk) in bins.items()
+    )
+    assert row["mce_e9"] == mce
+    assert row["ece_e9"] <= row["mce_e9"]
