@@ -191,6 +191,7 @@ def _load_all() -> None:
         pipeline110,
         pipeline111,
         pipeline112,
+        pipeline113,
         relational,
         relational2,
         relational3,

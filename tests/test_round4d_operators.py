@@ -603,3 +603,81 @@ def test_ece_exact_replay(spark):
     )
     assert row["mce_e9"] == mce
     assert row["ece_e9"] <= row["mce_e9"]
+
+
+# --------------------------------------------------------------------------
+# survival_concordance_index / rmst_conversion (pipeline113)
+# --------------------------------------------------------------------------
+
+
+def _survival_obs(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    views, buys, clicks = {}, {}, defaultdict(int)
+    t_end = max(r["ts"] for r in ev)
+    for r in ev:
+        if r["event_type"] == "view":
+            views[r["user_id"]] = min(views.get(r["user_id"], r["ts"]), r["ts"])
+        elif r["event_type"] == "purchase":
+            buys[r["user_id"]] = min(buys.get(r["user_id"], r["ts"]), r["ts"])
+        elif r["event_type"] == "click":
+            clicks[r["user_id"]] += 1
+    obs = []
+    for uid, tv in views.items():
+        tb = buys.get(uid)
+        if tb is not None and tb > tv:
+            obs.append((uid, clicks[uid], math.floor((tb - tv).total_seconds() / 3600), 1))
+        else:
+            obs.append((uid, clicks[uid], math.floor((t_end - tv).total_seconds() / 3600), 0))
+    return obs
+
+
+def test_c_index_matches_pairwise_replay(spark):
+    row = all_queries()["survival_concordance_index"].fn(spark, SF_SMALL).collect()[0]
+    obs = _survival_obs(spark)
+    n_comp = conc2 = 0
+    for ui, si, ti, ci in obs:
+        if ci != 1:
+            continue
+        for uj, sj, tj, cj in obs:
+            if uj == ui:
+                continue
+            if tj > ti or (tj == ti and cj == 0):
+                n_comp += 1
+                conc2 += 2 if si > sj else (1 if si == sj else 0)
+    assert (row["n_users"], row["n_comparable"], row["conc2"]) == (
+        len(obs), n_comp, conc2,
+    )
+    assert row["c_index_e6"] == (conc2 * 10**6 + n_comp) // (2 * n_comp)
+    assert 0 <= row["c_index_e6"] <= 10**6
+
+
+def test_rmst_matches_km_integral(spark):
+    row = all_queries()["rmst_conversion"].fn(spark, SF_SMALL).collect()[0]
+    obs = _survival_obs(spark)
+    times = defaultdict(lambda: [0, 0])
+    for _, _, t, c in obs:
+        times[t][0] += c
+        times[t][1] += 1
+    n_risk, lq_cum, km = len(obs), 0, []
+    for t in sorted(times):
+        d, leaving = times[t]
+        if d > 0 and n_risk > d:
+            lq_cum += math.floor(math.log((n_risk - d) / n_risk) * 1e6 + 0.5)
+            if t < 240:
+                km.append((t, math.floor(math.exp(lq_cum / 1e6) * 1e6 + 0.5)))
+        n_risk -= leaving
+    if km:
+        head = km[0][0]
+        tail = 0
+        for idx, (t, s) in enumerate(km):
+            t_next = min(km[idx + 1][0] if idx + 1 < len(km) else 240, 240)
+            tail += s * (t_next - t)
+        expect = head * 10**6 + tail
+    else:
+        expect = 240 * 10**6
+    assert row["rmst_e6_hours"] == expect
+    assert row["n_steps"] == len(km)
+    # RMST is bounded by the horizon
+    assert 0 <= row["rmst_e6_hours"] <= 240 * 10**6
