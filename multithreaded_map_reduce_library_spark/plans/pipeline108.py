@@ -199,6 +199,7 @@ def _duck_has_rep(n: int) -> str:
         ORDER BY max_rep_n
     """,
     tags=("text", "dedup", "memorization", "documents"),
+    bench=True,
 )
 def repeated_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of documents by maximum repeated word-n-gram length
