@@ -1329,3 +1329,152 @@ def image_downscale2(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DOWNSCALE_SCHEMA.fields])
 
     return assets.select("asset_id", "payload").mapInPandas(batches, DOWNSCALE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mu-law (G.711) WAV: fabrication (encode) + real decode kernel
+# --------------------------------------------------------------------------
+
+_ULAW_BIAS = 132  # 0x84
+_ULAW_CLIP = 32635
+
+
+def embeddings_as_ulaw_wav_assets(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Fabricate REAL RIFF/WAVE G.711 mu-law payloads from embeddings:
+    the 64 floats quantize to int16 exactly as the PCM16 twin
+    (``embeddings_as_wav_assets``), then mu-law COMPRESS to one byte per
+    sample (sign | exponent<<4 | mantissa, complemented — the classic
+    telephony companding): m = min(|s|,32635)+132, e = msb(m)-7,
+    mant = (m >> (e+3)) & 15. Container: fmt code 7, 8 bits, mono.
+    Integer-only companding, so an oracle can replay the decoded
+    samples from the embedding column directly."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)) * 32767.0
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_ulaw_wav(samples: pd.Series) -> pd.Series:
+        out = []
+        for s in samples:
+            s16 = np.asarray(list(s), dtype=np.int64)
+            sign = np.where(s16 < 0, 0x80, 0)
+            m = np.minimum(np.abs(s16), _ULAW_CLIP) + _ULAW_BIAS
+            # exact msb via frexp (ints << 2^53 are exact doubles)
+            e = np.frexp(m.astype(np.float64))[1] - 1 - 7
+            mant = (m >> (e + 3)) & 0x0F
+            enc = (~(sign | (e << 4) | mant)) & 0xFF
+            pcm = enc.astype(np.uint8).tobytes()
+            n = len(pcm)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + n)
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 7, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8
+                )
+                + b"data"
+                + struct.pack("<I", n)
+            )
+            out.append(hdr + pcm)
+        return pd.Series(out)
+
+    return emb.select(F.col(id_col).alias("asset_id"), q.alias("_s")).select(
+        "asset_id", to_ulaw_wav("_s").alias("payload")
+    )
+
+
+ULAW_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("energy", LongType(), True),
+        StructField("err_energy", LongType(), True),
+    ]
+)
+
+
+def wav_ulaw_roundtrip_energy(
+    assets: DataFrame, originals: DataFrame, frame: int = WAV_FRAME
+) -> DataFrame:
+    """REAL mu-law decode + lossy-roundtrip audit: parse the RIFF
+    container (fmt code 7, 8-bit mono enforced — anything else raises),
+    EXPAND each companded byte back to int16 via the G.711 formula
+    (dec = sign * (((mant<<3)+132)<<e - 132)), and emit per-frame the
+    decoded energy AND the exact quantization-error energy against the
+    original int16 samples (joined in by asset_id) — the codec's SNR
+    numerator/denominator as exact integers.
+
+    ``originals``: (asset_id, s16 array<int>) — the pre-companding
+    samples, carried alongside so the error is exact, not estimated."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, en, err = [], [], [], []
+            for asset_id, payload, orig in zip(
+                pdf["asset_id"], pdf["payload"], pdf["s16"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"asset {asset_id}: not a RIFF/WAVE payload")
+                pos, fmt, bits, channels, data = 12, None, None, None, None
+                while pos + 8 <= len(raw):
+                    tag = raw[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                    body = raw[pos + 8 : pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)
+                    if tag == b"fmt ":
+                        fmt, channels, _sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                    elif tag == b"data":
+                        data = body
+                if fmt != 7 or bits != 8 or channels != 1:
+                    raise NotImplementedError(
+                        f"ulaw kernel: fmt={fmt} bits={bits} ch={channels};"
+                        " G.711 mu-law 8-bit mono only"
+                    )
+                if data is None:
+                    raise ValueError(f"asset {asset_id}: missing data chunk")
+                b = (~np.frombuffer(data, dtype=np.uint8).astype(np.int64)) & 0xFF
+                sign = (b >> 7) & 1
+                e = (b >> 4) & 7
+                mant = b & 0x0F
+                mag = (((mant << 3) + _ULAW_BIAS) << e) - _ULAW_BIAS
+                dec = np.where(sign == 1, -mag, mag)
+                s16 = np.asarray(list(orig), dtype=np.int64)
+                if len(s16) != len(dec):
+                    raise ValueError(f"asset {asset_id}: sample count mismatch")
+                n_frames = len(dec) // frame
+                for f in range(n_frames):
+                    d = dec[f * frame : (f + 1) * frame]
+                    o = s16[f * frame : (f + 1) * frame]
+                    ids.append(asset_id)
+                    fidx.append(f)
+                    en.append(int((d * d).sum()))
+                    err.append(int(((o - d) * (o - d)).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": fidx,
+                    "energy": en,
+                    "err_energy": err,
+                }
+            )
+
+    joined = assets.join(originals, "asset_id").select("asset_id", "payload", "s16")
+    return joined.mapInPandas(batches, ULAW_ROUNDTRIP_SCHEMA)

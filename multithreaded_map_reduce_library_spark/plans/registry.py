@@ -192,6 +192,7 @@ def _load_all() -> None:
         pipeline111,
         pipeline112,
         pipeline113,
+        pipeline114,
         relational,
         relational2,
         relational3,

@@ -681,3 +681,68 @@ def test_rmst_matches_km_integral(spark):
     assert row["n_steps"] == len(km)
     # RMST is bounded by the horizon
     assert 0 <= row["rmst_e6_hours"] <= 240 * 10**6
+
+
+# --------------------------------------------------------------------------
+# multimodal_wav_ulaw_roundtrip (pipeline114)
+# --------------------------------------------------------------------------
+
+
+def _ulaw_roundtrip(s16: int) -> int:
+    m = min(abs(s16), 32635) + 132
+    e = m.bit_length() - 1 - 7
+    mant = (m >> (e + 3)) & 15
+    mag = (((mant << 3) + 132) << e) - 132
+    return -mag if s16 < 0 else mag
+
+
+def test_ulaw_roundtrip_matches_python_replay(spark):
+    rows = all_queries()["multimodal_wav_ulaw_roundtrip"].fn(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").collect()
+    expect = {}
+    for r in emb:
+        s16 = [
+            math.floor(max(-1.0, min(1.0, float(x))) * 32767.0 + 0.5)
+            for x in r["embedding"]
+        ]
+        dec = [_ulaw_roundtrip(s) for s in s16]
+        for f in range(len(dec) // 16):
+            d = dec[f * 16 : (f + 1) * 16]
+            o = s16[f * 16 : (f + 1) * 16]
+            expect[(r["vec_id"], f)] = (
+                sum(v * v for v in d),
+                sum((a - b) ** 2 for a, b in zip(o, d)),
+            )
+    got = {(r["asset_id"], r["frame_idx"]): (r["energy"], r["err_energy"]) for r in rows}
+    assert got == expect
+    # companding is ~40 dB SNR: error energy is tiny vs signal energy
+    tot_e = sum(e for e, _ in got.values())
+    tot_err = sum(x for _, x in got.values())
+    assert tot_err * 100 < tot_e
+
+
+def test_ulaw_kernel_raises_on_pcm16_container(spark):
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        embeddings_as_wav_assets,
+        wav_ulaw_roundtrip_energy,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(4)
+    pcm16_assets = embeddings_as_wav_assets(emb)  # fmt code 1, not 7
+    originals = emb.select(
+        F.col("vec_id").alias("asset_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0))
+                * 32767.0
+                + F.lit(0.5)
+            ).cast("int"),
+        ).alias("s16"),
+    )
+    with _pytest.raises(Exception) as exc:
+        wav_ulaw_roundtrip_energy(pcm16_assets, originals).collect()
+    assert "mu-law" in str(exc.value) or "NotImplementedError" in str(exc.value)
