@@ -193,6 +193,7 @@ def _load_all() -> None:
         pipeline112,
         pipeline113,
         pipeline114,
+        pipeline115,
         relational,
         relational2,
         relational3,

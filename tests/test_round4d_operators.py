@@ -746,3 +746,58 @@ def test_ulaw_kernel_raises_on_pcm16_container(spark):
     with _pytest.raises(Exception) as exc:
         wav_ulaw_roundtrip_energy(pcm16_assets, originals).collect()
     assert "mu-law" in str(exc.value) or "NotImplementedError" in str(exc.value)
+
+
+# --------------------------------------------------------------------------
+# voptimal_histogram_daily (pipeline115)
+# --------------------------------------------------------------------------
+
+
+def test_voptimal_matches_python_dp(spark):
+    rows = sorted(
+        (r["bucket_id"], r["start_day"], r["end_day"], r["n_days"], r["bucket_sse"])
+        for r in all_queries()["voptimal_histogram_daily"].fn(spark, SF_SMALL).collect()
+    )
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            daily[r["ts"].date()] += math.floor(r["value"] * 100.0 + 0.5)
+    days = sorted(daily)
+    v = [(daily[d] + 50) // 100 for d in days]
+    n = len(v)
+    P = [0] * (n + 1)
+    Q = [0] * (n + 1)
+    for i in range(1, n + 1):
+        P[i] = P[i - 1] + v[i - 1]
+        Q[i] = Q[i - 1] + v[i - 1] * v[i - 1]
+
+    def cost(j, i):  # SSE of v[j..i-1] (prefix indices), rounded like the query
+        return math.floor((Q[i] - Q[j]) - float(P[i] - P[j]) * (P[i] - P[j]) / (i - j) + 0.5)
+
+    INF = float("inf")
+    dp = [[INF] * (n + 1) for _ in range(5)]
+    arg = [[0] * (n + 1) for _ in range(5)]
+    for i in range(1, n + 1):
+        dp[1][i] = cost(0, i)
+    for k in range(2, 5):
+        for i in range(k, n + 1):
+            best, bj = INF, None
+            for j in range(k - 1, i):
+                c = dp[k - 1][j] + cost(j, i)
+                if c < best or (c == best and (bj is None or j < bj)):
+                    best, bj = c, j
+            dp[k][i], arg[k][i] = best, bj
+    e3 = arg[4][n]
+    e2 = arg[3][e3]
+    e1 = arg[2][e2]
+    expect = []
+    for bid, (s, e) in enumerate(
+        [(1, e1), (e1 + 1, e2), (e2 + 1, e3), (e3 + 1, n)], start=1
+    ):
+        expect.append((bid, days[s - 1], days[e - 1], e - s + 1, cost(s - 1, e)))
+    assert rows == expect
+    # total cost is optimal: equals dp[4][n]
+    assert sum(r[4] for r in rows) == dp[4][n]
