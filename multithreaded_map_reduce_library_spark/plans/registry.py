@@ -194,6 +194,7 @@ def _load_all() -> None:
         pipeline113,
         pipeline114,
         pipeline115,
+        pipeline116,
         relational,
         relational2,
         relational3,

@@ -801,3 +801,65 @@ def test_voptimal_matches_python_dp(spark):
     assert rows == expect
     # total cost is optimal: equals dp[4][n]
     assert sum(r[4] for r in rows) == dp[4][n]
+
+
+# --------------------------------------------------------------------------
+# weighted_shortest_paths / sql_modern_star_revenue (pipeline116)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sp_matches_python_bellman_ford(spark):
+    rows = {
+        r["user_id"]: r["dist"]
+        for r in all_queries()["weighted_shortest_paths"].fn(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    by_slot = defaultdict(set)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            by_slot[(r["ts"].date(), r["ts"].hour)].add(r["user_id"])
+    pc = defaultdict(int)
+    for us in by_slot.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                pc[(us[i], us[j])] += 1
+    adj = defaultdict(list)
+    for (a, b), c in pc.items():
+        if c >= 2:
+            w = 11 - min(c, 10)
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+    src = min(adj)
+    dist = {src: 0}
+    for _ in range(8):
+        nd = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                if v not in nd or d + w < nd[v]:
+                    nd[v] = d + w
+        dist = nd
+    assert rows == dist
+    # weighted distance is bounded below by hop count (w >= 1)
+    bfs = all_queries()["bfs_copurchase_layers"].fn(spark, SF_SMALL).collect()
+    layers = {r["user_id"]: r["layer"] for r in bfs}
+    for u, d in rows.items():
+        if u in layers:
+            assert d >= layers[u]
+
+
+def test_sql_modern_star_matches_dataframe_twin(spark):
+    rows = all_queries()["sql_modern_star_revenue"].fn(spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    ).collect()
+    agg = defaultdict(int)
+    for r in orders:
+        agg[(r["o_orderstatus"], r["o_orderdate"].year)] += math.floor(
+            r["o_totalprice"] * 100.0 + 0.5
+        )
+    expect = sorted((s, y, v) for (s, y), v in agg.items() if v > 0)
+    assert [(r["status"], r["yr"], r["revenue_cents"]) for r in rows] == expect
+    assert rows[0].asDict().keys() == {"status", "yr", "revenue_cents"}  # EXCEPT dropped n_orders
