@@ -195,6 +195,7 @@ def _load_all() -> None:
         pipeline114,
         pipeline115,
         pipeline116,
+        pipeline117,
         relational,
         relational2,
         relational3,

@@ -863,3 +863,83 @@ def test_sql_modern_star_matches_dataframe_twin(spark):
     expect = sorted((s, y, v) for (s, y), v in agg.items() if v > 0)
     assert [(r["status"], r["yr"], r["revenue_cents"]) for r in rows] == expect
     assert rows[0].asDict().keys() == {"status", "yr", "revenue_cents"}  # EXCEPT dropped n_orders
+
+
+# --------------------------------------------------------------------------
+# rake_keyphrases / pps_systematic_docs (pipeline117)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = set(
+    "the of and a to in is it that for on with as at by an be this was are "
+    "from or has had not have but which you his her its their".split()
+)
+
+
+def test_rake_matches_python_replay(spark):
+    rows = [
+        (r["phrase"], r["n_occurrences"], r["score_e6"])
+        for r in all_queries()["rake_keyphrases"].fn(spark, SF_SMALL).collect()
+    ]
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    runs = []
+    for r in docs:
+        toks = [t.lower() for t in __import__("re").split(r"[ \t\r\n]", r["text"]) if t]
+        cur = []
+        for t in toks + ["the"]:  # sentinel stopword flushes the last run
+            if t in _STOPWORDS:
+                if cur and len(cur) <= 4:
+                    runs.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+    freq, deg = defaultdict(int), defaultdict(int)
+    for ph in runs:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    ws = {w: (deg[w] * 10**6 + freq[w] // 2) // freq[w] for w in freq}
+    scores = defaultdict(int)
+    occ = defaultdict(int)
+    for ph in runs:
+        s = sum(ws[w] for w in ph)
+        key = " ".join(ph)
+        scores[key] = max(scores[key], s)
+        occ[key] += 1
+    expect = sorted(
+        ((k, occ[k], scores[k]) for k in scores), key=lambda x: (-x[2], x[0])
+    )[:15]
+    assert rows == expect
+
+
+def test_pps_ht_estimate_properties(spark):
+    row = all_queries()["pps_systematic_docs"].fn(spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "n_chars", "text"
+    ).collect()
+    sizes = [(r["doc_id"], r["n_chars"],
+              len([t for t in __import__("re").split(r"[ \t\r\n]", r["text"]) if t]))
+             for r in sorted(docs, key=lambda r: r["doc_id"])]
+    T = sum(s for _, s, _ in sizes)
+    n = 20
+    # replay the threshold-crossing walk
+    cum, draws, ht = 0, 0, 0
+    distinct = 0
+    for _, sz, tk in sizes:
+        lo, cum = cum, cum + sz
+
+        def f(x):
+            if 2 * x * n < T:
+                return 0
+            return min(n, (2 * x * n - T) // (2 * T) + 1)
+
+        m = max(f(cum) - f(lo), 0)
+        if m:
+            distinct += 1
+            draws += m
+            ht += m * ((tk * T * 100 + (n * sz) // 2) // (n * sz))
+    assert (row["n_draws"], row["n_distinct_docs"]) == (draws, distinct)
+    assert row["ht_toks_e2"] == ht
+    # exactly n thresholds land somewhere
+    assert draws == n
+    # PPS-by-size keeps a size-correlated total within a few percent
+    assert row["rel_err_e6"] < 100_000
