@@ -196,6 +196,7 @@ def _load_all() -> None:
         pipeline115,
         pipeline116,
         pipeline117,
+        pipeline118,
         relational,
         relational2,
         relational3,

@@ -943,3 +943,55 @@ def test_pps_ht_estimate_properties(spark):
     assert draws == n
     # PPS-by-size keeps a size-correlated total within a few percent
     assert row["rel_err_e6"] < 100_000
+
+
+# --------------------------------------------------------------------------
+# learned_index_audit / bitmap_container_stats (pipeline118)
+# --------------------------------------------------------------------------
+
+
+def test_learned_index_matches_python_ols(spark):
+    row = all_queries()["learned_index_audit"].fn(spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).collect()
+    ks = sorted(r["o_orderkey"] for r in orders if r["o_orderstatus"] == "F")
+    n = len(ks)
+    sk = sum(ks)
+    sr = n * (n - 1) // 2
+    skr = sum(k * r for r, k in enumerate(ks))
+    skk = sum(k * k for k in ks)
+    b = (float(skr) * n - float(sk) * sr) / (float(skk) * n - float(sk) * sk)
+    a = float(sr) / n - b * (float(sk) / n)
+    errs = [abs(math.floor(a + b * k + 0.5) - r) for r, k in enumerate(ks)]
+    assert row["n_keys"] == n
+    assert row["max_err"] == max(errs)
+    assert row["mean_abs_err_e6"] == (sum(errs) * 10**6 + n // 2) // n
+    # the leaf search window is far smaller than binary search over n
+    assert row["max_err"] < n // 10
+
+
+def test_bitmap_containers_match_roaring_rule(spark):
+    rows = {
+        r["status"]: r
+        for r in all_queries()["bitmap_container_stats"].fn(spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).collect()
+    chunks = defaultdict(set)
+    for r in orders:
+        chunks[(r["o_orderstatus"], r["o_orderkey"] // 65536)].add(r["o_orderkey"])
+    per_status = defaultdict(list)
+    for (s, _), keys in chunks.items():
+        per_status[s].append(len(keys))
+    for s, sizes in per_status.items():
+        r = rows[s]
+        assert r["n_chunks"] == len(sizes)
+        assert r["n_array"] == sum(1 for x in sizes if x <= 4096)
+        assert r["n_bitmap"] == sum(1 for x in sizes if x > 4096)
+        assert r["n_keys"] == sum(sizes)
+        bts = sum(2 * x if x <= 4096 else 8192 for x in sizes)
+        assert r["roaring_bytes"] == bts
+        assert r["naive_bytes"] == 8 * sum(sizes)
+        assert r["compression_e6"] == (8 * sum(sizes) * 10**6 + bts // 2) // bts
