@@ -197,6 +197,7 @@ def _load_all() -> None:
         pipeline116,
         pipeline117,
         pipeline118,
+        pipeline119,
         relational,
         relational2,
         relational3,

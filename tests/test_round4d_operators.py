@@ -995,3 +995,50 @@ def test_bitmap_containers_match_roaring_rule(spark):
         assert r["roaring_bytes"] == bts
         assert r["naive_bytes"] == 8 * sum(sizes)
         assert r["compression_e6"] == (8 * sum(sizes) * 10**6 + bts // 2) // bts
+
+
+# --------------------------------------------------------------------------
+# stream_ewma_user_values / weighted_median_price (pipeline119)
+# --------------------------------------------------------------------------
+
+
+def test_stream_ewma_equals_batch_twin(spark):
+    qs = all_queries()
+    stream = {
+        r["user_id"]: (r["n_events"], r["ewma_e4"])
+        for r in qs["stream_ewma_user_values"].fn(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["ewma_e4"])
+        for r in qs["ewma_user_values"].fn(spark, SF_SMALL).collect()
+    }
+    # the streaming fold is bit-identical to the batch fold per user
+    assert stream == batch
+
+
+def test_weighted_median_matches_python_replay(spark):
+    rows = {
+        r["flag"]: (r["total_weight"], r["wmedian_price_cents"])
+        for r in all_queries()["weighted_median_price"].fn(spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    agg = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        agg[r["l_returnflag"]][math.floor(r["l_extendedprice"] * 100.0 + 0.5)] += int(
+            r["l_quantity"]
+        )
+    for flag, prices in agg.items():
+        wt = sum(prices.values())
+        half = (wt + 1) // 2
+        cum = 0
+        for p in sorted(prices):
+            cum += prices[p]
+            if cum >= half:
+                med = p
+                break
+        assert rows[flag] == (wt, med)
+    # the weighted median is attained at an observed price
+    for flag, (_, med) in rows.items():
+        assert med in agg[flag]
