@@ -198,6 +198,7 @@ def _load_all() -> None:
         pipeline117,
         pipeline118,
         pipeline119,
+        pipeline120,
         relational,
         relational2,
         relational3,

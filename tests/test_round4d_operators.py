@@ -1042,3 +1042,91 @@ def test_weighted_median_matches_python_replay(spark):
     # the weighted median is attained at an observed price
     for flag, (_, med) in rows.items():
         assert med in agg[flag]
+
+
+# --------------------------------------------------------------------------
+# graph_resilience_topk_removal / degree_assortativity (pipeline120)
+# --------------------------------------------------------------------------
+
+
+def _copurchase_adj(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    by_slot = defaultdict(set)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            by_slot[(r["ts"].date(), r["ts"].hour)].add(r["user_id"])
+    pc = defaultdict(int)
+    for us in by_slot.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                pc[(us[i], us[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in pc.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
+def _components(adj):
+    seen, comps = set(), []
+    for n in adj:
+        if n in seen:
+            continue
+        stack, comp = [n], set()
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        comps.append(comp)
+    return comps
+
+
+def test_resilience_matches_python_replay(spark):
+    row = all_queries()["graph_resilience_topk_removal"].fn(spark, SF_SMALL).collect()[0]
+    adj = _copurchase_adj(spark)
+    deg = {n: len(adj[n]) for n in adj}
+    comps = _components(adj)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_components_before"] == len(comps)
+    assert row["largest_before"] == max(len(c) for c in comps)
+    removed = set(
+        sorted(deg, key=lambda n: (-deg[n], n))[:5]
+    )
+    adj2 = defaultdict(set)
+    survivors = set(adj) - removed
+    for u in survivors:
+        for v in adj[u]:
+            if v in survivors:
+                adj2[u].add(v)
+    edge_nodes = {u for u in adj2 if adj2[u]}
+    comps2 = _components({u: adj2[u] for u in edge_nodes})
+    iso = len(survivors - edge_nodes)
+    assert row["n_components_after"] == len(comps2) + iso
+    expect_largest = max([len(c) for c in comps2] + ([1] if iso else [0]))
+    assert row["largest_after"] == expect_largest
+
+
+def test_assortativity_matches_python_replay(spark):
+    row = all_queries()["degree_assortativity"].fn(spark, SF_SMALL).collect()[0]
+    adj = _copurchase_adj(spark)
+    deg = {n: len(adj[n]) for n in adj}
+    pairs = [(deg[u], deg[v]) for u in adj for v in adj[u]]
+    m = len(pairs)
+    sa = sum(a for a, _ in pairs)
+    sb = sum(b for _, b in pairs)
+    saa = sum(a * a for a, _ in pairs)
+    sbb = sum(b * b for _, b in pairs)
+    sab = sum(a * b for a, b in pairs)
+    r = (float(sab) * m - float(sa) * sb) / math.sqrt(
+        (float(saa) * m - float(sa) * sa) * (float(sbb) * m - float(sb) * sb)
+    )
+    assert row["n_directed_edges"] == m
+    assert row["assortativity_e6"] == math.floor(r * 1e6 + 0.5)
+    assert -(10**6) <= row["assortativity_e6"] <= 10**6
