@@ -199,6 +199,7 @@ def _load_all() -> None:
         pipeline118,
         pipeline119,
         pipeline120,
+        pipeline121,
         relational,
         relational2,
         relational3,

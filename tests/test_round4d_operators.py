@@ -1130,3 +1130,61 @@ def test_assortativity_matches_python_replay(spark):
     assert row["n_directed_edges"] == m
     assert row["assortativity_e6"] == math.floor(r * 1e6 + 0.5)
     assert -(10**6) <= row["assortativity_e6"] <= 10**6
+
+
+# --------------------------------------------------------------------------
+# littles_law_audit / negbin_moment_fit (pipeline121)
+# --------------------------------------------------------------------------
+
+
+def test_littles_law_conservation_and_replay(spark):
+    row = all_queries()["littles_law_audit"].fn(spark, SF_SMALL).collect()[0]
+    assert row["conserved"] is True
+    assert row["total_occupied_s"] == row["sweep_occupied_s"]
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "ts").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(int(r["ts"].timestamp()))
+    spans = []
+    for times in by_user.values():
+        times.sort()
+        s = e = times[0]
+        for t in times[1:]:
+            if t - e > 1800:
+                spans.append((s, e))
+                s = t
+            e = t
+        spans.append((s, e))
+    total = sum(e - s for s, e in spans)
+    t0 = min(s for s, _ in spans)
+    t1 = max(e for _, e in spans)
+    assert row["n_sessions"] == len(spans)
+    assert row["total_occupied_s"] == total
+    def _ir(num, den):
+        return (num * 10**6 + den // 2) // den
+    assert row["avg_concurrency_e6"] == _ir(total, t1 - t0)
+    assert row["sessions_per_hour_e6"] == _ir(len(spans) * 3600, t1 - t0)
+    assert row["mean_session_s_e6"] == _ir(total, len(spans))
+    # Little's law L = lambda * W (up to e6 quantization of each factor)
+    lam_w = row["sessions_per_hour_e6"] * row["mean_session_s_e6"] / (3600 * 10**6)
+    assert abs(row["avg_concurrency_e6"] - lam_w) <= 2
+
+
+def test_negbin_fit_matches_python_moments(spark):
+    row = all_queries()["negbin_moment_fit"].fn(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("user_id").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        cnt[r["user_id"]] += 1
+    cs = list(cnt.values())
+    n = len(cs)
+    m = sum(cs) / n
+    v = sum(c * c for c in cs) / n - m * m
+    assert row["n_users"] == n
+    assert row["mean_e6"] == math.floor(m * 1e6 + 0.5)
+    assert row["var_e6"] == math.floor(v * 1e6 + 0.5)
+    assert row["overdispersion_e6"] == math.floor(v / m * 1e6 + 0.5)
+    assert row["p_hat_e6"] == math.floor(m / v * 1e6 + 0.5)
+    assert row["r_hat_e6"] == math.floor(m * m / (v - m) * 1e6 + 0.5)
+    # NB is only the right model when overdispersed
+    assert row["overdispersion_e6"] > 10**6
