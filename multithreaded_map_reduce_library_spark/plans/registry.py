@@ -200,6 +200,7 @@ def _load_all() -> None:
         pipeline119,
         pipeline120,
         pipeline121,
+        pipeline122,
         relational,
         relational2,
         relational3,

@@ -1188,3 +1188,59 @@ def test_negbin_fit_matches_python_moments(spark):
     assert row["r_hat_e6"] == math.floor(m * m / (v - m) * 1e6 + 0.5)
     # NB is only the right model when overdispersed
     assert row["overdispersion_e6"] > 10**6
+
+
+# --------------------------------------------------------------------------
+# fk_integrity_audit / pinball_loss_seasonal_naive (pipeline122)
+# --------------------------------------------------------------------------
+
+
+def test_fk_integrity_all_edges_clean(spark):
+    rows = all_queries()["fk_integrity_audit"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    assert {r["fk_edge"] for r in rows} == {
+        "lineitem->orders", "orders->customer", "customer->nation",
+        "supplier->nation", "nation->region",
+    }
+    for r in rows:
+        assert r["integrity_ok"] is True and r["n_orphans"] == 0
+        assert r["n_child_rows"] > 0
+    # spot-replay one edge in Python
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey").collect()
+    custs = {
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMALL, "customer").select("c_custkey").collect()
+    }
+    orphans = sum(1 for r in orders if r["o_custkey"] not in custs)
+    by_edge = {r["fk_edge"]: r for r in rows}
+    assert by_edge["orders->customer"]["n_child_rows"] == len(orders)
+    assert by_edge["orders->customer"]["n_orphans"] == orphans
+
+
+def test_pinball_loss_matches_python_replay(spark):
+    rows = {
+        r["q"]: r
+        for r in all_queries()["pinball_loss_seasonal_naive"].fn(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            daily[r["ts"].date()] += math.floor(r["value"] * 100.0 + 0.5)
+    days = sorted(daily)
+    for q in (10, 50, 90):
+        losses = []
+        for i in range(7, len(days)):
+            y, yhat = daily[days[i]], daily[days[i - 7]]
+            if y >= yhat:
+                losses.append((q * (y - yhat) * 100 + 50) // 100)
+            else:
+                losses.append(((100 - q) * (yhat - y) * 100 + 50) // 100)
+        r = rows[q]
+        assert r["n_days_scored"] == len(losses)
+        assert r["total_pinball_e2"] == sum(losses)
+        assert r["mean_pinball_e2"] == (sum(losses) + len(losses) // 2) // len(losses)
+    # q=50 pinball is half the L1: symmetric in over/under forecast
+    assert rows[50]["total_pinball_e2"] <= rows[10]["total_pinball_e2"] + rows[90]["total_pinball_e2"]
