@@ -201,6 +201,7 @@ def _load_all() -> None:
         pipeline120,
         pipeline121,
         pipeline122,
+        pipeline123,
         relational,
         relational2,
         relational3,

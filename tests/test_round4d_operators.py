@@ -1244,3 +1244,34 @@ def test_pinball_loss_matches_python_replay(spark):
         assert r["mean_pinball_e2"] == (sum(losses) + len(losses) // 2) // len(losses)
     # q=50 pinball is half the L1: symmetric in over/under forecast
     assert rows[50]["total_pinball_e2"] <= rows[10]["total_pinball_e2"] + rows[90]["total_pinball_e2"]
+
+
+# --------------------------------------------------------------------------
+# incremental_join_delta_algebra (pipeline123)
+# --------------------------------------------------------------------------
+
+
+def test_ivm_delta_algebra_replay(spark):
+    row = all_queries()["incremental_join_delta_algebra"].fn(spark, SF_SMALL).collect()[0]
+    assert row["conserved"] is True
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    cut = datetime.date(2024, 1, 21)
+    cb, cd, pb, pd = (defaultdict(int) for _ in range(4))
+    for r in ev:
+        base = r["ts"].date() < cut
+        if r["event_type"] == "click":
+            (cb if base else cd)[r["user_id"]] += 1
+        elif r["event_type"] == "purchase":
+            (pb if base else pd)[r["user_id"]] += 1
+    users = (set(cb) | set(cd)) & (set(pb) | set(pd))
+    j = lambda x, y: sum(x[u] * y[u] for u in users)  # noqa: E731
+    assert row["n_matched_users"] == len(users)
+    assert (row["j_bb"], row["j_bd"], row["j_db"], row["j_dd"]) == (
+        j(cb, pb), j(cb, pd), j(cd, pb), j(cd, pd),
+    )
+    assert row["j_full"] == sum(
+        (cb[u] + cd[u]) * (pb[u] + pd[u]) for u in users
+    )
+    assert row["j_bb"] + row["j_bd"] + row["j_db"] + row["j_dd"] == row["j_full"]
