@@ -202,6 +202,7 @@ def _load_all() -> None:
         pipeline121,
         pipeline122,
         pipeline123,
+        pipeline124,
         relational,
         relational2,
         relational3,

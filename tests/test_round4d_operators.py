@@ -1275,3 +1275,54 @@ def test_ivm_delta_algebra_replay(spark):
         (cb[u] + cd[u]) * (pb[u] + pd[u]) for u in users
     )
     assert row["j_bb"] + row["j_bd"] + row["j_db"] + row["j_dd"] == row["j_full"]
+
+
+# --------------------------------------------------------------------------
+# prefix_completion_counts / bh_fdr_weekday_effect (pipeline124)
+# --------------------------------------------------------------------------
+
+
+def test_prefix_completions_match_python_replay(spark):
+    rows = [
+        (r["prefix"], r["n_occurrences"], r["top_completion"], r["top_count"])
+        for r in all_queries()["prefix_completion_counts"].fn(spark, SF_SMALL).collect()
+    ]
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    per_tok = defaultdict(int)
+    for r in docs:
+        for t in __import__("re").split(r"[ \t\r\n]", r["text"]):
+            t = t.lower()
+            if len(t) >= 3:
+                per_tok[t] += 1
+    by_pfx = defaultdict(lambda: [0, None, 0])  # total, top tok, top count
+    for t, c in per_tok.items():
+        e = by_pfx[t[:3]]
+        e[0] += c
+        if c > e[2] or (c == e[2] and (e[1] is None or t < e[1])):
+            e[1], e[2] = t, c
+    expect = sorted(
+        ((p, tot, tok, c) for p, (tot, tok, c) in by_pfx.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert rows == expect
+
+
+def test_bh_fdr_step_up_consistency(spark):
+    rows = sorted(
+        all_queries()["bh_fdr_weekday_effect"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    assert [r["bh_rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # |z| is nonincreasing in rank; criticals strictly decreasing
+    zs = [r["abs_z_e6"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    crits = [r["z_crit_e6"] for r in rows]
+    assert crits == sorted(crits, reverse=True)
+    # step-up property: rejected set is a prefix of the ranking, and a
+    # test is rejected iff some rank >= its own passes its critical
+    kmax = 0
+    for r in rows:
+        if r["abs_z_e6"] >= r["z_crit_e6"]:
+            kmax = r["bh_rank"]
+    for r in rows:
+        assert r["rejected"] == (r["bh_rank"] <= kmax)
