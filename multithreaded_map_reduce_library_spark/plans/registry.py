@@ -203,6 +203,7 @@ def _load_all() -> None:
         pipeline122,
         pipeline123,
         pipeline124,
+        pipeline125,
         relational,
         relational2,
         relational3,

@@ -1326,3 +1326,67 @@ def test_bh_fdr_step_up_consistency(spark):
             kmax = r["bh_rank"]
     for r in rows:
         assert r["rejected"] == (r["bh_rank"] <= kmax)
+
+
+# --------------------------------------------------------------------------
+# agm_bound_triangle_audit / business_days_shipping (pipeline125)
+# --------------------------------------------------------------------------
+
+
+def test_agm_bound_replay_and_validity(spark):
+    row = all_queries()["agm_bound_triangle_audit"].fn(spark, SF_SMALL).collect()[0]
+    adj = _copurchase_adj(spark)
+    edges = {(a, b) for a in adj for b in adj[a] if a < b}
+    tris = 0
+    for (x, y) in edges:
+        for z in adj[y]:
+            if y < z and (x, z) in edges:
+                tris += 1
+    assert row["m_edges"] == len(edges)
+    assert row["n_triangles"] == tris
+    m = len(edges)
+    assert row["agm_bound"] == math.floor(m * math.sqrt(m) + 0.5)
+    # the AGM bound is a genuine upper bound
+    assert row["n_triangles"] <= row["agm_bound"]
+
+
+def test_business_days_formula(spark):
+    rows = {
+        r["priority"]: r
+        for r in all_queries()["business_days_shipping"].fn(spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"].date())
+        for r in load_table(spark, SF_SMALL, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderdate"
+        ).collect()
+    }
+    epoch = datetime.date(1970, 1, 1)
+
+    def g(x):
+        y = x + 3
+        return 5 * (y // 7) + min(y % 7, 5)
+
+    per = defaultdict(list)
+    for r in li:
+        pr, od = orders[r["l_orderkey"]]
+        a = (od - epoch).days
+        b = (r["l_shipdate"].date() - epoch).days
+        if b >= a:
+            per[pr].append(g(b) - g(a))
+        # python-side truth check: weekday count by brute force on a sample
+    # brute-force check the formula itself on a spread of date pairs
+    for a in range(7305, 7340):
+        for b in range(a, a + 20):
+            brute = sum(
+                1 for d in range(a, b) if (epoch + datetime.timedelta(days=d)).weekday() < 5
+            )
+            assert g(b) - g(a) == brute
+    for pr, vals in per.items():
+        r = rows[pr]
+        assert r["n_lineitems"] == len(vals)
+        assert r["mean_busdays_e6"] == (sum(vals) * 10**6 + len(vals) // 2) // len(vals)
+        assert (r["min_busdays"], r["max_busdays"]) == (min(vals), max(vals))
