@@ -204,6 +204,7 @@ def _load_all() -> None:
         pipeline123,
         pipeline124,
         pipeline125,
+        pipeline126,
         relational,
         relational2,
         relational3,

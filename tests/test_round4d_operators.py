@@ -1390,3 +1390,59 @@ def test_business_days_formula(spark):
         assert r["n_lineitems"] == len(vals)
         assert r["mean_busdays_e6"] == (sum(vals) * 10**6 + len(vals) // 2) // len(vals)
         assert (r["min_busdays"], r["max_busdays"]) == (min(vals), max(vals))
+
+
+# --------------------------------------------------------------------------
+# apriori_brand_triples / front_coding_vocab_audit (pipeline126)
+# --------------------------------------------------------------------------
+
+
+def test_apriori_triples_match_bruteforce(spark):
+    rows = [
+        (r["x"], r["y"], r["z"], r["support"])
+        for r in all_queries()["apriori_brand_triples"].fn(spark, SF_SMALL).collect()
+    ]
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey").collect()
+    brands = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(brands[r["l_partkey"]])
+    # brute-force all triples (no pruning) — a-priori must agree
+    sup = defaultdict(int)
+    for bs in baskets.values():
+        bs = sorted(bs)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                for k in range(j + 1, len(bs)):
+                    sup[(bs[i], bs[j], bs[k])] += 1
+    expect = sorted(
+        ((x, y, z, s) for (x, y, z), s in sup.items() if s >= 40),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:15]
+    assert rows == expect
+
+
+def test_front_coding_matches_python_replay(spark):
+    row = all_queries()["front_coding_vocab_audit"].fn(spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey").collect()
+    toks = sorted({f"order#{r['o_orderkey']:012d}" for r in orders})
+    raw = sum(len(t) + 1 for t in toks)
+    fc, lcps = 0, []
+    prev = None
+    for t in toks:
+        lcp = 0
+        if prev is not None:
+            while lcp < min(len(t), len(prev), 24) and t[lcp] == prev[lcp]:
+                lcp += 1
+        lcps.append(lcp)
+        fc += 2 + len(t) - lcp
+        prev = t
+    assert row["n_terms"] == len(toks)
+    assert (row["raw_bytes"], row["front_coded_bytes"]) == (raw, fc)
+    assert row["compression_e6"] == (raw * 10**6 + fc // 2) // fc
+    assert row["mean_lcp_e6"] == (sum(lcps) * 10**6 + len(toks) // 2) // len(toks)
+    # id-shaped sorted keys compress hard
+    assert row["compression_e6"] > 3 * 10**6
