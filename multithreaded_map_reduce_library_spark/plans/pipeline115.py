@@ -109,7 +109,9 @@ def _duck_dp_layer(k: int) -> str:
         JOIN ivals iv ON iv.j = e.i_start - 1 AND iv.i = e.i_end
         ORDER BY e.bucket_id
     """,
-    tags=("olap", "histogram", "v-optimal", "dp", "events", "global-sort"),
+    # "cross": the boundary walk-back assembles 4 edge rows from one-row
+    # aggregates via intentional 1x1 cross joins
+    tags=("olap", "histogram", "v-optimal", "dp", "events", "global-sort", "cross"),
 )
 def voptimal_histogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimal 4-bucket contiguous partition of the daily purchase-

@@ -158,7 +158,7 @@ def pinball_loss_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = daily.select(
         "day", "y", F.lag("y", 7).over(Window.orderBy("day")).alias("yhat")
     ).where(F.col("yhat").isNotNull())
-    qs = fc.sparkSession.createDataFrame([(10,), (50,), (90,)], "q int")
+    # quantile fan-out as a literal-array explode — no join node at all
     hundred = F.lit(100).cast("bigint")
     loss = F.when(
         F.col("y") >= F.col("yhat"),
@@ -166,7 +166,9 @@ def pinball_loss_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         int_ratio((100 - F.col("q")) * (F.col("yhat") - F.col("y")), hundred, 2)
     )
-    scored = F.broadcast(qs).crossJoin(fc).select("q", loss.alias("loss_e2"))
+    scored = fc.select(
+        F.explode(F.array(F.lit(10), F.lit(50), F.lit(90))).alias("q"), "y", "yhat"
+    ).select("q", loss.alias("loss_e2"))
     return (
         scored.groupBy("q")
         .agg(

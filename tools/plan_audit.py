@@ -78,6 +78,7 @@ ALLOW_PYTHON = {
     "multimodal_png16_roundtrip": "16-bit-PNG encode pandas UDF + mapInPandas stdlib decode",
     "multimodal_wav_stereo24_energy": "stereo-24-bit WAV encode pandas UDF + mapInPandas chunk-walk decode",
     "multimodal_sobel_edge_energy": "PNG encode pandas UDF + mapInPandas Sobel kernel",
+    "multimodal_wav_ulaw_roundtrip": "mu-law WAV encode pandas UDF + mapInPandas G.711 expand kernel",
     "multimodal_wav_quadrature": "WAV encode pandas UDF + mapInPandas quadrature kernel",
     "multimodal_hist_equalization": "PNG encode pandas UDF + mapInPandas hist-eq kernel",
     "multimodal_png_downscale2": "PNG encode pandas UDF + mapInPandas 2x box-downscale kernel",
@@ -135,6 +136,12 @@ ALLOW_BNLJ = {
     "hodges_lehmann_daily": "O(days^2) Walsh-average theta join on the day rollup, never the fact table",
     "markov_removal_attribution": "5-row variant broadcast against the transition rollup (bounded by channel count)",
     "shapley_channel_attribution": "16-coalition broadcast against the user rollup (bounded by 2^channels)",
+    "hdr_quantile_sketch": "4-row quantile-target broadcast x bucket walk (sketch domain <= 1024 rows at any corpus size)",
+    "hdr_quantiles_by_type": "2-row quantile-target broadcast x per-type bucket walk (types x <=1024 buckets)",
+    "isotonic_calibration_fit": "triangle join over the 11-bin interval lattice (66 rows, forecast-codomain-bounded)",
+    "kendall_tau_daily": "O(days^2) concordance theta join on the day rollup, never the fact table",
+    "survival_concordance_index": "comparable-pair theta join on the user dimension (c-index contract; rank-sweep rewrite at scale per docstring)",
+    "max_drawdown_daily": "one-row trough record broadcast against the day rollup (argmax walk-back)",
 }
 
 GLOBAL_TAGS = {"topk", "global-sort", "ntile", "histogram", "zipf", "corpus-stats", "sequence", "packing", "scd2", "streaming", "selection"}
