@@ -79,6 +79,7 @@ ALLOW_PYTHON = {
     "multimodal_wav_stereo24_energy": "stereo-24-bit WAV encode pandas UDF + mapInPandas chunk-walk decode",
     "multimodal_sobel_edge_energy": "PNG encode pandas UDF + mapInPandas Sobel kernel",
     "multimodal_wav_ulaw_roundtrip": "mu-law WAV encode pandas UDF + mapInPandas G.711 expand kernel",
+    "repeated_ngram_audit": "mapInPandas per-doc repeated-shingle kernel (21s -> 0.4s vs the expression form at sf0.1)",
     "multimodal_wav_quadrature": "WAV encode pandas UDF + mapInPandas quadrature kernel",
     "multimodal_hist_equalization": "PNG encode pandas UDF + mapInPandas hist-eq kernel",
     "multimodal_png_downscale2": "PNG encode pandas UDF + mapInPandas 2x box-downscale kernel",
