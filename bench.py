@@ -28,7 +28,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
-    timings: dict[str, float] = {}
     # Warm-up pass: boot Python UDF workers (one per core) and compile each
     # query's whole-stage-codegen classes by running every bench plan once
     # at the smallest scale factor. Codegen compilation is plan-structure
@@ -51,6 +50,28 @@ def main() -> None:
         except Exception:
             q.fn(spark, sf_dir).limit(1).collect()
 
+    # Contention guard #1 (round-5, VERDICT r4 item 4: the official r4
+    # capture ran +29% hot while a quiet run of the same code measured
+    # parity): don't START the timed pass while the box is busy with
+    # other work (pytest / contract jobs). Wait up to 10 min for the
+    # 1-min load average to drop under half the cores; warn on stderr.
+    ncpu = os.cpu_count() or 32
+    waited = 0.0
+    while waited < 600:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            break
+        if load1 < ncpu * 0.5:
+            break
+        print(
+            f"bench: load1={load1:.1f} >= {ncpu * 0.5:.0f} — waiting for the "
+            "box to quiesce (another job is running?)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+
     # Median-of-3 at the timed SF (round-3, VERDICT r2 item 7: the bench
     # history swung 10-22.7 s run-to-run at sf0.1, so round-over-round
     # per-query diffs measured scheduler noise, not code). The first run
@@ -59,17 +80,43 @@ def main() -> None:
     # (max-min) makes each query's own noise band visible to
     # tools/bench_diff.py. Override repeats with SPARK_GRAFT_BENCH_RUNS.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    spread: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spread[name] = round(samples[-1] - samples[0], 3)
+
+    def timed_pass() -> tuple[dict[str, float], dict[str, float]]:
+        t: dict[str, float] = {}
+        s: dict[str, float] = {}
+        for name, q in bench_queries.items():
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            t[name] = round(samples[len(samples) // 2], 3)
+            s[name] = round(samples[-1] - samples[0], 3)
+        return t, s
+
+    # Contention guard #2: a pass whose summed per-query spread exceeds
+    # 15% of its total measured scheduler noise, not code — re-run (up
+    # to SPARK_GRAFT_BENCH_MAX_PASSES) and record the quietest pass.
+    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "3"))
+    best = None
+    n_passes = 0
+    for attempt in range(1, max_passes + 1):
+        timings, spread = timed_pass()
+        n_passes = attempt
+        total = sum(timings.values())
+        ratio = (sum(spread.values()) / total) if total else 0.0
+        if best is None or ratio < best[2]:
+            best = (timings, spread, ratio)
+        if ratio <= 0.15:
+            break
+        print(
+            f"bench: pass {attempt} spread ratio {ratio:.1%} > 15% — "
+            "contention suspected, re-running",
+            file=sys.stderr,
+        )
+    timings, spread, ratio = best
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -78,6 +125,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "spread_ratio": round(ratio, 4),
+        "passes": n_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

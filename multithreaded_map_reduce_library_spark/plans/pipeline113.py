@@ -74,7 +74,7 @@ _DUCK_OBS = """
                    AS c_index_e6
         FROM pairs CROSS JOIN nn
     """,
-    tags=("statistics", "survival", "c-index", "events", "all-pairs-bounded"),
+    tags=("statistics", "survival", "c-index", "events", "rank-sweep"),
 )
 def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harrell's c-index of the click-count risk score for
@@ -85,11 +85,27 @@ def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact half-up ratio conc2 / (2·comparable). A c-index of 0.5 is an
     uninformative score; the AUC twin for time-to-event data.
 
-    Scale design: the comparable-pair join is |users|² here (bounded
-    corpus); at 100 TB the standard rewrite sorts by observed time and
-    sweeps a rank-order statistic (O(n log n)) — the docstring contract
-    keeps the naive form only where the entity table is dimension-
-    sized."""
+    Scale design (round-5 rewrite, VERDICT r4 item 1): no pair join at
+    any cardinality. Users collapse to (t_hours, score) cells in one
+    shuffle; the cells are densified over the integer score axis
+    0..max(score) (scores are click counts, so the axis is dense by
+    construction) via ``explode(sequence(...))`` against a one-row
+    max-score aggregate. Two partitioned cumulative windows then read
+    every pair class off the grid exactly:
+
+      * per score, a time-cumulative sum gives ``suf_gt(t, s)`` — users
+        with that score observed strictly after t;
+      * per time, a score-prefix sum over (suf_gt, censored-at-t counts)
+        gives the concordant (score strictly lower) and tied risk-set
+        masses for every converted cell.
+
+    ``conc2 = Σ n_conv(t,s)·(2·lower + ties)`` and ``n_comparable =
+    Σ n_conv(t,s)·|risk set(t)|`` are grand sums over the grid. Cost is
+    O(T·S) on dimension axes (distinct event-hours × distinct click
+    counts — metadata-sized at any corpus scale; quantize the score
+    axis if a pathological tenant makes it wide), vs the |users|² pair
+    join that the DuckDB oracle keeps as the semantic contract. The
+    pairwise replay in tests/test_round4d_operators.py pins equality."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
@@ -121,38 +137,64 @@ def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(conv, 1).otherwise(0).alias("converted"),
         )
     )
-    i = obs.select(
-        F.col("user_id").alias("ui"),
-        F.col("score").alias("si"),
-        F.col("t_hours").alias("ti"),
-        F.col("converted").alias("ci"),
+    cells = obs.groupBy("t_hours", "score").agg(
+        F.count("*").alias("n_any"), F.sum("converted").alias("n_conv")
     )
-    j = obs.select(
-        F.col("user_id").alias("uj"),
-        F.col("score").alias("sj"),
-        F.col("t_hours").alias("tj"),
-        F.col("converted").alias("cj"),
+    times = cells.select("t_hours").distinct()
+    smax = obs.agg(F.max("score").alias("smax"))
+    grid = times.crossJoin(F.broadcast(smax)).select(
+        "t_hours", F.explode(F.sequence(F.lit(0), F.col("smax"))).alias("score")
     )
-    pairs = (
-        i.join(
-            j,
-            (F.col("ui") != F.col("uj"))
-            & (F.col("ci") == 1)
-            & (
-                (F.col("tj") > F.col("ti"))
-                | ((F.col("tj") == F.col("ti")) & (F.col("cj") == 0))
-            ),
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_comparable"),
-            F.sum(
-                F.when(F.col("si") > F.col("sj"), 2)
-                .when(F.col("si") == F.col("sj"), 1)
-                .otherwise(0)
+    g = grid.join(cells, ["t_hours", "score"], "left").select(
+        "t_hours",
+        "score",
+        F.coalesce("n_any", F.lit(0)).alias("n_any"),
+        F.coalesce("n_conv", F.lit(0)).alias("n_conv"),
+        (F.coalesce("n_any", F.lit(0)) - F.coalesce("n_conv", F.lit(0))).alias(
+            "n_cens"
+        ),
+    )
+    w_tot = Window.partitionBy("score")
+    w_cum = (
+        Window.partitionBy("score")
+        .orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g2 = g.select(
+        "t_hours",
+        "score",
+        "n_conv",
+        "n_cens",
+        (F.sum("n_any").over(w_tot) - F.sum("n_any").over(w_cum)).alias("suf_gt"),
+    )
+    w_slt = (
+        Window.partitionBy("t_hours")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tall = Window.partitionBy("t_hours")
+    g3 = g2.select(
+        "n_conv",
+        "n_cens",
+        "suf_gt",
+        F.coalesce(F.sum("suf_gt").over(w_slt), F.lit(0)).alias("lt_suf"),
+        F.coalesce(F.sum("n_cens").over(w_slt), F.lit(0)).alias("lt_cens"),
+        (F.sum("suf_gt").over(w_tall) + F.sum("n_cens").over(w_tall)).alias(
+            "risk_n"
+        ),
+    )
+    pairs = g3.where(F.col("n_conv") > 0).agg(
+        F.sum(F.col("n_conv") * F.col("risk_n")).cast("bigint").alias("n_comparable"),
+        F.sum(
+            F.col("n_conv")
+            * (
+                2 * (F.col("lt_suf") + F.col("lt_cens"))
+                + F.col("suf_gt")
+                + F.col("n_cens")
             )
-            .cast("bigint")
-            .alias("conc2"),
         )
+        .cast("bigint")
+        .alias("conc2"),
     )
     nn = obs.agg(F.count("*").cast("bigint").alias("n_users"))
     return pairs.crossJoin(F.broadcast(nn)).select(

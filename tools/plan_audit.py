@@ -70,6 +70,8 @@ ALLOW_PYTHON = {
     "multimodal_features": "mapInPandas decode stage",
     "multimodal_ahash_dedup": "mapInPandas decode + aHash kernel",
     "multimodal_png_roundtrip": "PNG encode UDF + mapInPandas decode",
+    "multimodal_jpeg_roundtrip": "baseline-JPEG encode pandas UDF + mapInPandas DCT decode",
+    "multimodal_jpeg_quality_sweep": "two-quant-scale JPEG encode pandas UDFs + mapInPandas DCT decode",
     "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
     "multimodal_wav_vad_features": "WAV encode pandas UDF + mapInPandas VAD kernel",
     "multimodal_wav_silence_runs": "WAV encode pandas UDF + mapInPandas energy kernel",
@@ -119,7 +121,6 @@ ALLOW_BNLJ = {
     "semdedup_within_cell": "broadcast stride-bounded centroid set (assign_ivf_cells)",
     "hybrid_rrf_retrieval": "broadcast single dense query vector x corpus",
     "theta_band_join_orders": "theta band join (non-equi by contract)",
-    "skyline_pareto_customers": "skyline dominance theta self-join",
     "cross_join_status_priority_grid": "intentional tiny dims grid",
     "rolling_24h_distinct_users": "24h range self-join (non-equi window)",
     "events_peak_concurrency": "broadcast distinct-day list range join (sweep carry-in)",
@@ -132,7 +133,7 @@ ALLOW_BNLJ = {
     "ransac_trend_fit": "8 candidate models x day-level rollup (metadata-sized both sides)",
     "mann_kendall_trend": "O(days^2) sign-pair theta join on the day rollup, never the fact table",
     "matrix_profile_daily": "O(days^2) window-distance theta join on the day rollup, never the fact table",
-    "knn_shapley_valuation": "broadcast 5% test split x training corpus scoring (knn_bruteforce plan shape)",
+    "knn_shapley_valuation": "broadcast test split capped at a constant 64 rows (ORDER BY vec_id LIMIT 64) x training corpus scoring — corpus-independent build side",
     "consistent_hash_ring_churn": "128-point ring broadcast successor lookup (metadata-sized build side)",
     "hodges_lehmann_daily": "O(days^2) Walsh-average theta join on the day rollup, never the fact table",
     "markov_removal_attribution": "5-row variant broadcast against the transition rollup (bounded by channel count)",
@@ -141,7 +142,6 @@ ALLOW_BNLJ = {
     "hdr_quantiles_by_type": "2-row quantile-target broadcast x per-type bucket walk (types x <=1024 buckets)",
     "isotonic_calibration_fit": "triangle join over the 11-bin interval lattice (66 rows, forecast-codomain-bounded)",
     "kendall_tau_daily": "O(days^2) concordance theta join on the day rollup, never the fact table",
-    "survival_concordance_index": "comparable-pair theta join on the user dimension (c-index contract; rank-sweep rewrite at scale per docstring)",
     "max_drawdown_daily": "one-row trough record broadcast against the day rollup (argmax walk-back)",
 }
 
