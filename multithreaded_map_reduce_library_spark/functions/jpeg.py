@@ -1,0 +1,631 @@
+"""Minimal, dependency-free baseline JPEG codec (numpy only).
+
+Round-5 breadth item (VERDICT r4 item 7a): replaces the PIL-gated JPEG
+branch in ``operators/multimodal._decode_image_bytes`` with a real
+from-scratch baseline-DCT decoder, following the same oracle-replay
+discipline as the PNG codec (functions/png.py): every oracle-hashed
+query that feeds this codec fabricates payloads whose decoded statistics
+are closed-form computable in SQL, so any codec bug breaks the value
+hash.
+
+Written to the public spec, ITU-T T.81 (ISO/IEC 10918-1) with the JFIF
+container (https://www.w3.org/Graphics/JPEG/itu-t81.pdf): marker layout
+§B, canonical Huffman construction §C.2, zigzag §A.3.6, the Annex K.1/K.2
+quantization tables and K.3 Huffman tables (all published example
+tables — the encoder emits its tables into the stream, the decoder reads
+whatever tables the stream carries).
+
+Encode envelope: 8-bit baseline sequential, grayscale (1 component) or
+RGB via BT.601 YCbCr 4:4:4 (3 components), integer quality scaling of
+the Annex K tables, edge-replication padding to 8×8 blocks.
+
+Decode envelope: baseline (SOF0) and extended-sequential (SOF1) Huffman,
+8-bit precision, 1 or 3 components, 4:4:4 sampling, tables from the
+stream, FF00 byte-unstuffing. Out of envelope — raise
+``NotImplementedError``, never a wrong pixel: progressive (SOF2),
+arithmetic coding (SOF9+), 12-bit precision, subsampled chroma,
+restart intervals (DRI>0 / RSTn), lossless/hierarchical modes.
+
+Determinism contract (what makes oracle replay possible):
+
+* the encoder quantizes the DC coefficient from the INTEGER block sum
+  with exact round-half-away-from-zero integer arithmetic (the float
+  DCT path only feeds the AC coefficients), so for a block of constant
+  value ``v`` the only nonzero quantized coefficient is
+  ``qd = sign(m)·((16·|m| + q00) // (2·q00))`` with ``m = v − 128``;
+* the decoder reconstructs pixels as
+  ``clip(floor(DC·q00/8 + idct(AC) + 0.5) + 128, 0, 255)`` with the DC
+  term kept OUT of the float IDCT (division by 8 is exact in binary
+  floating point), so a constant block decodes to exactly
+  ``clip(floor((qd·q00 + 4)/8) + 128, 0, 255)`` — pure integer math a
+  DuckDB oracle reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "QUANT_LUMA",
+    "QUANT_CHROMA",
+    "decode_jpeg",
+    "encode_jpeg_gray",
+    "encode_jpeg_rgb",
+    "is_jpeg",
+    "quant_table",
+]
+
+# --------------------------------------------------------------------------
+# Published example tables (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+#: Annex K.1 luminance quantization table (row-major), quality ~50.
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.2 chrominance quantization table.
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 Huffman table specifications: (BITS[1..16], HUFFVAL).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def quant_table(base: np.ndarray, qscale: int = 1) -> np.ndarray:
+    """Integer quality scaling: multiply the Annex K table by ``qscale``
+    and clip to the 8-bit-precision DQT range [1, 255]. qscale=1 is the
+    published ~quality-50 table; qscale=2 halves the bitrate again."""
+    return np.clip(base * int(qscale), 1, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Zigzag and DCT
+# --------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) pairs in T.81 §A.3.6 zigzag order: anti-diagonals,
+    odd diagonals walk row-increasing, even diagonals row-decreasing."""
+    return sorted(
+        ((u, v) for u in range(8) for v in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+    )
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([u for u, _ in _ZIGZAG])
+_ZZ_COLS = np.array([v for _, v in _ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: T[u,x] = c(u)/2 · cos((2x+1)uπ/16),
+    c(0)=1/√2, else 1. Forward 2D DCT of block B is T·B·Tᵀ."""
+    t = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (the convention this codec fixes for AC
+    quantization — np.rint's banker's rounding is NOT used anywhere)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+# --------------------------------------------------------------------------
+# Huffman coding (canonical construction, T.81 §C.2)
+# --------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 §B.1.1.5 FF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing.
+    Stops (raises _MarkerFound) at any non-stuffing marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers (RSTn) not supported"
+                )
+            else:
+                raise ValueError("marker inside entropy data (truncated scan?)")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.get(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map the s low bits to a signed amplitude."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _magnitude(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantize one 8×8 block of uint8 samples. DC comes from the exact
+    integer block sum (see module docstring determinism contract); ACs
+    from the float DCT, rounded half away from zero."""
+    shifted = block.astype(np.float64) - 128.0
+    coef = _DCT_T @ shifted @ _DCT_T.T
+    out = _round_half_away(coef / q).astype(np.int64)
+    dc_int = int(block.sum()) - 128 * 64  # = 8 · DC, exactly
+    d = 8 * int(q[0, 0])
+    qd = (2 * abs(dc_int) + d) // (2 * d)
+    out[0, 0] = qd if dc_int >= 0 else -qd
+    return out
+
+
+def _encode_block(
+    bw: _BitWriter,
+    qblock: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = qblock[_ZZ_ROWS, _ZZ_COLS]
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    s = _magnitude(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if nz.size else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return dc
+
+
+def _pad_to_blocks(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    ph = (-h) % 8
+    pw = (-w) % 8
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    return img
+
+
+def _segment(marker: bytes, payload: bytes) -> bytes:
+    return marker + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+
+
+def _encode_jpeg(
+    planes: list[np.ndarray], qscale: int, color: bool
+) -> bytes:
+    """Shared encoder body: planes are full-resolution uint8 component
+    arrays (1 = grayscale, 3 = YCbCr 4:4:4), all the same shape."""
+    h, w = planes[0].shape
+    q_luma = quant_table(QUANT_LUMA, qscale)
+    q_chroma = quant_table(QUANT_CHROMA, qscale)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    out += _segment(
+        b"\xff\xe0", b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    # DQT
+    out += _segment(
+        b"\xff\xdb", bytes([0x00]) + q_luma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    )
+    if color:
+        out += _segment(
+            b"\xff\xdb",
+            bytes([0x01]) + q_chroma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes(),
+        )
+    # SOF0
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        tq = 0 if cid == 1 else 1
+        sof += bytes([cid, 0x11, tq])  # 4:4:4 sampling everywhere
+    out += _segment(b"\xff\xc0", sof)
+    # DHT
+    out += _segment(b"\xff\xc4", _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _segment(b"\xff\xc4", _dht_payload(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    if color:
+        out += _segment(
+            b"\xff\xc4", _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        )
+        out += _segment(
+            b"\xff\xc4", _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        )
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        tbl = 0 if cid == 1 else 1
+        sos += bytes([cid, tbl << 4 | tbl])
+    sos += bytes([0, 63, 0])
+    out += _segment(b"\xff\xda", sos)
+
+    dc_luma = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_luma = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_chroma = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_chroma = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    padded = [_pad_to_blocks(p) for p in planes]
+    ph, pw = padded[0].shape
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                q = q_luma if ci == 0 else q_chroma
+                dc_codes = dc_luma if ci == 0 else dc_chroma
+                ac_codes = ac_luma if ci == 0 else ac_chroma
+                qb = _quantize_block(padded[ci][by : by + 8, bx : bx + 8], q)
+                prev_dc[ci] = _encode_block(bw, qb, prev_dc[ci], dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray(img: np.ndarray, qscale: int = 1) -> bytes:
+    """Encode an (h, w) uint8 array as a baseline grayscale JPEG."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects an (h, w) array")
+    return _encode_jpeg([a], qscale, color=False)
+
+
+def encode_jpeg_rgb(img: np.ndarray, qscale: int = 1) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr 4:4:4 JPEG
+    (BT.601 forward transform, rounded half away from zero)."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [
+        np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ]
+    return _encode_jpeg(planes, qscale, color=True)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def is_jpeg(data: bytes) -> bool:
+    """SOI sniff — 2 bytes, per ADVICE r3 (don't enumerate APPn)."""
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+def _idct_block(coef: np.ndarray) -> np.ndarray:
+    """Inverse DCT with the DC term split out so a DC-only block is exact
+    (qd·q00/8 has denominator 8 — exact in binary floating point)."""
+    dc = float(coef[0, 0])
+    ac = coef.astype(np.float64)
+    ac = ac.copy()
+    ac[0, 0] = 0.0
+    return (_DCT_T.T @ ac @ _DCT_T) + dc / 8.0
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline JPEG to (width, height, channels, uint8 array).
+
+    Grayscale returns (h, w); color returns (h, w, 3) RGB (BT.601
+    inverse, rounded half up, clamped). See module docstring for the
+    supported envelope; anything outside raises NotImplementedError."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — may hold several tables
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[p : p + n]
+                p += n
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                q = np.zeros((8, 8), dtype=np.int64)
+                q[_ZZ_ROWS, _ZZ_COLS] = vals
+                qtables[tid] = q
+        elif marker == 0xC4:  # DHT — may hold several tables
+            p = 0
+            while p < len(seg):
+                tclass, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                nvals = sum(bits)
+                vals = list(seg[p : p + nvals])
+                p += nvals
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tclass, tid)] = table
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "subsampled chroma (non-4:4:4) not supported"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tbl = {}
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                scan_tbl[cid] = (tsel >> 4, tsel & 0x0F)
+            h, w, comps = frame
+            ncomp = len(comps)
+            br = _BitReader(data, pos + seglen)
+            bh, bw_ = (h + 7) // 8, (w + 7) // 8
+            planes = [
+                np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)
+            ]
+            prev_dc = [0] * ncomp
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci, (cid, _, _, tq) in enumerate(comps):
+                        td, ta = scan_tbl[cid]
+                        dc_tab = huff[(0, td)]
+                        ac_tab = huff[(1, ta)]
+                        q = qtables[tq]
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.read_symbol(dc_tab)
+                        diff = _extend(br.get(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(br.get(s), s)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.int64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                        px = _idct_block(coef)
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            cropped = [
+                np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in planes
+            ]
+            if ncomp == 1:
+                return w, h, 1, cropped[0].astype(np.uint8)
+            y, cb, cr = cropped
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack(
+                [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (r, g, b)], axis=-1
+            )
+            return w, h, 3, rgb.astype(np.uint8)
+        pos += seglen
+    raise ValueError("no SOS marker found (truncated JPEG)")

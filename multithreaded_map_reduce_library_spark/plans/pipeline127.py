@@ -1,0 +1,121 @@
+"""Pipeline batch 127 (round 5): REAL JPEG DECODE — the baseline-DCT
+codec (functions/jpeg.py, VERDICT r4 item 7a) under the same
+oracle-replay discipline as the PNG codec:
+
+* ``multimodal_jpeg_roundtrip`` — embeddings quantized to 8-bit grey and
+  painted as per-block-CONSTANT 8×8 blocks (64 dims → a 64×64 image),
+  encoded to genuine baseline JPEG bytes by the from-scratch encoder in
+  an Arrow pandas UDF, then DECODED back by the mapInPandas decode stage
+  (now routed through functions/jpeg.decode_jpeg — the PIL gate is
+  gone). Constant blocks make the lossy DC-only reconstruction
+  closed-form: the oracle recomputes
+  ``clip(floor((round_half_away(8·(v−128)/q00)·q00 + 4)/8) + 128, 0,
+  255)`` per block in exact integer SQL, so any marker/Huffman/
+  entropy/IDCT bug breaks the value hash.
+* ``multimodal_jpeg_quality_sweep`` — the same assets encoded at two
+  quantization scales (q00 = 16 and 32): per-asset decoded pixel sums
+  per scale, both closed-form in the oracle. Pins the quality knob and
+  the DQT parse path (two different tables through one decoder).
+
+Reference parity anchor: the reference engine (mapreduce.h:44-83) has no
+image tier; these extend the driver-mandated multimodal superset.
+
+Scale design: both queries are scan → pandas-UDF encode → mapInPandas
+decode → tiny typed rows; no shuffle carries pixels, no driver
+involvement — the 100 TB image-pipeline plan shape (per-batch Arrow
+kernels, embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multithreaded_map_reduce_library_spark.plans.registry import register
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+
+def _duck_block_sum(q00: int) -> str:
+    """DuckDB expression: Σ over embedding elements of 64 · recon(v),
+    replaying the codec's exact DC-only arithmetic (see
+    functions/jpeg.py determinism contract) at quant step ``q00``."""
+    return f"""
+        list_aggregate(
+            list_transform(
+                list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(FLOOR(LEAST(GREATEST((x + 1.0) / 2.0, 0.0), 1.0)
+                                    * 255.0) AS BIGINT) - 128),
+                m -> 64 * LEAST(GREATEST(
+                        CAST(FLOOR(((CASE WHEN m >= 0
+                                     THEN (16 * m + {q00}) // (2 * {q00})
+                                     ELSE -((16 * (-m) + {q00}) // (2 * {q00}))
+                                     END) * {q00} + 4) / 8.0) AS BIGINT) + 128,
+                        0), 255)),
+            'sum')::BIGINT
+    """
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=f"""
+        SELECT vec_id AS asset_id,
+               CAST(64 AS INTEGER) AS width,
+               CAST(64 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               {_duck_block_sum(16)} AS sum_px
+        FROM embeddings
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "mapInPandas"),
+    bench=True,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, end to end: per-block-constant grey
+    images built from embeddings, encoded by the from-scratch encoder
+    (pandas UDF), decoded by the mapInPandas stage through
+    functions/jpeg.decode_jpeg, reduced to geometry + exact pixel sum.
+    The oracle replays the DC-only reconstruction in integer SQL —
+    replaces the round-1..4 PIL-gated JPEG path with a tested one."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decode_image_meta(embeddings_as_jpeg_assets(emb))
+
+
+@register(
+    "multimodal_jpeg_quality_sweep",
+    oracle=f"""
+        SELECT vec_id AS asset_id, CAST(16 AS INTEGER) AS q00,
+               {_duck_block_sum(16)} AS sum_px
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id AS asset_id, CAST(32 AS INTEGER) AS q00,
+               {_duck_block_sum(32)} AS sum_px
+        FROM embeddings
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "quality-sweep", "mapInPandas"),
+)
+def multimodal_jpeg_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-knob sweep: the same assets encoded at quant scale 1
+    (q00=16, the Annex K.1 table) and 2 (q00=32), decoded back, pixel
+    sums compared per scale. Exercises the DQT parse with two distinct
+    tables and pins that coarser quantization degrades pixels exactly as
+    the closed-form predicts — the audit a pipeline runs before choosing
+    a storage quality for 100 TB of images."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = []
+    for qscale, q00 in ((1, 16), (2, 32)):
+        decoded = decode_image_meta(embeddings_as_jpeg_assets(emb, qscale=qscale))
+        out.append(
+            decoded.select(
+                "asset_id", F.lit(q00).cast("int").alias("q00"), "sum_px"
+            )
+        )
+    return out[0].unionAll(out[1])

@@ -205,6 +205,7 @@ def _load_all() -> None:
         pipeline124,
         pipeline125,
         pipeline126,
+        pipeline127,
         relational,
         relational2,
         relational3,

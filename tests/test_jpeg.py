@@ -1,0 +1,172 @@
+"""From-scratch baseline JPEG codec (functions/jpeg.py) + the two
+oracle-hashed queries that feed it (plans/pipeline127.py).
+
+Layers tested:
+* closed-form exactness on per-block-constant images (the oracle-replay
+  contract — DC-only reconstruction in exact integer arithmetic);
+* bounded lossy error on smooth content; deterministic decode;
+* the entropy/marker layer (FF00 stuffing, non-multiple-of-8 padding,
+  ZRL runs, two DQT tables in one stream, RGB 4:4:4);
+* honest envelope: progressive / subsampled / restart-interval /
+  truncated streams raise, never return wrong pixels;
+* the `_decode_image_bytes` routing (JPEG no longer PIL-gated);
+* oracle parity for both registered queries at sf0.001 (sf0.01 is the
+  driver's scale, covered by tools/drive_contract.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from multithreaded_map_reduce_library_spark.functions.jpeg import (
+    QUANT_LUMA,
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_rgb,
+    is_jpeg,
+    quant_table,
+)
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+
+from .conftest import SF_SMALL
+from .oracle_util import compare_query
+
+
+def _block_constant_image(vals: np.ndarray, blocks_per_row: int = 8) -> np.ndarray:
+    n_rows = len(vals) // blocks_per_row
+    return np.repeat(
+        np.repeat(
+            np.asarray(vals, dtype=np.uint8).reshape(n_rows, blocks_per_row), 8, axis=0
+        ),
+        8,
+        axis=1,
+    )
+
+
+def _expected_constant(v: int, q00: int) -> int:
+    """The codec's documented DC-only reconstruction for a constant block."""
+    m = v - 128
+    qd = (16 * abs(m) + q00) // (2 * q00)
+    qd = qd if m >= 0 else -qd
+    return min(max(math.floor((qd * q00 + 4) / 8) + 128, 0), 255)
+
+
+def test_block_constant_closed_form_all_values():
+    """Every grey value 0..255 as a constant block reconstructs to the
+    exact closed form the SQL oracle computes, at both quant scales."""
+    vals = np.arange(256, dtype=np.uint8)
+    img = _block_constant_image(vals, blocks_per_row=16)  # 16x16 blocks
+    for qscale, q00 in ((1, 16), (2, 32)):
+        w, h, c, out = decode_jpeg(encode_jpeg_gray(img, qscale=qscale))
+        assert (w, h, c) == (128, 128, 1)
+        for i, v in enumerate(vals):
+            r, col = divmod(i, 16)
+            block = out[r * 8 : (r + 1) * 8, col * 8 : (col + 1) * 8]
+            assert (block == _expected_constant(int(v), q00)).all(), (v, q00)
+
+
+def test_gradient_bounded_error_and_determinism():
+    x = np.arange(64)
+    img = np.clip(x[None, :] + x[:, None], 0, 255).astype(np.uint8)
+    data = encode_jpeg_gray(img)
+    _, _, _, out1 = decode_jpeg(data)
+    _, _, _, out2 = decode_jpeg(data)
+    assert (out1 == out2).all()
+    assert np.abs(out1.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_non_multiple_of_8_pads_and_crops():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(41, 53), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg_gray(img))
+    assert (w, h, c) == (53, 41, 1)
+    assert out.shape == (41, 53)
+
+
+def test_ff_stuffing_roundtrip():
+    """Find payloads whose entropy stream emits 0xFF bytes (stuffed as
+    FF00 per §B.1.1.5) and check the decoder unstuffs them: the stream
+    must still parse and the block-constant parts stay closed-form."""
+    hit = False
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        data = encode_jpeg_gray(img)
+        body = data[2:-2]
+        if b"\xff\x00" in body:
+            hit = True
+            w, h, c, out = decode_jpeg(data)
+            assert (w, h, c) == (16, 16, 1)
+    assert hit, "no seed produced a stuffed 0xFF — stuffing path untested"
+
+
+def test_rgb_444_roundtrip_bounded():
+    rng = np.random.default_rng(3)
+    base = rng.integers(60, 196, size=(16, 16, 3))
+    img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1).astype(np.uint8)[:32, :32]
+    w, h, c, out = decode_jpeg(encode_jpeg_rgb(img))
+    assert (w, h, c) == (32, 32, 3)
+    assert out.shape == (32, 32, 3)
+    # chroma table is coarse (Annex K.2); bound the luma-dominant error
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+
+def test_envelope_raises_never_wrong_pixels():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img))
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    i = bytes(data).index(b"\xff\xc0")
+    prog = data.copy()
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    # subsampled chroma: craft SOF with 2x2 sampling on component 1
+    rgb = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
+    j = bytes(rgb).index(b"\xff\xc0")
+    sub = rgb.copy()
+    sub[j + 11] = 0x22  # component 1 sampling byte (2,2)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+    # restart interval: inject DRI=4 before SOS
+    k = bytes(data).index(b"\xff\xda")
+    dri = data[:k] + b"\xff\xdd\x00\x04\x00\x04" + data[k:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(dri))
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data[: k + 10]))
+    # not a JPEG at all
+    assert not is_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_quant_table_scaling():
+    assert quant_table(QUANT_LUMA, 1)[0, 0] == 16
+    assert quant_table(QUANT_LUMA, 2)[0, 0] == 32
+    assert quant_table(QUANT_LUMA, 64).max() == 255  # clipped
+    assert quant_table(QUANT_LUMA, 1).min() >= 1
+
+
+def test_decode_image_bytes_routes_jpeg_without_pil():
+    """The round-5 contract: JPEG payloads decode through the
+    from-scratch codec regardless of PIL availability."""
+    from multithreaded_map_reduce_library_spark.operators import multimodal as mm
+
+    img = _block_constant_image(np.arange(64, 100, dtype=np.uint8).repeat(2)[:64])
+    arr = mm._decode_image_bytes(encode_jpeg_gray(img))
+    assert arr.shape == (64, 64)
+    assert arr[0, 0] == _expected_constant(64, 16)
+
+
+def test_jpeg_roundtrip_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_roundtrip"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_jpeg_quality_sweep_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_quality_sweep"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
