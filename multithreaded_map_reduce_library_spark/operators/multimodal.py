@@ -290,8 +290,17 @@ def embeddings_as_jpeg_assets(
             out.append(encode_jpeg_gray(img, qscale=qscale))
         return pd.Series(out)
 
-    return emb.select(F.col(id_col).alias("asset_id"), q.alias("_px")).select(
-        "asset_id", to_jpeg("_px").alias("payload")
+    # The encode/decode kernels are compute-bound while the input is a
+    # handful of parquet splits (one, at test SFs): spread the skinny
+    # (id, 64 quantized ints) rows across the cluster BEFORE the
+    # expensive per-asset work — the shuffle moves ~260 B/row, the
+    # kernel costs ~3 ms/asset. Same pattern as a real 100 TB image
+    # pipeline: repartition metadata, not pixels.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(F.col(id_col).alias("asset_id"), q.alias("_px"))
+        .repartition(par, "asset_id")
+        .select("asset_id", to_jpeg("_px").alias("payload"))
     )
 
 
