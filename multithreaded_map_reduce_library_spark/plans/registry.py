@@ -206,6 +206,7 @@ def _load_all() -> None:
         pipeline125,
         pipeline126,
         pipeline127,
+        pipeline128,
         relational,
         relational2,
         relational3,
