@@ -21,10 +21,11 @@ the Annex K tables, edge-replication padding to 8×8 blocks.
 
 Decode envelope: baseline (SOF0) and extended-sequential (SOF1) Huffman,
 8-bit precision, 1 or 3 components, 4:4:4 sampling, tables from the
-stream, FF00 byte-unstuffing. Out of envelope — raise
-``NotImplementedError``, never a wrong pixel: progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision, subsampled chroma,
-restart intervals (DRI>0 / RSTn), lossless/hierarchical modes.
+stream, FF00 byte-unstuffing, restart intervals (DRI / RST0-7 with
+byte-alignment and DC-predictor reset, §B.2.1.2/§E.2.4). Out of
+envelope — raise ``NotImplementedError``, never a wrong pixel:
+progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
+subsampled chroma, lossless/hierarchical modes.
 
 Determinism contract (what makes oracle replay possible):
 
@@ -237,6 +238,12 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def put_marker(self, byte2: int) -> None:
+        """Byte-align, then append a raw FF-marker (NOT stuffed — markers
+        are the one legal bare 0xFF in entropy data, §B.1.1.5)."""
+        self.flush()
+        self.out += bytes((0xFF, byte2))
+
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 unstuffing.
@@ -259,14 +266,32 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers (RSTn) not supported"
-                )
             else:
+                # RSTn here means the decoder lost sync with the declared
+                # restart interval; any other marker means a truncated scan.
                 raise ValueError("marker inside entropy data (truncated scan?)")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def expect_rst(self, m: int) -> None:
+        """§E.2.4: at a restart boundary the encoder byte-aligned and
+        emitted RSTm. Discard the (<8) pad bits buffered past the last
+        decoded symbol, then consume the marker and check its sequence
+        number (m cycles 0..7)."""
+        if self.nbits >= 8:
+            raise ValueError("restart boundary with a full undecoded byte")
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected RST marker at restart boundary")
+        got = self.data[self.pos + 1]
+        if not 0xD0 <= got <= 0xD7:
+            raise ValueError(f"expected RSTn at restart boundary, got FF{got:02X}")
+        if got - 0xD0 != m:
+            raise ValueError(
+                f"RST sequence error: expected RST{m}, got RST{got - 0xD0}"
+            )
+        self.pos += 2
 
     def get(self, n: int) -> int:
         while self.nbits < n:
@@ -372,10 +397,12 @@ def _dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
 
 
 def _encode_jpeg(
-    planes: list[np.ndarray], qscale: int, color: bool
+    planes: list[np.ndarray], qscale: int, color: bool, restart_interval: int = 0
 ) -> bytes:
     """Shared encoder body: planes are full-resolution uint8 component
-    arrays (1 = grayscale, 3 = YCbCr 4:4:4), all the same shape."""
+    arrays (1 = grayscale, 3 = YCbCr 4:4:4), all the same shape.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    (byte-aligned, DC predictors reset) every that-many MCUs."""
     h, w = planes[0].shape
     q_luma = quant_table(QUANT_LUMA, qscale)
     q_chroma = quant_table(QUANT_CHROMA, qscale)
@@ -410,6 +437,9 @@ def _encode_jpeg(
         out += _segment(
             b"\xff\xc4", _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
         )
+    # DRI
+    if restart_interval:
+        out += _segment(b"\xff\xdd", struct.pack(">H", restart_interval))
     # SOS
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
@@ -427,26 +457,35 @@ def _encode_jpeg(
     ph, pw = padded[0].shape
     bw = _BitWriter()
     prev_dc = [0] * ncomp
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.put_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * ncomp
             for ci in range(ncomp):
                 q = q_luma if ci == 0 else q_chroma
                 dc_codes = dc_luma if ci == 0 else dc_chroma
                 ac_codes = ac_luma if ci == 0 else ac_chroma
                 qb = _quantize_block(padded[ci][by : by + 8, bx : bx + 8], q)
                 prev_dc[ci] = _encode_block(bw, qb, prev_dc[ci], dc_codes, ac_codes)
+            mcu += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def encode_jpeg_gray(img: np.ndarray, qscale: int = 1) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray, qscale: int = 1, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JPEG."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("encode_jpeg_gray expects an (h, w) array")
-    return _encode_jpeg([a], qscale, color=False)
+    return _encode_jpeg([a], qscale, color=False, restart_interval=restart_interval)
 
 
 def encode_jpeg_rgb(img: np.ndarray, qscale: int = 1) -> bytes:
@@ -497,6 +536,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -566,8 +606,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1) is supported"
             )
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("JPEG restart intervals not supported")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -584,8 +623,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)
             ]
             prev_dc = [0] * ncomp
+            mcu = 0
+            rst = 0
             for by in range(bh):
                 for bx in range(bw_):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.expect_rst(rst)
+                        rst = (rst + 1) % 8
+                        prev_dc = [0] * ncomp
+                    mcu += 1
                     for ci, (cid, _, _, tq) in enumerate(comps):
                         td, ta = scan_tbl[cid]
                         dc_tab = huff[(0, td)]

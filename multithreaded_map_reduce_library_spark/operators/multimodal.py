@@ -251,6 +251,7 @@ def embeddings_as_jpeg_assets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qscale: int = 1,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Fabricate REAL baseline-JPEG payloads from driver data: each
     embedding element is quantized to 8-bit grey JVM-side (the same
@@ -287,7 +288,11 @@ def embeddings_as_jpeg_assets(
             img = np.repeat(
                 np.repeat(vals.reshape(n_rows, blocks_per_row), 8, axis=0), 8, axis=1
             )
-            out.append(encode_jpeg_gray(img, qscale=qscale))
+            out.append(
+                encode_jpeg_gray(
+                    img, qscale=qscale, restart_interval=restart_interval
+                )
+            )
         return pd.Series(out)
 
     # The encode/decode kernels are compute-bound while the input is a

@@ -85,6 +85,35 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_restart_roundtrip",
+    oracle=f"""
+        SELECT vec_id AS asset_id,
+               CAST(64 AS INTEGER) AS width,
+               CAST(64 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               {_duck_block_sum(16)} AS sum_px
+        FROM embeddings
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "restart-markers", "mapInPandas"),
+)
+def multimodal_jpeg_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The roundtrip re-encoded with DRI=4 — an RSTm marker every 4 MCUs
+    (byte-aligned, DC predictors reset, RST0-7 sequence checked). Restart
+    markers must be TRANSPARENT to the decoded pixels, so the oracle is
+    byte-identical to ``multimodal_jpeg_roundtrip``'s closed form; any
+    mis-handled alignment, predictor reset, or sequence number breaks the
+    hash. Restart intervals are what make huge JPEGs seekable/parallel-
+    decodable at 100 TB — a decoder can start at any RST boundary."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decode_image_meta(embeddings_as_jpeg_assets(emb, restart_interval=4))
+
+
+@register(
     "multimodal_jpeg_quality_sweep",
     oracle=f"""
         SELECT vec_id AS asset_id, CAST(16 AS INTEGER) AS q00,

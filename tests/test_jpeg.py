@@ -130,18 +130,34 @@ def test_envelope_raises_never_wrong_pixels():
     sub[j + 11] = 0x22  # component 1 sampling byte (2,2)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
-    # restart interval: inject DRI=4 before SOS
-    k = bytes(data).index(b"\xff\xda")
-    dri = data[:k] + b"\xff\xdd\x00\x04\x00\x04" + data[k:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(dri))
     # truncated entropy data
+    k = bytes(data).index(b"\xff\xda")
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data[: k + 10]))
     # not a JPEG at all
     assert not is_jpeg(b"\x89PNG")
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_restart_intervals_transparent_and_checked():
+    """DRI/RSTn support (round-5 second pass): restart markers must not
+    change a single decoded pixel at any interval, the markers must
+    actually be emitted, and a broken RST sequence number must raise."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(img))[3]
+    for ri in (1, 2, 4, 7, 100):
+        data = encode_jpeg_gray(img, restart_interval=ri)
+        assert (decode_jpeg(data)[3] == plain).all(), ri
+    data = encode_jpeg_gray(img, restart_interval=4)
+    n_rst = sum(data.count(bytes([0xFF, 0xD0 + m])) for m in range(8))
+    assert n_rst >= 15  # 64 MCUs / 4 - 1 boundaries (byte coincidences aside)
+    i = data.index(b"\xff\xd0")
+    bad = bytearray(data)
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
 
 
 def test_quant_table_scaling():
@@ -169,4 +185,9 @@ def test_jpeg_roundtrip_query_oracle_parity(spark):
 
 def test_jpeg_quality_sweep_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_quality_sweep"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_jpeg_restart_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_restart_roundtrip"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
