@@ -524,12 +524,11 @@ def _idct_block(coef: np.ndarray) -> np.ndarray:
     return (_DCT_T.T @ ac @ _DCT_T) + dc / 8.0
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline JPEG to (width, height, channels, uint8 array).
-
-    Grayscale returns (h, w); color returns (h, w, 3) RGB (BT.601
-    inverse, rounded half up, clamped). See module docstring for the
-    supported envelope; anything outside raises NotImplementedError."""
+def _parse_headers(data: bytes) -> dict:
+    """Walk the marker stream up to (and including) SOS; return every
+    decode table plus where the entropy-coded data starts. Shared by the
+    whole-file decoder and the restart-segment APIs (one header parse
+    serves any number of independently decodable segments)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -615,63 +614,171 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ns):
                 cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
                 scan_tbl[cid] = (tsel >> 4, tsel & 0x0F)
-            h, w, comps = frame
-            ncomp = len(comps)
-            br = _BitReader(data, pos + seglen)
-            bh, bw_ = (h + 7) // 8, (w + 7) // 8
-            planes = [
-                np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)
-            ]
-            prev_dc = [0] * ncomp
-            mcu = 0
-            rst = 0
-            for by in range(bh):
-                for bx in range(bw_):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        br.expect_rst(rst)
-                        rst = (rst + 1) % 8
-                        prev_dc = [0] * ncomp
-                    mcu += 1
-                    for ci, (cid, _, _, tq) in enumerate(comps):
-                        td, ta = scan_tbl[cid]
-                        dc_tab = huff[(0, td)]
-                        ac_tab = huff[(1, ta)]
-                        q = qtables[tq]
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = br.read_symbol(dc_tab)
-                        diff = _extend(br.get(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_symbol(ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[k] = _extend(br.get(s), s)
-                            k += 1
-                        coef = np.zeros((8, 8), dtype=np.int64)
-                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-                        px = _idct_block(coef)
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-            cropped = [
-                np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in planes
-            ]
-            if ncomp == 1:
-                return w, h, 1, cropped[0].astype(np.uint8)
-            y, cb, cr = cropped
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack(
-                [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (r, g, b)], axis=-1
-            )
-            return w, h, 3, rgb.astype(np.uint8)
+            return {
+                "qtables": qtables,
+                "huff": huff,
+                "frame": frame,
+                "restart_interval": restart_interval,
+                "scan_tbl": scan_tbl,
+                "entropy_start": pos + seglen,
+            }
         pos += seglen
     raise ValueError("no SOS marker found (truncated JPEG)")
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, q: np.ndarray, prev_dc: int):
+    """Decode one entropy-coded block: returns (new DC predictor,
+    reconstructed float pixel block before level shift)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = br.read_symbol(dc_tab)
+    diff = _extend(br.get(s), s) if s else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.get(s), s)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+    return dc, _idct_block(coef)
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline JPEG to (width, height, channels, uint8 array).
+
+    Grayscale returns (h, w); color returns (h, w, 3) RGB (BT.601
+    inverse, rounded half up, clamped). See module docstring for the
+    supported envelope; anything outside raises NotImplementedError."""
+    hdr = _parse_headers(data)
+    qtables, huff = hdr["qtables"], hdr["huff"]
+    h, w, comps = hdr["frame"]
+    scan_tbl = hdr["scan_tbl"]
+    restart_interval = hdr["restart_interval"]
+    ncomp = len(comps)
+    br = _BitReader(data, hdr["entropy_start"])
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.expect_rst(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * ncomp
+            mcu += 1
+            for ci, (cid, _, _, tq) in enumerate(comps):
+                td, ta = scan_tbl[cid]
+                prev_dc[ci], px = _decode_block(
+                    br, huff[(0, td)], huff[(1, ta)], qtables[tq], prev_dc[ci]
+                )
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    cropped = [np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in planes]
+    if ncomp == 1:
+        return w, h, 1, cropped[0].astype(np.uint8)
+    y, cb, cr = cropped
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (r, g, b)], axis=-1
+    )
+    return w, h, 3, rgb.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Restart-segment APIs: the distributed-decode path
+# --------------------------------------------------------------------------
+
+
+def split_restart_segments(data: bytes) -> tuple[bytes, int, list[tuple[int, bytes]]]:
+    """Split a restart-interval JPEG into independently decodable
+    entropy segments (§E.2.4: each RSTm boundary byte-aligns and resets
+    the DC predictors, so every segment decodes with zero upstream
+    state — the property that makes one huge JPEG parallel-decodable).
+
+    Returns ``(header_bytes, n_mcus_total, [(mcu_start, segment), ...])``
+    where ``header_bytes`` is the marker stream through SOS (re-parsed
+    once per worker, ~350 B) and each segment is raw entropy data with
+    its RST markers stripped. Requires DRI > 0."""
+    hdr = _parse_headers(data)
+    ri = hdr["restart_interval"]
+    if ri <= 0:
+        raise ValueError("split_restart_segments requires a restart interval")
+    h, w, _ = hdr["frame"]
+    n_mcus = ((h + 7) // 8) * ((w + 7) // 8)
+    start = hdr["entropy_start"]
+    header = data[:start]
+    # scan entropy data for unstuffed markers
+    bounds = []
+    pos = start
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            pos += 2  # stuffed
+        elif 0xD0 <= nxt <= 0xD7:
+            bounds.append(pos)
+            pos += 2
+        else:
+            bounds.append(pos)  # EOI / next marker: end of entropy data
+            break
+    else:
+        raise ValueError("entropy data ran off the end of the stream")
+    segments = []
+    seg_start = start
+    for i, b in enumerate(bounds):
+        segments.append((i * ri, data[seg_start:b]))
+        seg_start = b + 2
+    return header, n_mcus, segments
+
+
+#: Per-worker header-parse cache: every segment of an asset (and every
+#: asset encoded with the same tables) shares one ~350 B header, so a
+#: worker parses it once per distinct header, not once per segment —
+#: at 16 segments/asset the parse was the kernel's dominant cost.
+_HEADER_CACHE: dict[bytes, dict] = {}
+
+
+def decode_segment_pixel_sum(
+    header: bytes, segment: bytes, n_mcus: int
+) -> tuple[int, int]:
+    """Decode one restart segment of a GRAYSCALE baseline JPEG and
+    return ``(n_blocks, sum_px)`` — the per-segment partial of the
+    whole-image pixel sum. Workers call this with the shared ~350 B
+    header and their own segment; no worker sees another segment's
+    bits or DC state. Color segments would need the cross-component
+    transform joined downstream — out of scope, loud raise."""
+    hdr = _HEADER_CACHE.get(header)
+    if hdr is None:
+        hdr = _parse_headers(header + b"\xff\xd9")
+        if len(_HEADER_CACHE) > 64:  # bound worker memory
+            _HEADER_CACHE.clear()
+        _HEADER_CACHE[header] = hdr
+    comps = hdr["frame"][2]
+    if len(comps) != 1:
+        raise NotImplementedError("segment decode supports grayscale only")
+    cid, _, _, tq = comps[0]
+    td, ta = hdr["scan_tbl"][cid]
+    dc_tab, ac_tab = hdr["huff"][(0, td)], hdr["huff"][(1, ta)]
+    q = hdr["qtables"][tq]
+    br = _BitReader(segment + b"\xff\xd9", 0)
+    prev_dc = 0
+    total = 0
+    for _ in range(n_mcus):
+        prev_dc, px = _decode_block(br, dc_tab, ac_tab, q, prev_dc)
+        total += int(np.clip(np.floor(px + 0.5) + 128.0, 0, 255).sum())
+    return n_mcus, total

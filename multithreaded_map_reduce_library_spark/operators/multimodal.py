@@ -309,6 +309,100 @@ def embeddings_as_jpeg_assets(
     )
 
 
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("seg_idx", IntegerType(), False),
+        StructField("n_mcus", IntegerType(), False),
+        StructField("header", BinaryType(), False),
+        StructField("segment", BinaryType(), False),
+    ]
+)
+
+SEGMENT_SUM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("seg_idx", IntegerType(), False),
+        StructField("n_blocks", IntegerType(), False),
+        StructField("sum_px_part", LongType(), False),
+    ]
+)
+
+
+def split_jpeg_segments(assets: DataFrame) -> DataFrame:
+    """mapInPandas stage 1 of the DISTRIBUTED single-asset JPEG decode:
+    split each restart-interval payload at its RSTm boundaries into
+    independently decodable entropy segments (byte-aligned, fresh DC
+    predictors — §E.2.4), one output row per (asset, segment) carrying
+    the shared ~350 B header. At 100 TB this is how one multi-GB scan
+    image spreads across executors: the SPLIT is a cheap marker scan;
+    the expensive DCT work lands on whichever tasks receive the
+    segments after the repartition."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from multithreaded_map_reduce_library_spark.functions.jpeg import (
+            split_restart_segments,
+        )
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                header, n_total, segs = split_restart_segments(
+                    bytes(payload) if payload is not None else b""
+                )
+                for i, (mcu_start, seg) in enumerate(segs):
+                    next_start = segs[i + 1][0] if i + 1 < len(segs) else n_total
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "seg_idx": i,
+                            "n_mcus": next_start - mcu_start,
+                            "header": header,
+                            "segment": seg,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, SEGMENT_SCHEMA)
+
+
+def decode_jpeg_segments(segments: DataFrame) -> DataFrame:
+    """mapInPandas stage 2: decode each entropy segment with zero
+    upstream state and emit its partial pixel sum. The caller
+    repartitions between the stages so one asset's segments fan out
+    across the cluster — the groupBy that reassembles per-asset totals
+    moves 2 ints per segment, never pixels."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from multithreaded_map_reduce_library_spark.functions.jpeg import (
+            decode_segment_pixel_sum,
+        )
+
+        for pdf in it:
+            rows = []
+            for asset_id, seg_idx, n_mcus, header, segment in zip(
+                pdf["asset_id"], pdf["seg_idx"], pdf["n_mcus"], pdf["header"], pdf["segment"]
+            ):
+                nb, s = decode_segment_pixel_sum(
+                    bytes(header), bytes(segment), int(n_mcus)
+                )
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "seg_idx": seg_idx,
+                        "n_blocks": nb,
+                        "sum_px_part": s,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SEGMENT_SUM_SCHEMA.fields]
+            )
+
+    return segments.mapInPandas(batches, SEGMENT_SUM_SCHEMA)
+
+
 DECODE_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

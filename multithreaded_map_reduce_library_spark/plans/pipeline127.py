@@ -114,6 +114,47 @@ def multimodal_jpeg_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "multimodal_jpeg_parallel_decode",
+    oracle=f"""
+        SELECT vec_id AS asset_id,
+               CAST(16 AS INTEGER) AS n_segments,
+               CAST(64 AS INTEGER) AS n_blocks,
+               {_duck_block_sum(16)} AS sum_px
+        FROM embeddings
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "distributed-decode", "mapInPandas"),
+    bench=True,
+)
+def multimodal_jpeg_parallel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED single-asset JPEG decode — the 100 TB shape for huge
+    scan images: stage 1 splits each DRI=4 payload at its RSTm
+    boundaries into 16 independently decodable entropy segments (restart
+    markers byte-align and reset DC predictors, so segments carry zero
+    upstream state); a repartition fans one asset's segments across the
+    cluster; stage 2 decodes each segment and emits a 2-int partial; the
+    per-asset groupBy reassembles totals moving ints, never pixels. The
+    oracle is the same closed-form DC reconstruction as the whole-file
+    roundtrip — so the split/fan-out/reassemble path must agree with the
+    sequential decoder bit-for-bit."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_jpeg_segments,
+        embeddings_as_jpeg_assets,
+        split_jpeg_segments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assets = embeddings_as_jpeg_assets(emb, restart_interval=4)
+    segments = split_jpeg_segments(assets)
+    par = spark.sparkContext.defaultParallelism
+    sums = decode_jpeg_segments(segments.repartition(par, "asset_id", "seg_idx"))
+    return sums.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_segments"),
+        F.sum("n_blocks").cast("int").alias("n_blocks"),
+        F.sum("sum_px_part").cast("bigint").alias("sum_px"),
+    )
+
+
+@register(
     "multimodal_jpeg_quality_sweep",
     oracle=f"""
         SELECT vec_id AS asset_id, CAST(16 AS INTEGER) AS q00,

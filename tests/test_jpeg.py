@@ -191,3 +191,36 @@ def test_jpeg_quality_sweep_query_oracle_parity(spark):
 def test_jpeg_restart_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_restart_roundtrip"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_segment_decode_equals_whole_decode():
+    """split→segment-decode→sum must agree with the sequential decoder
+    exactly, across shapes (incl. an interval that doesn't divide the
+    MCU count) — the invariant the distributed decode query hashes."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        decode_segment_pixel_sum,
+        split_restart_segments,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape, ri in [((64, 64), 4), ((24, 40), 3), ((64, 64), 7)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = encode_jpeg_gray(img, restart_interval=ri)
+        whole = decode_jpeg(data)[3]
+        header, n_total, segs = split_restart_segments(data)
+        got = blocks = 0
+        for i, (mcu_start, seg) in enumerate(segs):
+            nxt = segs[i + 1][0] if i + 1 < len(segs) else n_total
+            nb, s = decode_segment_pixel_sum(header, seg, nxt - mcu_start)
+            got += s
+            blocks += nb
+        assert blocks == n_total
+        assert got == int(whole.astype(np.int64).sum())
+    # no restart interval -> split must refuse, not mis-split
+    with pytest.raises(ValueError):
+        split_restart_segments(encode_jpeg_gray(img))
+
+
+def test_jpeg_parallel_decode_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_parallel_decode"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
