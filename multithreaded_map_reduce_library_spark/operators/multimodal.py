@@ -252,6 +252,7 @@ def embeddings_as_jpeg_assets(
     vec_col: str = "embedding",
     qscale: int = 1,
     restart_interval: int = 0,
+    spread: bool = True,
 ) -> DataFrame:
     """Fabricate REAL baseline-JPEG payloads from driver data: each
     embedding element is quantized to 8-bit grey JVM-side (the same
@@ -300,13 +301,14 @@ def embeddings_as_jpeg_assets(
     # (id, 64 quantized ints) rows across the cluster BEFORE the
     # expensive per-asset work — the shuffle moves ~260 B/row, the
     # kernel costs ~3 ms/asset. Same pattern as a real 100 TB image
-    # pipeline: repartition metadata, not pixels.
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    return (
-        emb.select(F.col(id_col).alias("asset_id"), q.alias("_px"))
-        .repartition(par, "asset_id")
-        .select("asset_id", to_jpeg("_px").alias("payload"))
-    )
+    # pipeline: repartition metadata, not pixels. ``spread=False`` for
+    # streaming plans, where parallelism comes from the file source and
+    # the ingest tier stays shuffle-free.
+    sel = emb.select(F.col(id_col).alias("asset_id"), q.alias("_px"))
+    if spread:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        sel = sel.repartition(par, "asset_id")
+    return sel.select("asset_id", to_jpeg("_px").alias("payload"))
 
 
 SEGMENT_SCHEMA = StructType(

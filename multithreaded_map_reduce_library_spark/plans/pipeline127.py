@@ -155,6 +155,45 @@ def multimodal_jpeg_parallel_decode(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_multimodal_jpeg_ingest",
+    oracle=f"""
+        SELECT vec_id AS asset_id,
+               CAST(64 AS INTEGER) AS width,
+               CAST(64 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               {_duck_block_sum(16)} AS sum_px
+        FROM embeddings
+    """,
+    tags=("streaming", "multimodal", "image-decode", "jpeg", "mapInPandas", "ingest"),
+)
+def stream_multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image decode at ingest — the JPEG twin of
+    ``stream_multimodal_wav_ingest``: assets arrive as a file stream,
+    are encoded to baseline JPEG by the pandas-UDF fabricator
+    (spread=False — parallelism comes from the file source, the ingest
+    tier stays shuffle-free), decoded by the mapInPandas DCT kernel, all
+    inside one streaming plan drained with AvailableNow. Stateless
+    per-asset work → output invariant to micro-batch boundaries, so the
+    batch closed-form oracle applies unchanged.
+
+    Scale design: continuous image ingest — each micro-batch decodes its
+    files map-side (Arrow batches, zero shuffles, zero state, no
+    driver); skinny geometry+sum rows append downstream."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg_assets,
+    )
+    from multithreaded_map_reduce_library_spark.streaming.windows import (
+        embeddings_stream,
+        run_stream_to_df,
+    )
+
+    emb = embeddings_stream(spark, sf_dir)
+    decoded = decode_image_meta(embeddings_as_jpeg_assets(emb, spread=False))
+    return run_stream_to_df(spark, decoded, "append")
+
+
+@register(
     "multimodal_jpeg_quality_sweep",
     oracle=f"""
         SELECT vec_id AS asset_id, CAST(16 AS INTEGER) AS q00,

@@ -224,3 +224,45 @@ def test_segment_decode_equals_whole_decode():
 def test_jpeg_parallel_decode_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_parallel_decode"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_stream_jpeg_ingest_oracle_parity(spark):
+    q = all_queries()["stream_multimodal_jpeg_ingest"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_stream_jpeg_ingest_invariant_to_micro_batching(spark, tmp_path):
+    """The streaming JPEG ingest is stateless, so its output must be
+    identical whether the source drains in one micro-batch or one file
+    at a time over a 4-chunk split source (the WAV tier's invariance,
+    applied to the image twin)."""
+    import os
+
+    import duckdb
+
+    q = all_queries()["stream_multimodal_jpeg_ingest"]
+    base = sorted(tuple(r) for r in q.fn(spark, SF_SMALL).collect())
+
+    d = tmp_path / "sf_split"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    emb_dir = d / "embeddings.parquet"
+    emb_dir.mkdir()
+    con = duckdb.connect()
+    src = f"{SF_SMALL}/embeddings.parquet"
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
+    sz = (n + 3) // 4
+    for i in range(4):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') LIMIT {sz} OFFSET {i * sz})"
+            f" TO '{emb_dir}/chunk{i}.parquet' (FORMAT PARQUET)"
+        )
+    os.environ["SPARK_GRAFT_STREAM_MAXFILES"] = "1"
+    try:
+        split = sorted(tuple(r) for r in q.fn(spark, str(d)).collect())
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_MAXFILES", None)
+    assert split == base
