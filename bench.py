@@ -81,9 +81,10 @@ def main() -> None:
     # tools/bench_diff.py. Override repeats with SPARK_GRAFT_BENCH_RUNS.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def timed_pass() -> tuple[dict[str, float], dict[str, float]]:
+    def timed_pass() -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
         t: dict[str, float] = {}
         s: dict[str, float] = {}
+        d: dict[str, float] = {}
         for name, q in bench_queries.items():
             samples = []
             for _ in range(n_runs):
@@ -92,27 +93,35 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             samples.sort()
-            t[name] = round(samples[len(samples) // 2], 3)
+            mid = len(samples) // 2
+            t[name] = round(samples[mid], 3)
             s[name] = round(samples[-1] - samples[0], 3)
-        return t, s
+            # downside spread (median - min): the contention signal. The
+            # full max-min spread also counts the one JIT-cold outlier the
+            # median already discards, so it sits ~20% of total even on an
+            # idle box; contention instead inflates the MEDIAN itself,
+            # which median-min catches.
+            d[name] = round(samples[mid] - samples[0], 3)
+        return t, s, d
 
-    # Contention guard #2: a pass whose summed per-query spread exceeds
-    # 15% of its total measured scheduler noise, not code — re-run (up
-    # to SPARK_GRAFT_BENCH_MAX_PASSES) and record the quietest pass.
+    # Contention guard #2: a pass whose summed downside spread
+    # (median - min) exceeds 15% of its total measured scheduler noise,
+    # not code — re-run (up to SPARK_GRAFT_BENCH_MAX_PASSES) and record
+    # the quietest pass.
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "3"))
     best = None
     n_passes = 0
     for attempt in range(1, max_passes + 1):
-        timings, spread = timed_pass()
+        timings, spread, down = timed_pass()
         n_passes = attempt
         total = sum(timings.values())
-        ratio = (sum(spread.values()) / total) if total else 0.0
+        ratio = (sum(down.values()) / total) if total else 0.0
         if best is None or ratio < best[2]:
             best = (timings, spread, ratio)
         if ratio <= 0.15:
             break
         print(
-            f"bench: pass {attempt} spread ratio {ratio:.1%} > 15% — "
+            f"bench: pass {attempt} downside-spread ratio {ratio:.1%} > 15% — "
             "contention suspected, re-running",
             file=sys.stderr,
         )
@@ -125,7 +134,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "spread_ratio": round(ratio, 4),
+        "downside_spread_ratio": round(ratio, 4),
         "passes": n_passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
