@@ -154,6 +154,77 @@ def multimodal_jpeg_parallel_decode(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _duck_recon_list(q00: int) -> str:
+    """DuckDB expression: the per-element DC-only reconstruction values
+    as a list (the 8×8 block means the aHash downsample recovers)."""
+    return f"""
+        list_transform(
+            list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(FLOOR(LEAST(GREATEST((x + 1.0) / 2.0, 0.0), 1.0)
+                                * 255.0) AS BIGINT) - 128),
+            m -> LEAST(GREATEST(
+                    CAST(FLOOR(((CASE WHEN m >= 0
+                                 THEN (16 * m + {q00}) // (2 * {q00})
+                                 ELSE -((16 * (-m) + {q00}) // (2 * {q00}))
+                                 END) * {q00} + 4) / 8.0) AS BIGINT) + 128,
+                    0), 255))
+    """
+
+
+def _duck_ahash_pack() -> str:
+    """Pack the 64 above-mean bits (strict >, matching the kernel's
+    ``flat > flat.mean()`` via the integer test 64·rᵢ > Σr) into 16 hex
+    chars MSB-first — identical to the kernel's ``f"{val:016x}"``."""
+    bit = lambda i: f"(CASE WHEN 64 * r[{i}] > tot THEN 1 ELSE 0 END)"  # noqa: E731
+    chars = []
+    for j in range(16):
+        idx = (
+            f"8 * {bit(4 * j + 1)} + 4 * {bit(4 * j + 2)}"
+            f" + 2 * {bit(4 * j + 3)} + {bit(4 * j + 4)}"
+        )
+        chars.append(f"substr('0123456789abcdef', 1 + {idx}, 1)")
+    return " || ".join(chars)
+
+
+@register(
+    "multimodal_jpeg_ahash_dedup",
+    oracle=f"""
+        WITH recons AS (
+            SELECT vec_id, {_duck_recon_list(16)} AS r FROM embeddings
+        ),
+        t AS (SELECT vec_id, r, list_aggregate(r, 'sum') AS tot FROM recons),
+        a AS (SELECT vec_id, {_duck_ahash_pack()} AS ahash FROM t)
+        SELECT ahash, COUNT(*) AS n_assets, MIN(vec_id) AS keep_asset
+        FROM a GROUP BY ahash
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash", "jpeg", "mapInPandas"),
+)
+def multimodal_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-curation composite: decode REAL baseline JPEGs through
+    the from-scratch codec, aHash the decoded pixels (8×8 block-mean
+    downsample → strict-above-mean bits → 16 hex chars), and group
+    identical fingerprints with a keep-lowest-id decision. Because the
+    fixtures are per-block-constant, the aHash downsample recovers
+    exactly the DC reconstruction values, so the ENTIRE decode→
+    perceptual-hash→dedup chain is replayed in integer SQL — a codec,
+    downsample, thresholding, or bit-packing bug all break the hash.
+
+    Scale design: decode+hash is map-side mapInPandas; the dedup is one
+    skinny shuffle of 16-char keys with map-side combine. 100 TB of
+    images reduce to |distinct fingerprints| rows."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        ahash_assets,
+        embeddings_as_jpeg_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hashed = ahash_assets(embeddings_as_jpeg_assets(emb))
+    return hashed.groupBy("ahash").agg(
+        F.count("*").alias("n_assets"),
+        F.min("asset_id").alias("keep_asset"),
+    )
+
+
 @register(
     "stream_multimodal_jpeg_ingest",
     oracle=f"""

@@ -226,6 +226,11 @@ def test_jpeg_parallel_decode_query_oracle_parity(spark):
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
 
 
+def test_jpeg_ahash_dedup_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_ahash_dedup"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
 def test_stream_jpeg_ingest_oracle_parity(spark):
     q = all_queries()["stream_multimodal_jpeg_ingest"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
