@@ -16,16 +16,18 @@ tables — the encoder emits its tables into the stream, the decoder reads
 whatever tables the stream carries).
 
 Encode envelope: 8-bit baseline sequential, grayscale (1 component) or
-RGB via BT.601 YCbCr 4:4:4 (3 components), integer quality scaling of
-the Annex K tables, edge-replication padding to 8×8 blocks.
+RGB via BT.601 YCbCr at 4:4:4 or 4:2:0 (chroma 2×2 box-mean
+downsampled), integer quality scaling of the Annex K tables,
+edge-replication padding to full MCU coverage.
 
 Decode envelope: baseline (SOF0) and extended-sequential (SOF1) Huffman,
-8-bit precision, 1 or 3 components, 4:4:4 sampling, tables from the
-stream, FF00 byte-unstuffing, restart intervals (DRI / RST0-7 with
-byte-alignment and DC-predictor reset, §B.2.1.2/§E.2.4). Out of
-envelope — raise ``NotImplementedError``, never a wrong pixel:
-progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-subsampled chroma, lossless/hierarchical modes.
+8-bit precision, 1 or 3 components, sampling factors 1–2 per axis
+(4:4:4 / 4:2:2 / 4:2:0; interleaved MCUs per §A.2.3, replication
+upsampling), tables from the stream, FF00 byte-unstuffing, restart
+intervals (DRI / RST0-7 with byte-alignment and DC-predictor reset,
+§B.2.1.2/§E.2.4). Out of envelope — raise ``NotImplementedError``,
+never a wrong pixel: progressive (SOF2), arithmetic coding (SOF9+),
+12-bit precision, sampling factors >2, lossless/hierarchical modes.
 
 Determinism contract (what makes oracle replay possible):
 
@@ -379,15 +381,6 @@ def _encode_block(
     return dc
 
 
-def _pad_to_blocks(img: np.ndarray) -> np.ndarray:
-    h, w = img.shape
-    ph = (-h) % 8
-    pw = (-w) % 8
-    if ph or pw:
-        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
-    return img
-
-
 def _segment(marker: bytes, payload: bytes) -> bytes:
     return marker + struct.pack(">H", len(payload) + 2) + payload
 
@@ -397,13 +390,22 @@ def _dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
 
 
 def _encode_jpeg(
-    planes: list[np.ndarray], qscale: int, color: bool, restart_interval: int = 0
+    planes: list[np.ndarray],
+    qscale: int,
+    color: bool,
+    restart_interval: int = 0,
+    samp: list[tuple[int, int]] | None = None,
+    size: tuple[int, int] | None = None,
 ) -> bytes:
-    """Shared encoder body: planes are full-resolution uint8 component
-    arrays (1 = grayscale, 3 = YCbCr 4:4:4), all the same shape.
+    """Shared encoder body: ``planes[c]`` is component c at its OWN
+    (possibly subsampled) resolution; ``samp[c]`` its (hs, vs) sampling
+    factors (default all (1, 1) = 4:4:4); ``size`` the full-resolution
+    (h, w) recorded in SOF (defaults to planes[0]'s shape — correct
+    whenever component 0 samples at (hmax, vmax), as Y does).
     ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
     (byte-aligned, DC predictors reset) every that-many MCUs."""
-    h, w = planes[0].shape
+    samp = samp or [(1, 1)] * len(planes)
+    h, w = size or planes[0].shape
     q_luma = quant_table(QUANT_LUMA, qscale)
     q_chroma = quant_table(QUANT_CHROMA, qscale)
     out = bytearray(b"\xff\xd8")  # SOI
@@ -425,7 +427,8 @@ def _encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         tq = 0 if cid == 1 else 1
-        sof += bytes([cid, 0x11, tq])  # 4:4:4 sampling everywhere
+        hs, vs = samp[cid - 1]
+        sof += bytes([cid, hs << 4 | vs, tq])
     out += _segment(b"\xff\xc0", sof)
     # DHT
     out += _segment(b"\xff\xc4", _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
@@ -453,24 +456,41 @@ def _encode_jpeg(
     dc_chroma = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_chroma = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
-    padded = [_pad_to_blocks(p) for p in planes]
-    ph, pw = padded[0].shape
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each component plane (at its own resolution) to full MCU coverage
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        ph_, pw_ = p.shape
+        padded.append(np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge"))
     bw = _BitWriter()
     prev_dc = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.put_marker(0xD0 + rst)
                 rst = (rst + 1) % 8
                 prev_dc = [0] * ncomp
             for ci in range(ncomp):
+                hs, vs = samp[ci]
                 q = q_luma if ci == 0 else q_chroma
                 dc_codes = dc_luma if ci == 0 else dc_chroma
                 ac_codes = ac_luma if ci == 0 else ac_chroma
-                qb = _quantize_block(padded[ci][by : by + 8, bx : bx + 8], q)
-                prev_dc[ci] = _encode_block(bw, qb, prev_dc[ci], dc_codes, ac_codes)
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        r0 = (my * vs + byi) * 8
+                        c0 = (mx * hs + bxi) * 8
+                        qb = _quantize_block(
+                            padded[ci][r0 : r0 + 8, c0 : c0 + 8], q
+                        )
+                        prev_dc[ci] = _encode_block(
+                            bw, qb, prev_dc[ci], dc_codes, ac_codes
+                        )
             mcu += 1
     bw.flush()
     out += bw.out
@@ -488,12 +508,21 @@ def encode_jpeg_gray(
     return _encode_jpeg([a], qscale, color=False, restart_interval=restart_interval)
 
 
-def encode_jpeg_rgb(img: np.ndarray, qscale: int = 1) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr 4:4:4 JPEG
-    (BT.601 forward transform, rounded half away from zero)."""
+def encode_jpeg_rgb(
+    img: np.ndarray,
+    qscale: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JPEG
+    (BT.601 forward transform, rounded half up). ``subsampling``:
+    '444' (full-res chroma) or '420' (chroma 2×2 box-mean downsampled,
+    half-up — the web's default storage format)."""
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     r, g, b = a[..., 0], a[..., 1], a[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
@@ -501,7 +530,26 @@ def encode_jpeg_rgb(img: np.ndarray, qscale: int = 1) -> bytes:
     planes = [
         np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (y, cb, cr)
     ]
-    return _encode_jpeg(planes, qscale, color=True)
+    if subsampling == "444":
+        return _encode_jpeg(
+            planes, qscale, color=True, restart_interval=restart_interval
+        )
+    h, w = planes[0].shape
+    # 4:2:0 chroma: pad to even dims (edge), then 2x2 box mean, half-up.
+    sub = [planes[0]]
+    for p in planes[1:]:
+        q = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.int64)
+        hh, ww = q.shape
+        blocks = q.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3))
+        sub.append(((blocks + 2) // 4).astype(np.uint8))  # floor(mean+0.5)
+    return _encode_jpeg(
+        sub,
+        qscale,
+        color=True,
+        restart_interval=restart_interval,
+        samp=[(2, 2), (1, 1), (1, 1)],
+        size=(h, w),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -593,9 +641,9 @@ def _parse_headers(data: bytes) -> dict:
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+            if any(hs not in (1, 2) or vs not in (1, 2) for _, hs, vs, _ in comps):
                 raise NotImplementedError(
-                    "subsampled chroma (non-4:4:4) not supported"
+                    "only sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0) supported"
                 )
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG not supported")
@@ -666,25 +714,45 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     restart_interval = hdr["restart_interval"]
     ncomp = len(comps)
     br = _BitReader(data, hdr["entropy_start"])
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in range(ncomp)]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
     prev_dc = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw_):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.expect_rst(rst)
                 rst = (rst + 1) % 8
                 prev_dc = [0] * ncomp
             mcu += 1
-            for ci, (cid, _, _, tq) in enumerate(comps):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
                 td, ta = scan_tbl[cid]
-                prev_dc[ci], px = _decode_block(
-                    br, huff[(0, td)], huff[(1, ta)], qtables[tq], prev_dc[ci]
-                )
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    cropped = [np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in planes]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        prev_dc[ci], px = _decode_block(
+                            br, huff[(0, td)], huff[(1, ta)], qtables[tq], prev_dc[ci]
+                        )
+                        r0 = (my * vs + byi) * 8
+                        c0 = (mx * hs + bxi) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
+    # upsample subsampled components to full resolution by replication
+    # (§A.1.1 nearest-neighbor — self-consistent with the encoder's
+    # box-mean downsample), then crop and level-shift
+    up = []
+    for p, (_, hs, vs, _) in zip(planes, comps):
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        up.append(p)
+    cropped = [np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in up]
     if ncomp == 1:
         return w, h, 1, cropped[0].astype(np.uint8)
     y, cb, cr = cropped

@@ -311,6 +311,54 @@ def embeddings_as_jpeg_assets(
     return sel.select("asset_id", to_jpeg("_px").alias("payload"))
 
 
+def embeddings_as_jpeg420_assets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1,
+) -> DataFrame:
+    """Color 4:2:0 fixture builder: embedding elements 0..47 quantize to
+    16 RGB triples painted as CONSTANT 16×16 macroblocks (4×4 grid →
+    a 64×64×3 image), encoded by the from-scratch encoder at YCbCr
+    4:2:0. Constant macroblocks keep every component's every block
+    DC-only THROUGH the chroma box-mean downsample, so the full color
+    chain — BT.601 forward, two quant tables, subsample, DCT, entropy,
+    upsample, BT.601 inverse — reconstructs in closed form a SQL oracle
+    replays (identical double expressions both engines)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb,
+    )
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            F.least(F.greatest((x.cast("double") + 1.0) / 2.0, F.lit(0.0)), F.lit(1.0))
+            * 255.0
+        ).cast("int"),
+    )
+
+    @pandas_udf("binary")
+    def to_jpeg420(pxs: pd.Series) -> pd.Series:
+        out = []
+        for p in pxs:
+            vals = np.asarray(list(p)[:48], dtype=np.uint8).reshape(16, 3)
+            grid = vals.reshape(4, 4, 3)
+            img = np.repeat(np.repeat(grid, 16, axis=0), 16, axis=1)
+            out.append(encode_jpeg_rgb(img, qscale=qscale, subsampling="420"))
+        return pd.Series(out)
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(F.col(id_col).alias("asset_id"), q.alias("_px"))
+        .repartition(par, "asset_id")
+        .select("asset_id", to_jpeg420("_px").alias("payload"))
+    )
+
+
 SEGMENT_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

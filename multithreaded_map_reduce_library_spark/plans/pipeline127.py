@@ -225,6 +225,96 @@ def multimodal_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_recon(col: str, q00: int) -> str:
+    """recon(v, q00): the DC-only reconstruction of a constant block."""
+    return f"""
+        LEAST(GREATEST(
+            CAST(FLOOR(((CASE WHEN {col} - 128 >= 0
+                         THEN (16 * ({col} - 128) + {q00}) // (2 * {q00})
+                         ELSE -((16 * (128 - {col}) + {q00}) // (2 * {q00}))
+                         END) * {q00} + 4) / 8.0) AS BIGINT) + 128,
+            0), 255)
+    """
+
+
+@register(
+    "multimodal_jpeg420_roundtrip",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(LEAST(GREATEST((x + 1.0) / 2.0, 0.0), 1.0)
+                                       * 255.0) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        mb AS (
+            SELECT vec_id,
+                   qv[3 * i.g + 1] AS r, qv[3 * i.g + 2] AS g, qv[3 * i.g + 3] AS b
+            FROM q CROSS JOIN generate_series(0, 15) AS i(g)
+        ),
+        -- e0 literals force DOUBLE: DuckDB parses 0.299 as DECIMAL and
+        -- would compute the transform in exact decimal arithmetic,
+        -- diverging from the encoder's IEEE-double numpy (e.g. rgb
+        -- (120,132,124): decimal Y = 128.000 exactly, double Y =
+        -- 127.99999999999999 -> floor 127)
+        ycc AS (
+            SELECT vec_id,
+                LEAST(GREATEST(CAST(FLOOR(0.299e0*r + 0.587e0*g + 0.114e0*b
+                                          + 0.5e0) AS BIGINT), 0), 255) AS y,
+                LEAST(GREATEST(CAST(FLOOR(-0.168736e0*r - 0.331264e0*g + 0.5e0*b
+                                          + 128.0e0 + 0.5e0) AS BIGINT), 0), 255) AS cb,
+                LEAST(GREATEST(CAST(FLOOR(0.5e0*r - 0.418688e0*g - 0.081312e0*b
+                                          + 128.0e0 + 0.5e0) AS BIGINT), 0), 255) AS cr
+            FROM mb
+        ),
+        rec AS (
+            SELECT vec_id,
+                   {_duck_recon("y", 16)} AS y2,
+                   {_duck_recon("cb", 17)} AS cb2,
+                   {_duck_recon("cr", 17)} AS cr2
+            FROM ycc
+        ),
+        rgb AS (
+            SELECT vec_id,
+                LEAST(GREATEST(CAST(FLOOR(y2 + 1.402e0*(cr2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS r2,
+                LEAST(GREATEST(CAST(FLOOR(y2 - 0.344136e0*(cb2 - 128.0e0)
+                                          - 0.714136e0*(cr2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS g2,
+                LEAST(GREATEST(CAST(FLOOR(y2 + 1.772e0*(cb2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS b2
+            FROM rec
+        )
+        SELECT vec_id AS asset_id,
+               CAST(64 AS INTEGER) AS width,
+               CAST(64 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS sum_px
+        FROM rgb GROUP BY vec_id
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "chroma-subsampling", "mapInPandas"),
+)
+def multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR 4:2:0 JPEG roundtrip — the web's default storage format:
+    16 RGB triples from each embedding painted as constant 16×16
+    macroblocks, encoded at YCbCr 4:2:0 (chroma 2×2 box-mean
+    downsampled, two quantization tables), decoded back through the
+    interleaved-MCU path with replication upsampling and the BT.601
+    inverse. Constant macroblocks keep every block DC-only through the
+    subsample, so the oracle replays the ENTIRE color chain — forward
+    transform, both quant tables, reconstruction, upsample, inverse
+    transform — in arithmetic both engines compute identically; any
+    MCU-interleave, plane-geometry, upsample, or color-math bug breaks
+    the hash."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg420_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decode_image_meta(embeddings_as_jpeg420_assets(emb))
+
+
 @register(
     "stream_multimodal_jpeg_ingest",
     oracle=f"""

@@ -123,11 +123,12 @@ def test_envelope_raises_never_wrong_pixels():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    # subsampled chroma: craft SOF with 2x2 sampling on component 1
+    # sampling factor beyond 2: craft SOF with 4x1 sampling on component 1
+    # (factors 1-2 are in-envelope since the round-5 4:2:0 support)
     rgb = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
     j = bytes(rgb).index(b"\xff\xc0")
     sub = rgb.copy()
-    sub[j + 11] = 0x22  # component 1 sampling byte (2,2)
+    sub[j + 11] = 0x41  # component 1 sampling byte (4,1)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
     # truncated entropy data
@@ -223,6 +224,80 @@ def test_segment_decode_equals_whole_decode():
 
 def test_jpeg_parallel_decode_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_parallel_decode"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_jpeg_420_shapes_and_subsampling():
+    """4:2:0 roundtrip: shapes survive odd dimensions; the 4:2:0 stream
+    is smaller than 4:4:4 on the same content; restart intervals compose
+    with subsampled MCUs; sampling factors >2 still raise."""
+    rng = np.random.default_rng(13)
+    for shape in [(32, 32, 3), (40, 56, 3), (17, 9, 3)]:
+        x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, out = decode_jpeg(encode_jpeg_rgb(x, subsampling="420"))
+        assert (h, w, c) == (shape[0], shape[1], 3) and out.shape == shape
+    smooth = np.repeat(
+        np.repeat(rng.integers(0, 256, size=(4, 4, 3)), 16, axis=0), 16, axis=1
+    ).astype(np.uint8)
+    assert len(encode_jpeg_rgb(smooth, subsampling="420")) < len(
+        encode_jpeg_rgb(smooth)
+    )
+    x = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_rgb(x, subsampling="420"))[3]
+    with_rst = decode_jpeg(
+        encode_jpeg_rgb(x, subsampling="420", restart_interval=2)
+    )[3]
+    assert (plain == with_rst).all()
+    # factor >2: flip Y sampling to 4x1 in the SOF and expect a raise
+    data = bytearray(encode_jpeg_rgb(x, subsampling="420"))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 11] = 0x41
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_420_macroblock_constant_closed_form():
+    """Constant 16x16 macroblocks stay DC-only through the chroma
+    box-mean, so the decoded color equals the closed-form chain the
+    420 oracle replays (forward BT.601, both quant tables, inverse)."""
+    rng = np.random.default_rng(14)
+
+    def recon(v, q00):
+        m = v - 128
+        qd = (16 * abs(m) + q00) // (2 * q00)
+        qd = qd if m >= 0 else -qd
+        return min(max(math.floor((qd * q00 + 4) / 8) + 128, 0), 255)
+
+    def clamp(v):
+        return min(max(v, 0), 255)
+
+    triples = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    im = np.zeros((64, 64, 3), dtype=np.uint8)
+    for i, rgb in enumerate(triples):
+        r0, c0 = divmod(i, 4)
+        im[r0 * 16 : (r0 + 1) * 16, c0 * 16 : (c0 + 1) * 16] = rgb
+    _, _, _, out = decode_jpeg(encode_jpeg_rgb(im, subsampling="420"))
+    for i, (r, g, b) in enumerate(triples):
+        y = clamp(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+        cb = clamp(math.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))
+        cr = clamp(math.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5))
+        y2, cb2, cr2 = recon(y, 16), recon(cb, 17), recon(cr, 17)
+        exp = (
+            clamp(math.floor(y2 + 1.402 * (cr2 - 128.0) + 0.5)),
+            clamp(
+                math.floor(
+                    y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5
+                )
+            ),
+            clamp(math.floor(y2 + 1.772 * (cb2 - 128.0) + 0.5)),
+        )
+        r0, c0 = divmod(i, 4)
+        blk = out[r0 * 16 : (r0 + 1) * 16, c0 * 16 : (c0 + 1) * 16]
+        assert (blk == np.array(exp)).all(), (i, (r, g, b), exp)
+
+
+def test_jpeg_420_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg420_roundtrip"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
 
 
