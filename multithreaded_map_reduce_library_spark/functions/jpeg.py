@@ -516,12 +516,13 @@ def encode_jpeg_rgb(
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JPEG
     (BT.601 forward transform, rounded half up). ``subsampling``:
-    '444' (full-res chroma) or '420' (chroma 2×2 box-mean downsampled,
-    half-up — the web's default storage format)."""
+    '444' (full-res chroma), '422' (chroma halved horizontally, 1×2
+    box-mean), or '420' (chroma 2×2 box-mean downsampled, half-up —
+    the web's default storage format)."""
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     r, g, b = a[..., 0], a[..., 1], a[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -535,19 +536,23 @@ def encode_jpeg_rgb(
             planes, qscale, color=True, restart_interval=restart_interval
         )
     h, w = planes[0].shape
-    # 4:2:0 chroma: pad to even dims (edge), then 2x2 box mean, half-up.
+    # 4:2:0 / 4:2:2 chroma: pad to even dims (edge), box mean, half-up.
+    fy = 2 if subsampling == "420" else 1
     sub = [planes[0]]
     for p in planes[1:]:
-        q = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.int64)
+        q = np.pad(
+            p, ((0, h % fy if fy == 2 else 0), (0, w % 2)), mode="edge"
+        ).astype(np.int64)
         hh, ww = q.shape
-        blocks = q.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3))
-        sub.append(((blocks + 2) // 4).astype(np.uint8))  # floor(mean+0.5)
+        blocks = q.reshape(hh // fy, fy, ww // 2, 2).sum(axis=(1, 3))
+        n = 2 * fy
+        sub.append(((blocks + n // 2) // n).astype(np.uint8))  # floor(mean+0.5)
     return _encode_jpeg(
         sub,
         qscale,
         color=True,
         restart_interval=restart_interval,
-        samp=[(2, 2), (1, 1), (1, 1)],
+        samp=[(2, fy), (1, 1), (1, 1)],
         size=(h, w),
     )
 

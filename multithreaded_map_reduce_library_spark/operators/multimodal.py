@@ -316,6 +316,7 @@ def embeddings_as_jpeg420_assets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qscale: int = 1,
+    subsampling: str = "420",
 ) -> DataFrame:
     """Color 4:2:0 fixture builder: embedding elements 0..47 quantize to
     16 RGB triples painted as CONSTANT 16×16 macroblocks (4×4 grid →
@@ -348,7 +349,7 @@ def embeddings_as_jpeg420_assets(
             vals = np.asarray(list(p)[:48], dtype=np.uint8).reshape(16, 3)
             grid = vals.reshape(4, 4, 3)
             img = np.repeat(np.repeat(grid, 16, axis=0), 16, axis=1)
-            out.append(encode_jpeg_rgb(img, qscale=qscale, subsampling="420"))
+            out.append(encode_jpeg_rgb(img, qscale=qscale, subsampling=subsampling))
         return pd.Series(out)
 
     par = emb.sparkSession.sparkContext.defaultParallelism

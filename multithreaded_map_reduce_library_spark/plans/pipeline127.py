@@ -316,6 +316,86 @@ def multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_subsampling_parity",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(LEAST(GREATEST((x + 1.0) / 2.0, 0.0), 1.0)
+                                       * 255.0) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        mb AS (
+            SELECT vec_id,
+                   qv[3 * i.g + 1] AS r, qv[3 * i.g + 2] AS g, qv[3 * i.g + 3] AS b
+            FROM q CROSS JOIN generate_series(0, 15) AS i(g)
+        ),
+        ycc AS (
+            SELECT vec_id,
+                LEAST(GREATEST(CAST(FLOOR(0.299e0*r + 0.587e0*g + 0.114e0*b
+                                          + 0.5e0) AS BIGINT), 0), 255) AS y,
+                LEAST(GREATEST(CAST(FLOOR(-0.168736e0*r - 0.331264e0*g + 0.5e0*b
+                                          + 128.0e0 + 0.5e0) AS BIGINT), 0), 255) AS cb,
+                LEAST(GREATEST(CAST(FLOOR(0.5e0*r - 0.418688e0*g - 0.081312e0*b
+                                          + 128.0e0 + 0.5e0) AS BIGINT), 0), 255) AS cr
+            FROM mb
+        ),
+        rec AS (
+            SELECT vec_id,
+                   {_duck_recon("y", 16)} AS y2,
+                   {_duck_recon("cb", 17)} AS cb2,
+                   {_duck_recon("cr", 17)} AS cr2
+            FROM ycc
+        ),
+        rgb AS (
+            SELECT vec_id,
+                LEAST(GREATEST(CAST(FLOOR(y2 + 1.402e0*(cr2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS r2,
+                LEAST(GREATEST(CAST(FLOOR(y2 - 0.344136e0*(cb2 - 128.0e0)
+                                          - 0.714136e0*(cr2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS g2,
+                LEAST(GREATEST(CAST(FLOOR(y2 + 1.772e0*(cb2 - 128.0e0) + 0.5e0)
+                                    AS BIGINT), 0), 255) AS b2
+            FROM rec
+        ),
+        sums AS (
+            SELECT vec_id AS asset_id,
+                   CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS sum_px
+            FROM rgb GROUP BY vec_id
+        )
+        SELECT asset_id, m.mode AS mode, sum_px
+        FROM sums CROSS JOIN (VALUES ('420'), ('422'), ('444')) AS m(mode)
+    """,
+    tags=("multimodal", "image-decode", "jpeg", "chroma-subsampling", "parity"),
+)
+def multimodal_jpeg_subsampling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-mode MCU-layout parity: the same constant-macroblock assets
+    encoded at 4:4:4 (one block per component per MCU), 4:2:2 (2+1+1
+    blocks, horizontal chroma halving), and 4:2:0 (4+1+1 blocks, 2×2
+    halving) must decode to IDENTICAL pixels — constant macroblocks make
+    every subsample lossless and every block DC-only, so the three
+    interleave layouts are mathematically equivalent. The oracle emits
+    the one closed-form sum per asset for all three mode rows; any
+    layout-specific decode bug (block raster order within an MCU, plane
+    geometry, upsample factors) breaks exactly the affected mode's rows."""
+    from multithreaded_map_reduce_library_spark.operators.multimodal import (
+        decode_image_meta,
+        embeddings_as_jpeg420_assets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = []
+    for mode in ("420", "422", "444"):
+        decoded = decode_image_meta(
+            embeddings_as_jpeg420_assets(emb, subsampling=mode)
+        )
+        out.append(
+            decoded.select("asset_id", F.lit(mode).alias("mode"), "sum_px")
+        )
+    return out[0].unionAll(out[1]).unionAll(out[2])
+
+
+@register(
     "stream_multimodal_jpeg_ingest",
     oracle=f"""
         SELECT vec_id AS asset_id,

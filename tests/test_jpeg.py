@@ -256,6 +256,38 @@ def test_jpeg_420_shapes_and_subsampling():
         decode_jpeg(bytes(data))
 
 
+def test_jpeg_422_mode():
+    """4:2:2 (horizontal-only chroma halving): shapes survive odd
+    dimensions, restart intervals compose, and on constant macroblocks
+    all three subsampling modes decode to identical pixels (every
+    subsample is lossless there — the invariant the parity query
+    hashes)."""
+    rng = np.random.default_rng(21)
+    for shape in [(32, 32, 3), (40, 56, 3), (17, 9, 3)]:
+        x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, out = decode_jpeg(encode_jpeg_rgb(x, subsampling="422"))
+        assert (h, w, c) == (shape[0], shape[1], 3) and out.shape == shape
+    x = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_rgb(x, subsampling="422"))[3]
+    rst = decode_jpeg(encode_jpeg_rgb(x, subsampling="422", restart_interval=2))[3]
+    assert (plain == rst).all()
+    triples = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    im = np.zeros((64, 64, 3), dtype=np.uint8)
+    for i, rgb in enumerate(triples):
+        r0, c0 = divmod(i, 4)
+        im[r0 * 16 : (r0 + 1) * 16, c0 * 16 : (c0 + 1) * 16] = rgb
+    outs = [
+        decode_jpeg(encode_jpeg_rgb(im, subsampling=m))[3]
+        for m in ("444", "422", "420")
+    ]
+    assert (outs[0] == outs[1]).all() and (outs[1] == outs[2]).all()
+
+
+def test_jpeg_subsampling_parity_query(spark):
+    q = all_queries()["multimodal_jpeg_subsampling_parity"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
 def test_jpeg_420_macroblock_constant_closed_form():
     """Constant 16x16 macroblocks stay DC-only through the chroma
     box-mean, so the decoded color equals the closed-form chain the

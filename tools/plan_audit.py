@@ -75,6 +75,7 @@ ALLOW_PYTHON = {
     "multimodal_jpeg_parallel_decode": "RST-segment split + fan-out + per-segment DCT decode kernels",
     "multimodal_jpeg_ahash_dedup": "JPEG encode pandas UDF + mapInPandas DCT decode + aHash kernel",
     "multimodal_jpeg420_roundtrip": "YCbCr 4:2:0 JPEG encode pandas UDF + mapInPandas interleaved-MCU decode",
+    "multimodal_jpeg_subsampling_parity": "444/422/420 JPEG encode pandas UDFs + mapInPandas interleaved-MCU decodes",
     "multimodal_jpeg_quality_sweep": "two-quant-scale JPEG encode pandas UDFs + mapInPandas DCT decode",
     "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
     "multimodal_wav_vad_features": "WAV encode pandas UDF + mapInPandas VAD kernel",
