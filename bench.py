@@ -136,6 +136,12 @@ def main() -> None:
         "spread": spread,
         "downside_spread_ratio": round(ratio, 4),
         "passes": n_passes,
+        # Measurement protocol version (ADVICE r5): 1 = single pass,
+        # median-of-3 per query (rounds 3-4); 2 = quietest of up to 3
+        # full passes by downside-spread ratio (round 5+). Rows with
+        # different protocols are not directly comparable round-over-
+        # round; tools/bench_diff.py surfaces the tag.
+        "protocol": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))

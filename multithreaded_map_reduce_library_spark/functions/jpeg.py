@@ -592,6 +592,13 @@ def _parse_headers(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        # §B.1.1.2: any number of 0xFF fill bytes may pad before a marker;
+        # skip them so the marker id is never itself read as 0xFF (ADVICE
+        # r5: a foreign JPEG with fill bytes otherwise misparses — 0xFF is
+        # not a marker id and the next two bytes get read as a bogus
+        # segment length).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -663,6 +670,16 @@ def _parse_headers(data: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # A spec-legal sequential JPEG may split its components
+                # across several scans (§B.2.3 allows ns < Nf); this
+                # decoder handles the interleaved single-scan form only.
+                # Raise the envelope error, not a KeyError, so
+                # _decode_image_bytes routes to the PIL fallback when one
+                # is installed (ADVICE r5).
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG not supported"
+                )
             scan_tbl = {}
             for i in range(ns):
                 cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
@@ -789,8 +806,13 @@ def split_restart_segments(data: bytes) -> tuple[bytes, int, list[tuple[int, byt
     ri = hdr["restart_interval"]
     if ri <= 0:
         raise ValueError("split_restart_segments requires a restart interval")
-    h, w, _ = hdr["frame"]
-    n_mcus = ((h + 7) // 8) * ((w + 7) // 8)
+    h, w, comps = hdr["frame"]
+    # MCU grid is sized by the MAX sampling factors (§A.2.3) — ceil(h/8)
+    # *ceil(w/8) is only right for 1x1 sampling and silently miscounted
+    # per-segment MCUs for subsampled color streams (ADVICE r5).
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    n_mcus = ((h + 8 * vmax - 1) // (8 * vmax)) * ((w + 8 * hmax - 1) // (8 * hmax))
     start = hdr["entropy_start"]
     header = data[:start]
     # scan entropy data for unstuffed markers

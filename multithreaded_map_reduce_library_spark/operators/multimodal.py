@@ -2,12 +2,16 @@
 metadata structs, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed exactly as the driver prescribes: a deterministic fake decoder
-(md5-seeded, reproducible) by default and ``NotImplementedError`` guards
-where a real codec (PIL/ffmpeg) would be imported. Everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real and
-tested; swapping in a real codec touches only ``_decode_image_bytes``.
+Decode is real, not stubbed: PNG, baseline-DCT JPEG (including 4:2:0 /
+4:2:2 chroma subsampling and restart markers) and WAV payloads are decoded
+by the repo's dependency-free from-scratch codecs (``functions/png.py``,
+``functions/jpeg.py``, the WAV kernels in ``plans/pipeline62-63.py``), so
+every oracle-hashed result is a function of the bytes alone. PIL, when a
+cluster has it, is only a fallback for image variants outside the codec
+envelopes (which otherwise raise ``NotImplementedError``). Only non-image
+payloads (e.g. the synthetic "video" modality, for which the container has
+no codec) fall back to a deterministic md5-seeded fake grid that keeps the
+feature plumbing exercised on opaque bytes.
 """
 
 from __future__ import annotations
@@ -76,10 +80,12 @@ def _decode_image_bytes(payload: bytes) -> "object":
     the round-2 prefer-PIL-for-PNG branch made `multimodal_png_roundtrip`
     output depend on the driver environment and burned a hash row).
     Round-5 (VERDICT r4 item 7a): the JPEG branch is no longer PIL-gated
-    — functions/jpeg.py carries a real baseline-DCT decoder; PIL, when
-    installed, is only the fallback for JPEG variants outside its
-    envelope (progressive, subsampled chroma — NotImplementedError
-    otherwise, a path no oracle-hashed fixture exercises).
+    — functions/jpeg.py carries a real baseline-DCT decoder covering
+    4:2:0/4:2:2 chroma subsampling and restart markers; PIL, when
+    installed, is only the fallback for JPEG variants outside that
+    envelope (progressive SOF2, arithmetic coding, multi-scan
+    sequential — NotImplementedError otherwise, a path no oracle-hashed
+    fixture exercises).
 
     Non-image payloads fall back to the deterministic md5-seeded fake
     8x8 grid, which keeps the feature plumbing exercised on opaque bytes.

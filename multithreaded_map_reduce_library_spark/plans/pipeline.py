@@ -703,10 +703,12 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_multimodal_features_sql() -> str:
-    """The deterministic fake decoder is md5-derived, so even the
-    mapInPandas path gets a full oracle: pixels are md5(payload) digest
-    bytes tiled 4x to 64, hence sum-of-squares = 4 * sum over the 16
-    digest bytes; feat_l2 = sqrt of that, %.6f-formatted."""
+    """Document-text payloads are not images, so they hit the decode
+    kernel's documented non-image path: the deterministic md5-seeded
+    fake grid. That grid is md5-derived, so even the mapInPandas path
+    gets a full oracle: pixels are md5(payload) digest bytes tiled 4x to
+    64, hence sum-of-squares = 4 * sum over the 16 digest bytes;
+    feat_l2 = sqrt of that, %.6f-formatted."""
     hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     byte_sq = " + ".join(
         f"pow(16 * {hv.format(p=2 * i + 1)} + {hv.format(p=2 * i + 2)}, 2)"
@@ -730,8 +732,11 @@ def _duck_multimodal_features_sql() -> str:
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode kernel stubbed deterministically — no codecs in container)."""
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+    These payloads are document text, not images, so the decode kernel
+    routes them to its deterministic md5-seeded non-image grid (real
+    PNG/JPEG bytes take the from-scratch codecs — see
+    operators/multimodal.py)."""
     assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
 

@@ -28,14 +28,20 @@ from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
 _TAU_H = 240
+#: Constant cap on the click-count risk score: scores above the cap are
+#: treated as tied at the cap (bot-range clicks carry no extra rank
+#: information), which bounds the score axis of the c-index grid at a
+#: corpus-independent 4097 values.  Applied identically in the Spark
+#: plan, the DuckDB oracle and the pairwise replay test.
+_SCORE_CAP = 4096
 
-_DUCK_OBS = """
+_DUCK_OBS = f"""
         f AS (
             SELECT user_id,
                    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
                    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy,
-                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS score
+                   LEAST(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT), {_SCORE_CAP}) AS score
             FROM events GROUP BY user_id
         ),
         g AS (SELECT MAX(ts) AS t_end FROM events),
@@ -75,6 +81,7 @@ _DUCK_OBS = """
         FROM pairs CROSS JOIN nn
     """,
     tags=("statistics", "survival", "c-index", "events", "rank-sweep"),
+    bench=True,
 )
 def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harrell's c-index of the click-count risk score for
@@ -85,13 +92,23 @@ def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact half-up ratio conc2 / (2·comparable). A c-index of 0.5 is an
     uninformative score; the AUC twin for time-to-event data.
 
-    Scale design (round-5 rewrite, VERDICT r4 item 1): no pair join at
-    any cardinality. Users collapse to (t_hours, score) cells in one
-    shuffle; the cells are densified over the integer score axis
-    0..max(score) (scores are click counts, so the axis is dense by
-    construction) via ``explode(sequence(...))`` against a one-row
-    max-score aggregate. Two partitioned cumulative windows then read
-    every pair class off the grid exactly:
+    The risk score is the click count clamped at a constant
+    ``_SCORE_CAP`` (4096): clicks beyond the cap carry no extra rank
+    information (bot territory), and the clamp — applied identically in
+    the Spark plan, the DuckDB oracle and the pairwise replay test — is
+    what bounds the grid's score axis independently of the corpus.
+
+    Scale design (round-5 rewrite, VERDICT r4 item 1; axis bounded in
+    round 6 per VERDICT r5 item 1): no pair join at any cardinality.
+    Users collapse to (t_hours, score) cells in one shuffle; the grid is
+    the cross of the *distinct* event-hours with the *distinct* clamped
+    scores (≤ 4097 values by the cap — never a data-dependent dense
+    ``sequence(0, max(score))``; scores absent from the corpus
+    contribute zero to every window sum, so the sparse axis is exactly
+    value-preserving). The score axis ships as a one-row
+    ``collect_set`` broadcast exploded per time row — a scalar build
+    side, plan-audit-clean without an allowlist entry. Two partitioned
+    cumulative windows then read every pair class off the grid exactly:
 
       * per score, a time-cumulative sum gives ``suf_gt(t, s)`` — users
         with that score observed strictly after t;
@@ -101,18 +118,21 @@ def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``conc2 = Σ n_conv(t,s)·(2·lower + ties)`` and ``n_comparable =
     Σ n_conv(t,s)·|risk set(t)|`` are grand sums over the grid. Cost is
-    O(T·S) on dimension axes (distinct event-hours × distinct click
-    counts — metadata-sized at any corpus scale; quantize the score
-    axis if a pathological tenant makes it wide), vs the |users|² pair
-    join that the DuckDB oracle keeps as the semantic contract. The
-    pairwise replay in tests/test_round4d_operators.py pins equality."""
+    O(T·S) with S ≤ 4097 by the constant cap and T the distinct
+    event-hours (calendar-bounded) — no corpus-data-dependent axis
+    width remains in the plan — vs the |users|² pair join that the
+    DuckDB oracle keeps as the semantic contract. The pairwise replay
+    in tests/test_round4d_operators.py pins equality."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("bigint")
-        .alias("score"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast(
+                "bigint"
+            ),
+            F.lit(_SCORE_CAP),
+        ).alias("score"),
     )
     g = ev.agg(F.max("ts").alias("t_end"))
     conv = F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_view"))
@@ -141,9 +161,11 @@ def survival_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_any"), F.sum("converted").alias("n_conv")
     )
     times = cells.select("t_hours").distinct()
-    smax = obs.agg(F.max("score").alias("smax"))
-    grid = times.crossJoin(F.broadcast(smax)).select(
-        "t_hours", F.explode(F.sequence(F.lit(0), F.col("smax"))).alias("score")
+    # one-row array of the distinct clamped scores (≤ 4097 elements by
+    # _SCORE_CAP): a scalar broadcast build side, exploded per time row
+    scores = cells.agg(F.collect_set("score").alias("score_axis"))
+    grid = times.crossJoin(F.broadcast(scores)).select(
+        "t_hours", F.explode("score_axis").alias("score")
     )
     g = grid.join(cells, ["t_hours", "score"], "left").select(
         "t_hours",

@@ -103,6 +103,7 @@ def _h32(var: str) -> str:
         FROM sv GROUP BY n_id
     """,
     tags=("valuation", "shapley", "knn", "embeddings"),
+    bench=True,
 )
 def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closed-form KNN-Shapley value of every training embedding for

@@ -225,6 +225,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     """,
     tags=("skyline", "pareto", "global-sort"),
+    bench=True,
 )
 def skyline_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier: customers not dominated on

@@ -378,3 +378,58 @@ def test_stream_jpeg_ingest_invariant_to_micro_batching(spark, tmp_path):
     finally:
         os.environ.pop("SPARK_GRAFT_STREAM_MAXFILES", None)
     assert split == base
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """§B.1.1.2: 0xFF fill bytes may pad before any marker; the parser
+    must skip them instead of reading 0xFF as the marker id (ADVICE r5)."""
+    img = _block_constant_image(np.arange(64, 128, dtype=np.uint8))
+    data = encode_jpeg_gray(img)
+    plain = decode_jpeg(data)[3]
+    # single fill byte right after SOI, and a run of three before SOS
+    k = data.index(b"\xff\xda")
+    padded = data[:2] + b"\xff" + data[2:k] + b"\xff\xff\xff" + data[k:]
+    w, h, c, out = decode_jpeg(padded)
+    assert (w, h, c) == (64, 64, 1)
+    assert (out == plain).all()
+
+
+def test_multiscan_sequential_raises_not_implemented():
+    """A sequential SOS listing fewer components than SOF (spec-legal
+    multi-scan §B.2.3) must raise the envelope NotImplementedError so the
+    PIL-fallback routing holds — never a KeyError (ADVICE r5)."""
+    import struct as _struct
+
+    data = encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8))
+    i = data.index(b"\xff\xda")
+    old_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
+    seg = data[i + 4 : i + 2 + old_len]
+    ns = seg[0]
+    assert ns == 3
+    new_payload = bytes([1]) + seg[1:3] + seg[1 + 2 * ns :]
+    new_sos = b"\xff\xda" + _struct.pack(">H", len(new_payload) + 2) + new_payload
+    hacked = data[:i] + new_sos + data[i + 2 + old_len :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(hacked)
+
+
+def test_split_restart_segments_mcu_count_subsampled():
+    """split_restart_segments must size the MCU grid by the max sampling
+    factors: a 4:2:0 32x32 stream has 4 MCUs (16x16 each), not the 16 a
+    1x1-only formula claims (ADVICE r5)."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        split_restart_segments,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg_rgb(img, subsampling="420", restart_interval=1)
+    _header, n_mcus, segs = split_restart_segments(data)
+    assert n_mcus == 4
+    assert [s[0] for s in segs] == [0, 1, 2, 3]
+    # 4:2:2 on 32x48: MCUs are 16x8 -> ceil(32/8) * ceil(48/16) = 4*3
+    img2 = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    data2 = encode_jpeg_rgb(img2, subsampling="422", restart_interval=2)
+    _h2, n2, segs2 = split_restart_segments(data2)
+    assert n2 == 12
+    assert [s[0] for s in segs2] == [0, 2, 4, 6, 8, 10]

@@ -626,10 +626,12 @@ def _survival_obs(spark):
     obs = []
     for uid, tv in views.items():
         tb = buys.get(uid)
+        # same constant score cap as the plan/oracle (pipeline113._SCORE_CAP)
+        sc = min(clicks[uid], 4096)
         if tb is not None and tb > tv:
-            obs.append((uid, clicks[uid], math.floor((tb - tv).total_seconds() / 3600), 1))
+            obs.append((uid, sc, math.floor((tb - tv).total_seconds() / 3600), 1))
         else:
-            obs.append((uid, clicks[uid], math.floor((t_end - tv).total_seconds() / 3600), 0))
+            obs.append((uid, sc, math.floor((t_end - tv).total_seconds() / 3600), 0))
     return obs
 
 

@@ -30,10 +30,19 @@ def main() -> int:
         return 1
     ia, ib = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) == 3 else (-2, -1)
     a, b = runs[ia], runs[ib]
+    # Protocol tag (ADVICE r5): rows without the field predate round 5's
+    # quietest-of-<=3-passes guard, i.e. protocol 1 (single pass).
+    pa_, pb_ = a.get("protocol", 1), b.get("protocol", 1)
     print(
-        f"A: {a.get('ts', '?')} total={a['value']}s sf={a['sf']}   "
-        f"B: {b.get('ts', '?')} total={b['value']}s sf={b['sf']}"
+        f"A: {a.get('ts', '?')} total={a['value']}s sf={a['sf']} proto={pa_}   "
+        f"B: {b.get('ts', '?')} total={b['value']}s sf={b['sf']} proto={pb_}"
     )
+    if pa_ != pb_:
+        print(
+            f"WARNING: measurement protocols differ (A={pa_}, B={pb_}) — "
+            "totals are not methodologically comparable (protocol 2 records "
+            "the quietest of up to 3 passes; protocol 1 records the only pass)"
+        )
     sa, sb = a.get("spread", {}), b.get("spread", {})
     rows = []
     for q in sorted(set(a["queries"]) | set(b["queries"])):
