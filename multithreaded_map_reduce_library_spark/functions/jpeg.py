@@ -15,19 +15,23 @@ quantization tables and K.3 Huffman tables (all published example
 tables — the encoder emits its tables into the stream, the decoder reads
 whatever tables the stream carries).
 
-Encode envelope: 8-bit baseline sequential, grayscale (1 component) or
-RGB via BT.601 YCbCr at 4:4:4 or 4:2:0 (chroma 2×2 box-mean
-downsampled), integer quality scaling of the Annex K tables,
-edge-replication padding to full MCU coverage.
+Encode envelope: 8-bit baseline sequential OR progressive (SOF2, Annex G
+spectral selection + successive approximation — see the progressive
+section), grayscale (1 component) or RGB via BT.601 YCbCr at 4:4:4 /
+4:2:2 / 4:2:0 (chroma box-mean downsampled), integer quality scaling of
+the Annex K tables, edge-replication padding to full MCU coverage.
 
-Decode envelope: baseline (SOF0) and extended-sequential (SOF1) Huffman,
-8-bit precision, 1 or 3 components, sampling factors 1–2 per axis
-(4:4:4 / 4:2:2 / 4:2:0; interleaved MCUs per §A.2.3, replication
-upsampling), tables from the stream, FF00 byte-unstuffing, restart
-intervals (DRI / RST0-7 with byte-alignment and DC-predictor reset,
-§B.2.1.2/§E.2.4). Out of envelope — raise ``NotImplementedError``,
-never a wrong pixel: progressive (SOF2), arithmetic coding (SOF9+),
-12-bit precision, sampling factors >2, lossless/hierarchical modes.
+Decode envelope: baseline (SOF0), extended-sequential (SOF1) and
+progressive (SOF2) Huffman, 8-bit precision, 1 or 3 components, sampling
+factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0; interleaved MCUs per
+§A.2.3, replication upsampling), tables from the stream (including
+between-scan redefinition), FF00 byte-unstuffing, restart intervals in
+sequential scans (DRI / RST0-7 with byte-alignment and DC-predictor
+reset, §B.2.1.2/§E.2.4). Out of envelope — raise
+``NotImplementedError``, never a wrong pixel: arithmetic coding (SOF9+),
+12-bit precision, sampling factors >2, lossless/hierarchical modes,
+multi-scan SEQUENTIAL streams, restart intervals inside progressive
+scans.
 
 Determinism contract (what makes oracle replay possible):
 
@@ -55,7 +59,9 @@ __all__ = [
     "QUANT_CHROMA",
     "decode_jpeg",
     "encode_jpeg_gray",
+    "encode_jpeg_gray_progressive",
     "encode_jpeg_rgb",
+    "encode_jpeg_rgb_progressive",
     "is_jpeg",
     "quant_table",
 ]
@@ -577,6 +583,50 @@ def _idct_block(coef: np.ndarray) -> np.ndarray:
     return (_DCT_T.T @ ac @ _DCT_T) + dc / 8.0
 
 
+def _parse_dqt_seg(seg: bytes, qtables: dict[int, np.ndarray]) -> None:
+    """One DQT segment — may hold several tables (§B.2.4.1)."""
+    p = 0
+    while p < len(seg):
+        prec, tid = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        n = 64 * (2 if prec else 1)
+        raw = seg[p : p + n]
+        p += n
+        vals = (
+            np.frombuffer(raw, dtype=">u2").astype(np.int64)
+            if prec
+            else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        )
+        q = np.zeros((8, 8), dtype=np.int64)
+        q[_ZZ_ROWS, _ZZ_COLS] = vals
+        qtables[tid] = q
+
+
+def _parse_dht_seg(
+    seg: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """One DHT segment — may hold several tables (§B.2.4.2)."""
+    p = 0
+    while p < len(seg):
+        tclass, tid = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        bits = list(seg[p : p + 16])
+        p += 16
+        nvals = sum(bits)
+        vals = list(seg[p : p + nvals])
+        p += nvals
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tclass, tid)] = table
+
+
 def _parse_headers(data: bytes) -> dict:
     """Walk the marker stream up to (and including) SOS; return every
     decode table plus where the entropy-coded data starts. Shared by the
@@ -607,42 +657,10 @@ def _parse_headers(data: bytes) -> dict:
             continue  # standalone markers
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT — may hold several tables
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                n = 64 * (2 if prec else 1)
-                raw = seg[p : p + n]
-                p += n
-                vals = (
-                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
-                    if prec
-                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                )
-                q = np.zeros((8, 8), dtype=np.int64)
-                q[_ZZ_ROWS, _ZZ_COLS] = vals
-                qtables[tid] = q
-        elif marker == 0xC4:  # DHT — may hold several tables
-            p = 0
-            while p < len(seg):
-                tclass, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                bits = list(seg[p : p + 16])
-                p += 16
-                nvals = sum(bits)
-                vals = list(seg[p : p + nvals])
-                p += nvals
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tclass, tid)] = table
+        if marker == 0xDB:  # DQT
+            _parse_dqt_seg(seg, qtables)
+        elif marker == 0xC4:  # DHT
+            _parse_dht_seg(seg, huff)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1
             prec = seg[0]
             if prec != 8:
@@ -660,9 +678,18 @@ def _parse_headers(data: bytes) -> dict:
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG not supported")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:
+            # the sequential parser never sees SOF2 via decode_jpeg (it
+            # routes to _decode_progressive first); this guards direct
+            # callers like split_restart_segments
             raise NotImplementedError(
-                "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1) is supported"
+                "progressive JPEG is decoded by the multi-scan path; "
+                "the sequential parser handles SOF0/SOF1 only"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential/progressive Huffman JPEG "
+                "(SOF0/SOF1/SOF2) is supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -728,7 +755,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     Grayscale returns (h, w); color returns (h, w, 3) RGB (BT.601
     inverse, rounded half up, clamped). See module docstring for the
-    supported envelope; anything outside raises NotImplementedError."""
+    supported envelope; anything outside raises NotImplementedError.
+    Progressive (SOF2) streams route to the multi-scan decoder."""
+    if is_jpeg(data) and _sniff_sof(data) == 0xC2:
+        return _decode_progressive(data)
     hdr = _parse_headers(data)
     qtables, huff = hdr["qtables"], hdr["huff"]
     h, w, comps = hdr["frame"]
@@ -764,9 +794,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         r0 = (my * vs + byi) * 8
                         c0 = (mx * hs + bxi) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
-    # upsample subsampled components to full resolution by replication
-    # (§A.1.1 nearest-neighbor — self-consistent with the encoder's
-    # box-mean downsample), then crop and level-shift
+    return _finish_image(planes, comps, hmax, vmax, h, w)
+
+
+def _finish_image(
+    planes: list[np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared decoder tail (baseline and progressive): upsample
+    subsampled components to full resolution by replication (§A.1.1
+    nearest-neighbor — self-consistent with the encoder's box-mean
+    downsample), crop, level-shift, and apply the BT.601 inverse for
+    color (rounded half up, clamped)."""
     up = []
     for p, (_, hs, vs, _) in zip(planes, comps):
         if hs != hmax:
@@ -775,7 +818,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             p = np.repeat(p, vmax // vs, axis=0)
         up.append(p)
     cropped = [np.clip(np.floor(p[:h, :w] + 0.5) + 128.0, 0, 255) for p in up]
-    if ncomp == 1:
+    if len(comps) == 1:
         return w, h, 1, cropped[0].astype(np.uint8)
     y, cb, cr = cropped
     r = y + 1.402 * (cr - 128.0)
@@ -877,3 +920,621 @@ def decode_segment_pixel_sum(
         prev_dc, px = _decode_block(br, dc_tab, ac_tab, q, prev_dc)
         total += int(np.clip(np.floor(px + 0.5) + 128.0, 0, 255).sum())
     return n_mcus, total
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation
+# --------------------------------------------------------------------------
+#
+# Implemented from ITU-T T.81 Annex G (G.1.2 encode / G.2.2 decode): the
+# DC scans carry the point-transformed (arithmetic-shifted) DC with one
+# refinement bit per later scan; the AC scans are per-component spectral
+# bands with EOBn run coding, and AC refinement scans interleave
+# newly-significant (r,1)+sign symbols with raw correction bits for
+# history coefficients, buffered across EOB runs. The decoder accumulates
+# QUANTIZED coefficients across scans and only dequantizes + IDCTs at the
+# end, so a fully-refined progressive stream decodes to EXACTLY the same
+# pixels as the baseline encoding of the same image (the parity invariant
+# the tests and the registered queries hash).
+#
+# Envelope: the scan script must refine every band down to Al=0 (ours
+# does); restart intervals inside progressive scans are out of envelope
+# (NotImplementedError), as are arithmetic coding and 12-bit precision.
+
+_EOBRUN_MAX = 0x7FFF
+
+#: Scan script (per T.81 G.1.1.1.1; band/approximation split modeled on
+#: the common libjpeg progression): DC first at Al=1, AC bands 1-5 and
+#: 6-63 at Al=2, one AC refinement to Al=1, the DC refinement bit, and
+#: the final AC refinement to Al=0.
+def _prog_script(ncomp: int) -> list[tuple]:
+    script: list[tuple] = [("dc_first", None, 0, 0, 0, 1)]
+    for c in range(ncomp):
+        script.append(("ac_first", c, 1, 5, 0, 2))
+    for c in range(ncomp):
+        script.append(("ac_first", c, 6, 63, 0, 2))
+    for c in range(ncomp):
+        script.append(("ac_refine", c, 1, 63, 2, 1))
+    script.append(("dc_refine", None, 0, 0, 1, 0))
+    for c in range(ncomp):
+        script.append(("ac_refine", c, 1, 63, 1, 0))
+    return script
+
+
+def _comp_grid(h: int, w: int, hs: int, vs: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block grid of one component in a NON-interleaved scan (§A.2.2):
+    ceil over the component's own sample dimensions, not the padded
+    interleaved MCU coverage."""
+    yi = -(-(h * vs) // vmax)
+    xi = -(-(w * hs) // hmax)
+    return -(-yi // 8), -(-xi // 8)
+
+
+class _OpRecorder:
+    """Two-pass AC-scan emission: record (symbol | raw-bits) ops on the
+    first pass to learn the symbol alphabet, build a canonical Huffman
+    table over exactly those symbols, then replay into the bit writer."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("s", s))
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def replay(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        for op in self.ops:
+            if op[0] == "s":
+                code, length = codes[op[1]]
+                bw.put(code, length)
+            else:
+                bw.put(op[1], op[2])
+
+
+def _equal_length_table(syms: set[int]) -> tuple[list[int], list[int]]:
+    """Canonical single-length Huffman spec over the used symbols: all n
+    codes get the smallest length L with n <= 2^L - 1, which keeps the
+    all-ones code unused as §C.2 requires."""
+    vals = sorted(syms)
+    n = max(1, len(vals))
+    length = max(1, n.bit_length())
+    while n > (1 << length) - 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals
+
+
+def _flush_eobrun(rec: _OpRecorder, state: dict) -> None:
+    """Emit a pending EOBn symbol (r = floor(log2(run)), r extra bits)
+    followed by the correction bits buffered across the run's blocks."""
+    run = state["eobrun"]
+    if run > 0:
+        r = run.bit_length() - 1
+        rec.sym(r << 4)
+        rec.bits(run - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        rec.bits(b, 1)
+    state["bits"] = []
+
+
+def _enc_ac_first(rec: _OpRecorder, band_vals: np.ndarray, state: dict) -> None:
+    """One block of an AC first scan (G.1.2.2): band_vals are the
+    point-transformed (sign * (|coef| >> Al)) band coefficients."""
+    nz = np.nonzero(band_vals)[0]
+    if nz.size == 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == _EOBRUN_MAX:
+            _flush_eobrun(rec, state)
+        return
+    _flush_eobrun(rec, state)
+    last = int(nz[-1])
+    run = 0
+    for idx in range(last + 1):
+        v = int(band_vals[idx])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            rec.sym(0xF0)
+            run -= 16
+        s = _magnitude(v)
+        rec.sym((run << 4) | s)
+        rec.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < len(band_vals) - 1:
+        state["eobrun"] += 1
+        if state["eobrun"] == _EOBRUN_MAX:
+            _flush_eobrun(rec, state)
+
+
+def _enc_ac_refine(rec: _OpRecorder, band: np.ndarray, al: int, state: dict) -> None:
+    """One block of an AC refinement scan (G.1.2.3): newly-significant
+    coefficients emit (run-of-zero-history, 1) + a sign bit; coefficients
+    already nonzero in prior scans emit one raw correction bit, buffered
+    until the next symbol (or across the EOB run)."""
+    absval = [abs(int(v)) >> al for v in band]
+    eob = -1
+    for idx, t in enumerate(absval):
+        if t == 1:
+            eob = idx
+    run = 0
+    br: list[int] = []
+    for idx, t in enumerate(absval):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and idx <= eob:
+            _flush_eobrun(rec, state)
+            rec.sym(0xF0)
+            run -= 16
+            for b in br:
+                rec.bits(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _flush_eobrun(rec, state)
+        rec.sym((run << 4) | 1)
+        rec.bits(1 if int(band[idx]) >= 0 else 0, 1)
+        for b in br:
+            rec.bits(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["bits"].extend(br)
+        if state["eobrun"] == _EOBRUN_MAX or len(state["bits"]) > 930:
+            _flush_eobrun(rec, state)
+
+
+def _encode_progressive(
+    planes: list[np.ndarray],
+    qscale: int,
+    color: bool,
+    samp: list[tuple[int, int]] | None = None,
+    size: tuple[int, int] | None = None,
+) -> bytes:
+    """Shared progressive encoder body (same plane/samp/size contract as
+    the baseline ``_encode_jpeg``). Quantizes every block once, then
+    walks the scan script; DC scans use the Annex K DC tables, each AC
+    scan carries its own minimal canonical table in a DHT right before
+    its SOS."""
+    samp = samp or [(1, 1)] * len(planes)
+    h, w = size or planes[0].shape
+    ncomp = 3 if color else 1
+    q_luma = quant_table(QUANT_LUMA, qscale)
+    q_chroma = quant_table(QUANT_CHROMA, qscale)
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantize every padded block to zigzag coefficient arrays, once
+    zz: list[np.ndarray] = []
+    for p, (hs, vs) in zip(planes, samp):
+        th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        ph_, pw_ = p.shape
+        padded = np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge")
+        q = q_luma if len(zz) == 0 else q_chroma
+        nby, nbx = th // 8, tw // 8
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                qb = _quantize_block(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q)
+                arr[by, bx] = qb[_ZZ_ROWS, _ZZ_COLS]
+        zz.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(
+        b"\xff\xe0", b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _segment(
+        b"\xff\xdb", bytes([0x00]) + q_luma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    )
+    if color:
+        out += _segment(
+            b"\xff\xdb",
+            bytes([0x01]) + q_chroma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        hs, vs = samp[cid - 1]
+        sof += bytes([cid, hs << 4 | vs, 0 if cid == 1 else 1])
+    out += _segment(b"\xff\xc2", sof)  # SOF2: progressive DCT, Huffman
+    out += _segment(b"\xff\xc4", _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    if color:
+        out += _segment(b"\xff\xc4", _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+
+    def dc_order() -> list[tuple[int, int, int]]:
+        """(comp, by, bx) in scan order: interleaved MCU order when the
+        DC scan carries several components, the component's own raster
+        for a single-component frame (§A.2)."""
+        if ncomp == 1:
+            nby, nbx = _comp_grid(h, w, *samp[0], hmax, vmax)
+            return [(0, by, bx) for by in range(nby) for bx in range(nbx)]
+        order = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for byi in range(vs):
+                        for bxi in range(hs):
+                            order.append((ci, my * vs + byi, mx * hs + bxi))
+        return order
+
+    def sos_header(comps_sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(comps_sel)])
+        for ci in comps_sel:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _segment(b"\xff\xda", sos)
+
+    for kind, comp, ss, se, ah, al in _prog_script(ncomp):
+        if kind == "dc_first":
+            bw = _BitWriter()
+            prev = [0] * ncomp
+            for ci, by, bx in dc_order():
+                v = int(zz[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - prev[ci]
+                prev[ci] = v
+                s = _magnitude(diff)
+                code, length = dc_codes[0 if ci == 0 else 1][s]
+                bw.put(code, length)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            bw.flush()
+            out += sos_header(list(range(ncomp)), 0, 0, 0, al) + bw.out
+        elif kind == "dc_refine":
+            bw = _BitWriter()
+            for ci, by, bx in dc_order():
+                bw.put((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
+            bw.flush()
+            out += sos_header(list(range(ncomp)), 0, 0, ah, al) + bw.out
+        else:
+            nby, nbx = _comp_grid(h, w, *samp[comp], hmax, vmax)
+            rec = _OpRecorder()
+            state = {"eobrun": 0, "bits": []}
+            for by in range(nby):
+                for bx in range(nbx):
+                    band = zz[comp][by, bx, ss : se + 1]
+                    if kind == "ac_first":
+                        pt = np.sign(band) * (np.abs(band) >> al)
+                        _enc_ac_first(rec, pt.astype(np.int64), state)
+                    else:
+                        _enc_ac_refine(rec, band, al, state)
+            _flush_eobrun(rec, state)
+            bits, vals = _equal_length_table(rec.syms)
+            out += _segment(b"\xff\xc4", _dht_payload(1, 0, bits, vals))
+            bw = _BitWriter()
+            rec.replay(bw, _build_codes(bits, vals))
+            bw.flush()
+            out += sos_header([comp], ss, se, ah, al) + bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray, qscale: int = 1) -> bytes:
+    """Encode an (h, w) uint8 array as a progressive (SOF2) grayscale
+    JPEG. Decodes (here or in any conformant decoder) to exactly the
+    same pixels as ``encode_jpeg_gray`` of the same image."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive expects an (h, w) array")
+    return _encode_progressive([a], qscale, color=False)
+
+
+def encode_jpeg_rgb_progressive(
+    img: np.ndarray, qscale: int = 1, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a progressive (SOF2) YCbCr
+    JPEG (same color transform and chroma downsampling as the baseline
+    ``encode_jpeg_rgb``)."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb_progressive expects an (h, w, 3) array")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [
+        np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ]
+    if subsampling == "444":
+        return _encode_progressive(planes, qscale, color=True)
+    h, w = planes[0].shape
+    fy = 2 if subsampling == "420" else 1
+    sub = [planes[0]]
+    for p in planes[1:]:
+        q = np.pad(p, ((0, h % fy if fy == 2 else 0), (0, w % 2)), mode="edge").astype(
+            np.int64
+        )
+        hh, ww = q.shape
+        blocks = q.reshape(hh // fy, fy, ww // 2, 2).sum(axis=(1, 3))
+        n = 2 * fy
+        sub.append(((blocks + n // 2) // n).astype(np.uint8))
+    return _encode_progressive(
+        sub, qscale, color=True, samp=[(2, fy), (1, 1), (1, 1)], size=(h, w)
+    )
+
+
+def _sniff_sof(data: bytes) -> int | None:
+    """Return the first SOFn marker byte of the stream (without decoding
+    anything), or None if SOS/EOI arrives first. Used to route SOF2
+    streams to the progressive decoder."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:
+                return None
+            continue
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return marker
+        if marker == 0xDA:
+            return None
+        pos += struct.unpack(">H", data[pos : pos + 2])[0]
+    return None
+
+
+def _scan_end(data: bytes, pos: int) -> int:
+    """Find the next non-stuffing marker from ``pos`` (the byte offset
+    the bit reader stopped at after decoding a scan's last symbol)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("scan data ran off the end of the stream")
+
+
+def _dec_dc_scan(br: _BitReader, order, scan_tbl, huff, coefs, ah: int, al: int) -> None:
+    """DC scan (Ss=0): first pass decodes DIFF-coded point-transformed
+    DC values; refinement passes read one raw bit per block (§G.2)."""
+    if ah == 0:
+        prev: dict[int, int] = {}
+        for ci, cid, by, bx in order:
+            tab = huff[(0, scan_tbl[cid][0])]
+            s = br.read_symbol(tab)
+            diff = _extend(br.get(s), s) if s else 0
+            prev[ci] = prev.get(ci, 0) + diff
+            coefs[ci][by, bx, 0] = prev[ci] << al
+    else:
+        for ci, cid, by, bx in order:
+            if br.get(1):
+                coefs[ci][by, bx, 0] |= 1 << al
+
+
+def _dec_ac_first(br: _BitReader, grid, tab, blkarr, ss: int, se: int, al: int) -> None:
+    """AC first scan for one component's band (§G.2.2 / EOBn runs)."""
+    eobrun = 0
+    for by, bx in grid:
+        if eobrun:
+            eobrun -= 1
+            continue
+        blk = blkarr[by, bx]
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                blk[k] = _extend(br.get(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                k += 16
+
+
+def _dec_ac_refine(br: _BitReader, grid, tab, blkarr, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (§G.2.2): newly-significant (r,1)+sign symbols
+    interleaved with raw correction bits for history coefficients, with
+    correction bits continuing through EOB runs."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+
+    def correct(blk, k: int) -> None:
+        if br.get(1) and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    for by, bx in grid:
+        blk = blkarr[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.read_symbol(tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("invalid magnitude in AC refinement scan")
+                    val = p1 if br.get(1) else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("refinement placement overflows band")
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a progressive (SOF2) Huffman JPEG: walk every scan,
+    accumulate quantized coefficients per component, then dequantize and
+    IDCT once at the end — so a fully-refined stream reproduces the
+    baseline decode of the same coefficients exactly. Envelope: 8-bit,
+    1 or 3 components, sampling factors 1-2, no restart intervals inside
+    progressive scans (NotImplementedError)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    coefs: list[np.ndarray] = []
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt_seg(seg, qtables)
+        elif marker == 0xC4:
+            _parse_dht_seg(seg, huff)
+        elif marker == 0xC2:
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp_b, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp_b >> 4, samp_b & 0x0F, tq))
+            if any(hs not in (1, 2) or vs not in (1, 2) for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "only sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0) supported"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+            frame = (h, w, comps)
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                for _, hs, vs, _ in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("_decode_progressive called on a non-SOF2 stream")
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] > 0:
+                raise NotImplementedError(
+                    "progressive JPEG with restart intervals not supported"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = frame
+            ns = seg[0]
+            scan_tbl: dict[int, tuple[int, int]] = {}
+            scan_cids = []
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                scan_tbl[cid] = (tsel >> 4, tsel & 0x0F)
+                scan_cids.append(cid)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            br = _BitReader(data, pos + seglen)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with nonzero Se")
+                # scan order: interleaved MCU order for a multi-component
+                # scan, the component's own raster when ns == 1 (§A.2)
+                order = []
+                if ns == 1:
+                    ci = cid_to_ci[scan_cids[0]]
+                    _, hs, vs, _ = comps[ci]
+                    nby, nbx = _comp_grid(h, w, hs, vs, hmax, vmax)
+                    order = [
+                        (ci, scan_cids[0], by, bx)
+                        for by in range(nby)
+                        for bx in range(nbx)
+                    ]
+                else:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cid in scan_cids:
+                                ci = cid_to_ci[cid]
+                                _, hs, vs, _ = comps[ci]
+                                for byi in range(vs):
+                                    for bxi in range(hs):
+                                        order.append(
+                                            (ci, cid, my * vs + byi, mx * hs + bxi)
+                                        )
+                _dec_dc_scan(br, order, scan_tbl, huff, coefs, ah, al)
+            else:
+                if ns != 1:
+                    raise ValueError("interleaved AC scan is not spec-legal")
+                ci = cid_to_ci[scan_cids[0]]
+                _, hs, vs, _ = comps[ci]
+                nby, nbx = _comp_grid(h, w, hs, vs, hmax, vmax)
+                grid = [(by, bx) for by in range(nby) for bx in range(nbx)]
+                tab = huff[(1, scan_tbl[scan_cids[0]][1])]
+                if ah == 0:
+                    _dec_ac_first(br, grid, tab, coefs[ci], ss, se, al)
+                else:
+                    _dec_ac_refine(br, grid, tab, coefs[ci], ss, se, al)
+            saw_scan = True
+            pos = _scan_end(data, br.pos)
+            continue
+        pos += seglen
+    if frame is None or not saw_scan:
+        raise ValueError("no SOS marker found (truncated JPEG)")
+    h, w, comps = frame
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        q = qtables[tq]
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coefblk = np.zeros((8, 8), dtype=np.int64)
+                coefblk[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(coefblk)
+        planes.append(plane)
+    return _finish_image(planes, comps, hmax, vmax, h, w)

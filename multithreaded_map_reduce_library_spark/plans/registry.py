@@ -207,6 +207,7 @@ def _load_all() -> None:
         pipeline126,
         pipeline127,
         pipeline128,
+        pipeline129,
         relational,
         relational2,
         relational3,

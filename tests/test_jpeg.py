@@ -7,8 +7,10 @@ Layers tested:
 * bounded lossy error on smooth content; deterministic decode;
 * the entropy/marker layer (FF00 stuffing, non-multiple-of-8 padding,
   ZRL runs, two DQT tables in one stream, RGB 4:4:4);
-* honest envelope: progressive / subsampled / restart-interval /
-  truncated streams raise, never return wrong pixels;
+* honest envelope: arithmetic-coded / oversampled / truncated streams
+  raise, never return wrong pixels (progressive SOF2 and subsampled
+  chroma decode for real since rounds 5-6 — see the progressive
+  section below);
 * the `_decode_image_bytes` routing (JPEG no longer PIL-gated);
 * oracle parity for both registered queries at sf0.001 (sf0.01 is the
   driver's scale, covered by tools/drive_contract.py).
@@ -117,12 +119,12 @@ def test_rgb_444_roundtrip_bounded():
 def test_envelope_raises_never_wrong_pixels():
     img = np.full((8, 8), 100, dtype=np.uint8)
     data = bytearray(encode_jpeg_gray(img))
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # arithmetic coding: flip SOF0 (FFC0) to SOF9 (FFC9)
     i = bytes(data).index(b"\xff\xc0")
-    prog = data.copy()
-    prog[i + 1] = 0xC2
+    arith = data.copy()
+    arith[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     # sampling factor beyond 2: craft SOF with 4x1 sampling on component 1
     # (factors 1-2 are in-envelope since the round-5 4:2:0 support)
     rgb = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
@@ -433,3 +435,131 @@ def test_split_restart_segments_mcu_count_subsampled():
     _h2, n2, segs2 = split_restart_segments(data2)
     assert n2 == 12
     assert [s[0] for s in segs2] == [0, 2, 4, 6, 8, 10]
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) codec — round 6
+# --------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """The parity invariant: a fully-refined progressive stream carries
+    exactly the baseline encoder's quantized coefficients, so decode
+    output must be pixel-identical to the baseline encoding of the same
+    image — across shapes (incl. non-multiples of 8), quant scales, and
+    chroma subsampling modes."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (16, 16), (41, 53), (64, 64)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for qs in (1, 2):
+            base = decode_jpeg(encode_jpeg_gray(img, qscale=qs))
+            prog = decode_jpeg(encode_jpeg_gray_progressive(img, qscale=qs))
+            assert base[:3] == prog[:3]
+            assert (base[3] == prog[3]).all(), (shape, qs)
+    for shape in [(16, 16), (32, 32), (17, 23)]:
+        img = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+        for sub in ("444", "420", "422"):
+            base = decode_jpeg(encode_jpeg_rgb(img, subsampling=sub))
+            prog = decode_jpeg(encode_jpeg_rgb_progressive(img, subsampling=sub))
+            assert base[:3] == prog[:3]
+            assert (base[3] == prog[3]).all(), (shape, sub)
+
+
+def test_progressive_streams_are_structurally_progressive():
+    """The encoder must actually emit SOF2 with the 6-scan script, not a
+    renamed sequential stream: one SOF2 marker, six SOS markers for
+    grayscale (DC, 2 AC-first bands, AC refine, DC refine, AC refine),
+    and 16 for color (DC + 5 per-component AC scan groups x 3)."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    g = encode_jpeg_gray_progressive(
+        rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    )
+    assert g.count(b"\xff\xc2") == 1 and b"\xff\xc0" not in g
+    assert g.count(b"\xff\xda") == 6
+    c = encode_jpeg_rgb_progressive(
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    )
+    assert c.count(b"\xff\xc2") == 1
+    assert c.count(b"\xff\xda") == 2 + 4 * 3  # 2 DC scans + 4 AC scans/comp
+
+
+def test_progressive_eobrun_and_sparse_content():
+    """Long EOB runs (EOBn with n >> 1) and the buffered-correction-bit
+    path: mostly-flat images make almost every block's AC band empty, so
+    the encoder must accumulate multi-block EOB runs; isolated features
+    exercise run-break + refinement placement. Parity must still be
+    exact."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    # 128x128 flat field with a handful of bright spots: 256 blocks,
+    # nearly all band-empty in every AC scan
+    img = np.full((128, 128), 128, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        r, c = rng.integers(0, 120, size=2)
+        img[r : r + 6, c : c + 6] = rng.integers(0, 256)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    prog_bytes = encode_jpeg_gray_progressive(img)
+    prog = decode_jpeg(prog_bytes)
+    assert (base[3] == prog[3]).all()
+    # a gradient image: every block has rich AC content, so refinement
+    # scans emit newly-significant symbols at every level
+    x = np.arange(64)
+    grad = np.clip(2 * x[None, :] + x[:, None], 0, 255).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_gray(grad))[3]
+        == decode_jpeg(encode_jpeg_gray_progressive(grad))[3]
+    ).all()
+
+
+def test_progressive_envelope_raises():
+    """Out-of-envelope progressive variants raise, never wrong pixels:
+    DRI inside a progressive stream, and truncated scan data."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg_gray_progressive(img)
+    i = data.index(b"\xff\xda")
+    with_dri = data[:i] + b"\xff\xdd\x00\x04\x00\x04" + data[i:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(with_dri)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: i + 12])
+
+
+def test_decode_image_bytes_routes_progressive_without_pil():
+    """_decode_image_bytes must decode SOF2 through the from-scratch
+    multi-scan path (no PIL dependency), same as baseline."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+    from multithreaded_map_reduce_library_spark.operators import multimodal as mm
+
+    img = _block_constant_image(np.arange(64, 100, dtype=np.uint8).repeat(2)[:64])
+    arr = mm._decode_image_bytes(encode_jpeg_gray_progressive(img))
+    assert arr.shape == (64, 64)
+    assert arr[0, 0] == _expected_constant(64, 16)
+
+
+def test_jpeg_progressive_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_progressive_roundtrip"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_jpeg_progressive_color420_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_progressive_color420"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)

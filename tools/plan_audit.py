@@ -77,6 +77,8 @@ ALLOW_PYTHON = {
     "multimodal_jpeg420_roundtrip": "YCbCr 4:2:0 JPEG encode pandas UDF + mapInPandas interleaved-MCU decode",
     "multimodal_jpeg_subsampling_parity": "444/422/420 JPEG encode pandas UDFs + mapInPandas interleaved-MCU decodes",
     "multimodal_jpeg_quality_sweep": "two-quant-scale JPEG encode pandas UDFs + mapInPandas DCT decode",
+    "multimodal_jpeg_progressive_roundtrip": "progressive (SOF2) JPEG encode pandas UDF + mapInPandas multi-scan decode",
+    "multimodal_jpeg_progressive_color420": "progressive 4:2:0 JPEG encode pandas UDF + mapInPandas multi-scan decode",
     "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
     "multimodal_wav_vad_features": "WAV encode pandas UDF + mapInPandas VAD kernel",
     "multimodal_wav_silence_runs": "WAV encode pandas UDF + mapInPandas energy kernel",
