@@ -143,6 +143,7 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_centroids: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization with deterministic centroids (every
     ``stride``-th vector by id — reproducible without a trained codebook):
@@ -157,8 +158,20 @@ def assign_ivf_cells(
     before any shuffle (no sort), with lexicographic struct ordering as
     the deterministic tie-break; identical assignments to the
     row_number-window form (see SCALING.md, kmeans entry).
+
+    ``max_centroids`` bounds the centroid count at a CONSTANT (first
+    that-many centroid ids, ``ORDER BY id LIMIT n`` —
+    TakeOrderedAndProject): with the stride rule alone the centroid
+    count grows linearly with the corpus, which makes the broadcast
+    assignment O(N²/stride) — the round-6 10x empirical scale run
+    measured exactly that (ann_ivf_cosine 1.3 s -> 66.6 s at 10x data
+    before the cap). Callers that prefer sqrt-N centroid growth use
+    ``stride_for_corpus`` instead.
     """
-    centroids = emb.filter((F.col(id_col) % stride) == 0).select(
+    centroids = emb.filter((F.col(id_col) % stride) == 0)
+    if max_centroids is not None:
+        centroids = centroids.orderBy(id_col).limit(max_centroids)
+    centroids = centroids.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col, dim).alias("c_norm"),
@@ -188,6 +201,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_centroids: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: queries search only their own cell (nprobe=1), exact
     cosine re-rank inside it. The scale path of the two ANN variants — at
@@ -195,7 +209,7 @@ def knn_ivf(
     cell index is a plain equi-join key (bucketable/bucketed at rest)."""
     from pyspark.sql import Window
 
-    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim)
+    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim, max_centroids)
     queries = cells.filter(F.col("id") < num_queries).select(
         F.col("id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -239,6 +253,7 @@ def knn_ivf_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_centroids: int | None = None,
 ) -> DataFrame:
     """IVF ANN with ``nprobe`` > 1: each query searches its ``nprobe``
     nearest cells instead of only its own — the recall/cost dial every
@@ -250,8 +265,11 @@ def knn_ivf_multiprobe(
     at rest and a probe touches nprobe buckets."""
     from pyspark.sql import Window
 
-    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim)
-    centroids = emb.filter((F.col(id_col) % stride) == 0).select(
+    cells = assign_ivf_cells(emb, stride, id_col, vec_col, dim, max_centroids)
+    centroids = emb.filter((F.col(id_col) % stride) == 0)
+    if max_centroids is not None:
+        centroids = centroids.orderBy(id_col).limit(max_centroids)
+    centroids = centroids.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col, dim).alias("c_norm"),

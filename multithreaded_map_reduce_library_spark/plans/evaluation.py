@@ -586,6 +586,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_cmp_oracle() -> str:
     from multithreaded_map_reduce_library_spark.plans.similarity_q import (
+        _IVF_MAX_CENT,
         _IVF_STRIDE,
         _bucket_sql,
         _dot,
@@ -622,7 +623,8 @@ def _recall_cmp_oracle() -> str:
                    SELECT q_id, n_id,
                           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
                    FROM ls2) WHERE rk <= {_K}),
-        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0
+                ORDER BY vec_id LIMIT {_IVF_MAX_CENT}),
         scored AS (SELECT e.vec_id, e.v, c.c_id, {cos("e.v", "c.cv")} AS csim
                    FROM e CROSS JOIN cent c),
         asg AS (SELECT vec_id, v, c_id,
@@ -687,7 +689,10 @@ def ann_recall_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_lsh,
         knn_lsh_multiprobe,
     )
-    from multithreaded_map_reduce_library_spark.plans.similarity_q import _IVF_STRIDE
+    from multithreaded_map_reduce_library_spark.plans.similarity_q import (
+        _IVF_MAX_CENT,
+        _IVF_STRIDE,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qset = emb.filter(F.col("vec_id") < _NQ)
@@ -699,9 +704,20 @@ def ann_recall_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe": knn_lsh_multiprobe(
             emb, dim=_DIM, k=_K, num_planes=_PLANES, num_queries=_NQ
         ),
-        "ivf_nprobe1": knn_ivf(emb, stride=_IVF_STRIDE, k=_K, num_queries=_NQ),
+        "ivf_nprobe1": knn_ivf(
+            emb,
+            stride=_IVF_STRIDE,
+            k=_K,
+            num_queries=_NQ,
+            max_centroids=_IVF_MAX_CENT,
+        ),
         "ivf_nprobe2": knn_ivf_multiprobe(
-            emb, stride=_IVF_STRIDE, k=_K, nprobe=2, num_queries=_NQ
+            emb,
+            stride=_IVF_STRIDE,
+            k=_K,
+            nprobe=2,
+            num_queries=_NQ,
+            max_centroids=_IVF_MAX_CENT,
         ),
     }
     denom = _NQ * _K

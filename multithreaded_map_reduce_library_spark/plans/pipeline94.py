@@ -133,21 +133,21 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
             F.col("label").alias("q_lbl"),
-            l2_norm("embedding", _DIM).alias("q_norm"),
+            l2_norm("embedding").alias("q_norm"),
         )
     )
     t = emb.where(F.col("vec_id") % _TEST_MOD != 0).select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("nv"),
         F.col("label").alias("n_lbl"),
-        l2_norm("embedding", _DIM).alias("n_norm"),
+        l2_norm("embedding").alias("n_norm"),
     )
     pairs = t.crossJoin(F.broadcast(q))
     s = pairs.select(
         "q_id",
         "n_id",
         F.when(F.col("n_lbl") == F.col("q_lbl"), 1).otherwise(0).alias("m"),
-        (dot("qv", "nv", _DIM) / (F.col("q_norm") * F.col("n_norm"))).alias("sim"),
+        (dot("qv", "nv") / (F.col("q_norm") * F.col("n_norm"))).alias("sim"),
     )
     order = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     part = Window.partitionBy("q_id")

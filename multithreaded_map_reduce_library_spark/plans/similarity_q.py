@@ -110,6 +110,10 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_STRIDE = 50
+#: constant centroid-count cap (see operators/similarity.assign_ivf_cells):
+#: a no-op at the test SFs (<= 40 stride-rule centroids) and the linear-
+#: assignment bound at any corpus scale (round-6 10x scale run finding)
+_IVF_MAX_CENT = 64
 _IVF_K = 3
 _NEARDUP_PLANES = 4
 _NEARDUP_THRESHOLD = 0.3
@@ -118,7 +122,8 @@ _NEARDUP_THRESHOLD = 0.3
 def _ivf_oracle() -> str:
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0
+                ORDER BY vec_id LIMIT {_IVF_MAX_CENT}),
         scored AS (SELECT e.vec_id, e.v, c.c_id,
                           ({_dot("e.v", "c.cv")}) / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("c.cv", "c.cv")})) AS csim
                    FROM e CROSS JOIN cent c),
@@ -150,7 +155,13 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank. The cell id is a plain equi-join key — the 100 TB layout
     buckets the corpus by cell at rest so probes touch one bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
-    res = knn_ivf(emb, stride=_IVF_STRIDE, k=_IVF_K, num_queries=_KNN_QUERIES)
+    res = knn_ivf(
+        emb,
+        stride=_IVF_STRIDE,
+        k=_IVF_K,
+        num_queries=_KNN_QUERIES,
+        max_centroids=_IVF_MAX_CENT,
+    )
     return res.select("q_id", "n_id", "cell", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
 
@@ -291,7 +302,8 @@ _NPROBE = 2
 def _ivf_nprobe_oracle() -> str:
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0),
+        cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0
+                ORDER BY vec_id LIMIT {_IVF_MAX_CENT}),
         scored AS (SELECT e.vec_id, e.v, c.c_id,
                           ({_dot("e.v", "c.cv")}) / (sqrt({_dot("e.v", "e.v")}) * sqrt({_dot("c.cv", "c.cv")})) AS csim
                    FROM e CROSS JOIN cent c),
@@ -331,7 +343,12 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     res = knn_ivf_multiprobe(
-        emb, stride=_IVF_STRIDE, k=_IVF_K, nprobe=_NPROBE, num_queries=_KNN_QUERIES
+        emb,
+        stride=_IVF_STRIDE,
+        k=_IVF_K,
+        nprobe=_NPROBE,
+        num_queries=_KNN_QUERIES,
+        max_centroids=_IVF_MAX_CENT,
     )
     return res.select("q_id", "n_id", "rank", grid(F.col("sim"), 6).alias("sim_e6"))
 
