@@ -208,6 +208,7 @@ def _load_all() -> None:
         pipeline127,
         pipeline128,
         pipeline129,
+        pipeline130,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,62 @@
+"""Round-6 additions: the bounded co-presence k-core — the tested form
+of the mitigation SCALING.md registers for the co-occurrence-graph
+densification the 10x scale sweep measured on kcore_decomposition."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+
+from .conftest import SF_SMALL
+from .oracle_util import compare_query
+
+
+def test_kcore_bounded_copresence_oracle_parity(spark):
+    q = all_queries()["kcore_bounded_copresence"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_kcore_bounded_matches_python_replay(spark):
+    """Independent replay: sorted-neighborhood W=8 candidates per
+    (day, hour) cell, >= 2 shared cells, 6-round k=3 peel, within-core
+    degrees — pure-Python against the Spark plan."""
+    rows = {
+        r["user_id"]: r["core_degree"]
+        for r in all_queries()["kcore_bounded_copresence"].fn(spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts")
+        .collect()
+    )
+    cells = defaultdict(set)
+    for r in ev:
+        cells[(r["ts"].date(), r["ts"].hour)].add(r["user_id"])
+    shared = defaultdict(int)
+    for users in cells.values():
+        ranked = sorted(users)
+        for i, ua in enumerate(ranked):
+            for ub in ranked[i + 1 : i + 1 + 8]:
+                shared[(ua, ub)] += 1
+    adj = defaultdict(set)
+    for (ua, ub), c in shared.items():
+        if c >= 2:
+            adj[ua].add(ub)
+            adj[ub].add(ua)
+    surv = set(adj)
+    for _ in range(6):
+        surv = {u for u in surv if len(adj[u] & surv) >= 3}
+    expect = {u: len(adj[u] & surv) for u in surv}
+    assert rows == expect
+    # the candidate space really is bounded: no user pairs beyond its
+    # W nearest within-cell rank neighbors (vacuously checked by the
+    # replay construction — this assertion pins the cell-bound W itself)
+    assert all(
+        sum(1 for (ua, _ub) in shared if ua == u) <= 8 * sum(
+            1 for users in cells.values() if u in users
+        )
+        for u in {ua for ua, _ in shared}
+    )
