@@ -88,6 +88,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound pandas-UDF / mapInPandas Arrow batches: the default 10k
+        # rows is ~120 MB per batch per worker on 12 KB binary payloads
+        # (32 workers -> ~4 GB resident), which the round-6 sf1 bench
+        # measured as multi-x slowdowns on the media-decode queries late
+        # in a pass (reused daemon workers). 2048 keeps codec batches
+        # ~25 MB with no measurable cost on skinny-row kernels.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -117,6 +124,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     # Streaming determinism pins (constant across queries => run order in a
     # shared session cannot change any streaming result):
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
