@@ -144,7 +144,24 @@ def main() -> None:
         "protocol": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    # Driver-facing line: COMPACT on purpose (VERDICT r6 item 1). The
+    # driver captures only the last ~2000 chars of stdout and parses the
+    # trailing JSON line; a 47-query map + spread map overflows that
+    # window, so BENCH_r03..r06 all recorded "parsed": null. Print the
+    # headline WITHOUT the per-query maps; the full result (queries,
+    # spread) goes to BENCH_HISTORY.jsonl below, which is where
+    # tools/bench_diff.py reads per-query trends anyway.
+    compact = {k: v for k, v in result.items() if k not in ("queries", "spread")}
+    compact["n_queries"] = len(timings)
+    print(json.dumps(compact))
+    # Full result (per-query + spread maps) for tools/scale_check.py and
+    # bench_diff.py: written to $SPARK_GRAFT_BENCH_OUT when set (the
+    # scale-validation workflow), and always appended to
+    # BENCH_HISTORY.jsonl below.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(json.dumps(result) + "\n")
     # Append to the tracked per-round history so round-over-round
     # per-query regressions are mechanically diffable (judge request).
     try:

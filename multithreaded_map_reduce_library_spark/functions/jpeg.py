@@ -514,20 +514,16 @@ def encode_jpeg_gray(
     return _encode_jpeg([a], qscale, color=False, restart_interval=restart_interval)
 
 
-def encode_jpeg_rgb(
-    img: np.ndarray,
-    qscale: int = 1,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JPEG
-    (BT.601 forward transform, rounded half up). ``subsampling``:
-    '444' (full-res chroma), '422' (chroma halved horizontally, 1×2
-    box-mean), or '420' (chroma 2×2 box-mean downsampled, half-up —
-    the web's default storage format)."""
+def _rgb_planes(
+    img: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], list[tuple[int, int]], tuple[int, int]]:
+    """BT.601 forward transform (rounded half up) + chroma box-mean
+    downsample; returns (planes, samp, size) in the `_encode_jpeg`
+    contract. Shared by the baseline, progressive, and multi-scan
+    sequential RGB encoders so all three carry identical coefficients."""
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("encode_jpeg_rgb expects an (h, w, 3) array")
+        raise ValueError("expected an (h, w, 3) RGB array")
     if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     r, g, b = a[..., 0], a[..., 1], a[..., 2]
@@ -537,11 +533,9 @@ def encode_jpeg_rgb(
     planes = [
         np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (y, cb, cr)
     ]
-    if subsampling == "444":
-        return _encode_jpeg(
-            planes, qscale, color=True, restart_interval=restart_interval
-        )
     h, w = planes[0].shape
+    if subsampling == "444":
+        return planes, [(1, 1)] * 3, (h, w)
     # 4:2:0 / 4:2:2 chroma: pad to even dims (edge), box mean, half-up.
     fy = 2 if subsampling == "420" else 1
     sub = [planes[0]]
@@ -553,14 +547,123 @@ def encode_jpeg_rgb(
         blocks = q.reshape(hh // fy, fy, ww // 2, 2).sum(axis=(1, 3))
         n = 2 * fy
         sub.append(((blocks + n // 2) // n).astype(np.uint8))  # floor(mean+0.5)
+    return sub, [(2, fy), (1, 1), (1, 1)], (h, w)
+
+
+def encode_jpeg_rgb(
+    img: np.ndarray,
+    qscale: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JPEG
+    (BT.601 forward transform, rounded half up). ``subsampling``:
+    '444' (full-res chroma), '422' (chroma halved horizontally, 1×2
+    box-mean), or '420' (chroma 2×2 box-mean downsampled, half-up —
+    the web's default storage format)."""
+    planes, samp, size = _rgb_planes(img, subsampling)
     return _encode_jpeg(
-        sub,
+        planes,
         qscale,
         color=True,
         restart_interval=restart_interval,
-        samp=[(2, fy), (1, 1), (1, 1)],
-        size=(h, w),
+        samp=samp,
+        size=size,
     )
+
+
+def encode_jpeg_rgb_multiscan(
+    img: np.ndarray, qscale: int = 1, subsampling: str = "420"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a MULTI-SCAN SEQUENTIAL
+    (SOF0) YCbCr JPEG (§B.2.3, Ns < Nf): scan 1 carries Y alone,
+    NON-interleaved on its own §A.2.2 block raster; scan 2 carries
+    Cb + Cr interleaved in MCU order. Same quantized coefficients as
+    ``encode_jpeg_rgb`` of the same image, so any conformant decoder
+    (including ours) produces identical pixels to the single-scan
+    encoding — the parity invariant the registry oracle hashes."""
+    planes, samp, size = _rgb_planes(img, subsampling)
+    h, w = size
+    q_luma = quant_table(QUANT_LUMA, qscale)
+    q_chroma = quant_table(QUANT_CHROMA, qscale)
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(
+        b"\xff\xe0", b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _segment(
+        b"\xff\xdb", bytes([0x00]) + q_luma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    )
+    out += _segment(
+        b"\xff\xdb",
+        bytes([0x01]) + q_chroma[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes(),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in range(1, 4):
+        hs, vs = samp[cid - 1]
+        sof += bytes([cid, hs << 4 | vs, 0 if cid == 1 else 1])
+    out += _segment(b"\xff\xc0", sof)
+    out += _segment(b"\xff\xc4", _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += _segment(b"\xff\xc4", _dht_payload(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    out += _segment(b"\xff\xc4", _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    out += _segment(b"\xff\xc4", _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        ph_, pw_ = p.shape
+        padded.append(np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge"))
+
+    def block_at(ci: int, by: int, bx: int) -> np.ndarray:
+        q = q_luma if ci == 0 else q_chroma
+        return _quantize_block(
+            padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+        )
+
+    # Scan 1: Y, non-interleaved — the component's own ceil-over-sample
+    # block grid (§A.2.2), NOT the MCU-padded grid.
+    nby, nbx = _comp_grid(h, w, samp[0][0], samp[0][1], hmax, vmax)
+    bw = _BitWriter()
+    prev = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            prev = _encode_block(bw, block_at(0, by, bx), prev, dc_codes[0], ac_codes[0])
+    bw.flush()
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += _segment(b"\xff\xda", sos) + bw.out
+    # Scan 2: Cb + Cr interleaved in MCU order.
+    bw = _BitWriter()
+    prev_dc = [0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in (1, 2):
+                hs, vs = samp[ci]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        prev_dc[ci - 1] = _encode_block(
+                            bw,
+                            block_at(ci, my * vs + byi, mx * hs + bxi),
+                            prev_dc[ci - 1],
+                            dc_codes[1],
+                            ac_codes[1],
+                        )
+    bw.flush()
+    sos = bytes([2, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += _segment(b"\xff\xda", sos) + bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -602,6 +705,44 @@ def _parse_dqt_seg(seg: bytes, qtables: dict[int, np.ndarray]) -> None:
         qtables[tid] = q
 
 
+def _merge_dqt(
+    seg: bytes, qtables: dict[int, np.ndarray], latched: dict[int, np.ndarray]
+) -> None:
+    """DQT with first-scan latching (ADVICE r6): once a scan has coded a
+    component, that component's quantization table is part of the
+    frame's decode contract — libjpeg latches tables at the component's
+    first scan, so a (non-conformant) stream redefining a latched table
+    mid-frame would decode to DIFFERENT pixels under a last-table-wins
+    rule. Raise instead of ever producing a wrong pixel; a byte-
+    identical redefinition stays legal."""
+    new: dict[int, np.ndarray] = {}
+    _parse_dqt_seg(seg, new)
+    for tid, q in new.items():
+        if tid in latched and not np.array_equal(latched[tid], q):
+            raise ValueError(
+                f"DQT redefines quantization table {tid} after a scan "
+                "latched it for this frame"
+            )
+        qtables[tid] = q
+
+
+def _latch_scan_qtables(
+    scan_cids: list[int],
+    cid_to_ci: dict[int, int],
+    comps: list[tuple],
+    qtables: dict[int, np.ndarray],
+    latched: dict[int, np.ndarray],
+) -> None:
+    """Snapshot the quantization tables of every component in a scan at
+    that component's first SOS (the _merge_dqt latch contract)."""
+    for cid in scan_cids:
+        tq = comps[cid_to_ci[cid]][3]
+        if tq not in qtables:
+            raise ValueError(f"scan references undefined quantization table {tq}")
+        if tq not in latched:
+            latched[tq] = qtables[tq].copy()
+
+
 def _parse_dht_seg(
     seg: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
 ) -> None:
@@ -625,6 +766,15 @@ def _parse_dht_seg(
                 k += 1
             code <<= 1
         huff[(tclass, tid)] = table
+
+
+class _MultiScanSequential(NotImplementedError):
+    """A spec-legal §B.2.3 sequential stream whose components split
+    across several scans reached the single-scan parser. ``decode_jpeg``
+    catches this and routes to ``_decode_sequential_multiscan``;
+    subclassing NotImplementedError keeps the envelope contract for
+    direct ``_parse_headers`` callers (``split_restart_segments``) and
+    for the PIL-fallback routing in ``_decode_image_bytes``."""
 
 
 def _parse_headers(data: bytes) -> dict:
@@ -699,13 +849,16 @@ def _parse_headers(data: bytes) -> dict:
             ns = seg[0]
             if ns < len(frame[2]):
                 # A spec-legal sequential JPEG may split its components
-                # across several scans (§B.2.3 allows ns < Nf); this
-                # decoder handles the interleaved single-scan form only.
-                # Raise the envelope error, not a KeyError, so
-                # _decode_image_bytes routes to the PIL fallback when one
-                # is installed (ADVICE r5).
-                raise NotImplementedError(
-                    "multi-scan sequential JPEG not supported"
+                # across several scans (§B.2.3 allows ns < Nf); THIS
+                # parser handles the interleaved single-scan form only —
+                # decode_jpeg catches the subclassed error and routes to
+                # _decode_sequential_multiscan, while direct callers that
+                # genuinely can't handle it (split_restart_segments) keep
+                # a clean NotImplementedError envelope raise (ADVICE r5).
+                raise _MultiScanSequential(
+                    "multi-scan sequential JPEG is decoded by the "
+                    "multi-scan path; the single-scan parser handles the "
+                    "interleaved form only"
                 )
             scan_tbl = {}
             for i in range(ns):
@@ -756,10 +909,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     Grayscale returns (h, w); color returns (h, w, 3) RGB (BT.601
     inverse, rounded half up, clamped). See module docstring for the
     supported envelope; anything outside raises NotImplementedError.
-    Progressive (SOF2) streams route to the multi-scan decoder."""
+    Progressive (SOF2) streams route to the multi-scan decoder; so do
+    §B.2.3 multi-scan SEQUENTIAL streams (components split across
+    several SOF0/SOF1 scans — common in real crawls, VERDICT r6 item 6)."""
     if is_jpeg(data) and _sniff_sof(data) == 0xC2:
         return _decode_progressive(data)
-    hdr = _parse_headers(data)
+    try:
+        hdr = _parse_headers(data)
+    except _MultiScanSequential:
+        return _decode_sequential_multiscan(data)
     qtables, huff = hdr["qtables"], hdr["huff"]
     h, w, comps = hdr["frame"]
     scan_tbl = hdr["scan_tbl"]
@@ -968,6 +1126,221 @@ def _comp_grid(h: int, w: int, hs: int, vs: int, hmax: int, vmax: int) -> tuple[
     yi = -(-(h * vs) // vmax)
     xi = -(-(w * hs) // hmax)
     return -(-yi // 8), -(-xi // 8)
+
+
+def _scan_order(
+    scan_cids: list[int],
+    cid_to_ci: dict[int, int],
+    comps: list[tuple],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> list[tuple[int, int, int, int]]:
+    """Block order of one scan (§A.2): the component's own raster when
+    the scan is non-interleaved (ns == 1), interleaved MCU order over
+    the scan's components otherwise. The frame-global MCU grid is
+    correct for ANY component subset: ceil(ceil(w*hs/hmax)/(8*hs)) ==
+    ceil(w/(8*hmax)) identically. Returns (ci, cid, by, bx) indexing
+    the padded per-component coefficient grids."""
+    if len(scan_cids) == 1:
+        cid = scan_cids[0]
+        ci = cid_to_ci[cid]
+        _, hs, vs, _ = comps[ci]
+        nby, nbx = _comp_grid(h, w, hs, vs, hmax, vmax)
+        return [(ci, cid, by, bx) for by in range(nby) for bx in range(nbx)]
+    order = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in scan_cids:
+                ci = cid_to_ci[cid]
+                _, hs, vs, _ = comps[ci]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        order.append((ci, cid, my * vs + byi, mx * hs + bxi))
+    return order
+
+
+def _dec_seq_scan(
+    br: _BitReader,
+    order: list[tuple[int, int, int, int]],
+    scan_tbl: dict[int, tuple[int, int]],
+    huff: dict,
+    coefs: list[np.ndarray],
+) -> None:
+    """One full-precision sequential scan (§B.2.3: Ss=0, Se=63,
+    Ah=Al=0): each block decodes DC diff + AC run-lengths in one pass —
+    the same symbol grammar as ``_decode_block`` but into the
+    quantized-coefficient accumulator shared with the progressive path,
+    so dequantize + IDCT happen once at EOI."""
+    prev: dict[int, int] = {}
+    for ci, cid, by, bx in order:
+        dc_tab = huff[(0, scan_tbl[cid][0])]
+        ac_tab = huff[(1, scan_tbl[cid][1])]
+        blk = coefs[ci][by, bx]
+        s = br.read_symbol(dc_tab)
+        diff = _extend(br.get(s), s) if s else 0
+        prev[ci] = prev.get(ci, 0) + diff
+        blk[0] = prev[ci]
+        k = 1
+        while k <= 63:
+            rs = br.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            blk[k] = _extend(br.get(s), s)
+            k += 1
+
+
+def _idct_planes(
+    coefs: list[np.ndarray], comps: list[tuple], qtables: dict[int, np.ndarray]
+) -> list[np.ndarray]:
+    """Dequantize + IDCT every accumulated coefficient block (the shared
+    tail of the progressive and multi-scan sequential decoders)."""
+    planes = []
+    for ci, (_, _hs, _vs, tq) in enumerate(comps):
+        q = qtables[tq]
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coefblk = np.zeros((8, 8), dtype=np.int64)
+                coefblk[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(coefblk)
+        planes.append(plane)
+    return planes
+
+
+def _decode_sequential_multiscan(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a §B.2.3 multi-scan SEQUENTIAL (SOF0/SOF1) JPEG: the
+    frame's components are split across several scans — each scan either
+    non-interleaved (one component on its own §A.2.2 block raster) or
+    interleaved over a component subset in MCU order — every scan at
+    full precision (Ss=0, Se=63, Ah=Al=0). Coefficients accumulate per
+    component and dequantize + IDCT once at EOI, so the pixels equal the
+    single-scan encoding of the same coefficients exactly (the parity
+    invariant the registry oracle hashes). Envelope: 8-bit, 1-3
+    components, sampling factors 1-2, quant tables latched at each
+    component's first scan (ADVICE r6), no restart intervals
+    (NotImplementedError), each component coded exactly once."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    latched: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    coefs: list[np.ndarray] = []
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    coded: set[int] = set()
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _merge_dqt(seg, qtables, latched)
+        elif marker == 0xC4:
+            _parse_dht_seg(seg, huff)
+        elif marker in (0xC0, 0xC1):
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp_b, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp_b >> 4, samp_b & 0x0F, tq))
+            if any(hs not in (1, 2) or vs not in (1, 2) for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "only sampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0) supported"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+            frame = (h, w, comps)
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                for _, hs, vs, _ in comps
+            ]
+        elif marker == 0xC2:
+            raise ValueError(
+                "_decode_sequential_multiscan called on a progressive stream"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential/progressive Huffman JPEG "
+                "(SOF0/SOF1/SOF2) is supported"
+            )
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] > 0:
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG with restart intervals "
+                    "not supported"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = frame
+            ns = seg[0]
+            scan_tbl: dict[int, tuple[int, int]] = {}
+            scan_cids = []
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                scan_tbl[cid] = (tsel >> 4, tsel & 0x0F)
+                scan_cids.append(cid)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise ValueError(
+                    "sequential frame with progressive scan parameters "
+                    f"(Ss={ss}, Se={se}, AhAl={ahal:#04x})"
+                )
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            for cid in scan_cids:
+                if cid not in cid_to_ci:
+                    raise ValueError(f"scan references unknown component {cid}")
+                if cid_to_ci[cid] in coded:
+                    raise ValueError(f"component {cid} coded in two scans")
+                coded.add(cid_to_ci[cid])
+            _latch_scan_qtables(scan_cids, cid_to_ci, comps, qtables, latched)
+            order = _scan_order(
+                scan_cids, cid_to_ci, comps, h, w, hmax, vmax, mcus_x, mcus_y
+            )
+            br = _BitReader(data, pos + seglen)
+            _dec_seq_scan(br, order, scan_tbl, huff, coefs)
+            pos = _scan_end(data, br.pos)
+            continue
+        pos += seglen
+    if frame is None or not coded:
+        raise ValueError("no SOS marker found (truncated JPEG)")
+    h, w, comps = frame
+    if len(coded) < len(comps):
+        raise ValueError(
+            f"only {len(coded)} of {len(comps)} components coded "
+            "(truncated multi-scan stream)"
+        )
+    return _finish_image(_idct_planes(coefs, comps, qtables), comps, hmax, vmax, h, w)
 
 
 class _OpRecorder:
@@ -1410,6 +1783,7 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
+    latched: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     coefs: list[np.ndarray] = []
@@ -1430,7 +1804,7 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
-            _parse_dqt_seg(seg, qtables)
+            _merge_dqt(seg, qtables, latched)
         elif marker == 0xC4:
             _parse_dht_seg(seg, huff)
         elif marker == 0xC2:
@@ -1479,33 +1853,16 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            _latch_scan_qtables(scan_cids, cid_to_ci, comps, qtables, latched)
             br = _BitReader(data, pos + seglen)
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan with nonzero Se")
                 # scan order: interleaved MCU order for a multi-component
                 # scan, the component's own raster when ns == 1 (§A.2)
-                order = []
-                if ns == 1:
-                    ci = cid_to_ci[scan_cids[0]]
-                    _, hs, vs, _ = comps[ci]
-                    nby, nbx = _comp_grid(h, w, hs, vs, hmax, vmax)
-                    order = [
-                        (ci, scan_cids[0], by, bx)
-                        for by in range(nby)
-                        for bx in range(nbx)
-                    ]
-                else:
-                    for my in range(mcus_y):
-                        for mx in range(mcus_x):
-                            for cid in scan_cids:
-                                ci = cid_to_ci[cid]
-                                _, hs, vs, _ = comps[ci]
-                                for byi in range(vs):
-                                    for bxi in range(hs):
-                                        order.append(
-                                            (ci, cid, my * vs + byi, mx * hs + bxi)
-                                        )
+                order = _scan_order(
+                    scan_cids, cid_to_ci, comps, h, w, hmax, vmax, mcus_x, mcus_y
+                )
                 _dec_dc_scan(br, order, scan_tbl, huff, coefs, ah, al)
             else:
                 if ns != 1:
@@ -1526,15 +1883,6 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if frame is None or not saw_scan:
         raise ValueError("no SOS marker found (truncated JPEG)")
     h, w, comps = frame
-    planes = []
-    for ci, (_, hs, vs, tq) in enumerate(comps):
-        q = qtables[tq]
-        nby, nbx = coefs[ci].shape[:2]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-        for by in range(nby):
-            for bx in range(nbx):
-                coefblk = np.zeros((8, 8), dtype=np.int64)
-                coefblk[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(coefblk)
-        planes.append(plane)
-    return _finish_image(planes, comps, hmax, vmax, h, w)
+    # qtables here equals the first-scan latch for every latched id —
+    # _merge_dqt raises on any later divergent redefinition (ADVICE r6).
+    return _finish_image(_idct_planes(coefs, comps, qtables), comps, hmax, vmax, h, w)

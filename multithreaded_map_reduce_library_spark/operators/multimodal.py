@@ -333,6 +333,7 @@ def embeddings_as_jpeg420_assets(
     qscale: int = 1,
     subsampling: str = "420",
     progressive: bool = False,
+    multiscan: bool = False,
 ) -> DataFrame:
     """Color 4:2:0 fixture builder: embedding elements 0..47 quantize to
     16 RGB triples painted as CONSTANT 16×16 macroblocks (4×4 grid →
@@ -348,8 +349,12 @@ def embeddings_as_jpeg420_assets(
 
     from multithreaded_map_reduce_library_spark.functions.jpeg import (
         encode_jpeg_rgb,
+        encode_jpeg_rgb_multiscan,
         encode_jpeg_rgb_progressive,
     )
+
+    if progressive and multiscan:
+        raise ValueError("pick one of progressive / multiscan")
 
     q = F.transform(
         F.col(vec_col),
@@ -361,7 +366,13 @@ def embeddings_as_jpeg420_assets(
 
     @pandas_udf("binary")
     def to_jpeg420(pxs: pd.Series) -> pd.Series:
-        enc = encode_jpeg_rgb_progressive if progressive else encode_jpeg_rgb
+        enc = (
+            encode_jpeg_rgb_progressive
+            if progressive
+            else encode_jpeg_rgb_multiscan
+            if multiscan
+            else encode_jpeg_rgb
+        )
         out = []
         for p in pxs:
             vals = np.asarray(list(p)[:48], dtype=np.uint8).reshape(16, 3)

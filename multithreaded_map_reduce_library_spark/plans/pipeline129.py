@@ -74,9 +74,13 @@ def multimodal_jpeg_progressive_roundtrip(
     return decode_image_meta(embeddings_as_jpeg_assets(emb, progressive=True))
 
 
-@register(
-    "multimodal_jpeg_progressive_color420",
-    oracle=f"""
+#: The full color-4:2:0 reconstruction oracle (BT.601 forward, two
+#: quant tables, box-mean subsample, DC-only DCT, replication upsample,
+#: BT.601 inverse) — shared VERBATIM by the progressive (pipeline129)
+#: and multi-scan sequential (pipeline131) roundtrips: both carry
+#: exactly the baseline encoder's quantized coefficients, so one
+#: closed-form SQL replay pins all three decode paths.
+COLOR420_ORACLE = f"""
         WITH q AS (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
@@ -124,7 +128,12 @@ def multimodal_jpeg_progressive_roundtrip(
                CAST(3 AS INTEGER) AS channels,
                CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS sum_px
         FROM rgb GROUP BY vec_id
-    """,
+    """
+
+
+@register(
+    "multimodal_jpeg_progressive_color420",
+    oracle=COLOR420_ORACLE,
     tags=(
         "multimodal",
         "image-decode",

@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Queries whose pandas-UDF input rows carry ~KB+ binary payloads (decoded
+#: image / video frames). At Spark's default 10000-row Arrow batches these
+#: reach ~120 MB per batch per worker (32 workers -> ~4 GB resident), which
+#: the round-6 sf1 bench measured as multi-x slowdowns late in a pass; a
+#: 2048-row cap keeps batches ~25 MB. Scoped by tag rather than globally
+#: because the same cap costs skinny-row kernels real time (simhash +15%,
+#: wav_vad +36% measured in BENCH_r06 vs r05) — sub-KB rows want the
+#: default. Audio payloads (WAV fixtures are a few KB and row-skinny after
+#: the chunk-walk) measured FASTER at 10000, so only image/video tags opt
+#: into the cap.
+_FAT_PAYLOAD_TAGS = frozenset(
+    {"image", "image-decode", "png", "jpeg", "video", "keyframe", "frame-sample"}
+)
+_ARROW_BATCH_FAT = "2048"
+_ARROW_BATCH_DEFAULT = "10000"
+
 
 @dataclass(frozen=True)
 class Query:
@@ -59,6 +75,16 @@ def register(
             )
 
             tune_existing(spark)
+            # Per-query Arrow batch pin (VERDICT r6 item 4). Set HERE, not
+            # inside query bodies, so the order-invariance rule holds: the
+            # conf each query runs under is a pure function of its own
+            # tags, never of which query ran before it. Batch size cannot
+            # change any result (it only re-chunks Arrow transfer), so
+            # oracle hashes are unaffected either way.
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                _ARROW_BATCH_FAT if _FAT_PAYLOAD_TAGS & set(tags) else _ARROW_BATCH_DEFAULT,
+            )
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
@@ -209,6 +235,7 @@ def _load_all() -> None:
         pipeline128,
         pipeline129,
         pipeline130,
+        pipeline131,
         relational,
         relational2,
         relational3,

@@ -84,17 +84,30 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffles START wide and AQE coalesces down (VERDICT r6 item 3):
+        # the sf10 sweep (SCALING_10X.md) measured 32 fixed reduce
+        # partitions breaking string-heavy shuffles at 60 M rows
+        # (wordcount 25.4 s -> 8.0 s at 128). initialPartitionNum makes
+        # the measured knob a session default: every AQE shuffle begins at
+        # max(4*cpus, 128) partitions and coalesces to the 64 MB advisory
+        # target, so small SFs still run few reduce tasks while 10x/100x
+        # data keeps per-task state in memory with NO per-query override.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(4 * cpus, 128))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Bound pandas-UDF / mapInPandas Arrow batches: the default 10k
-        # rows is ~120 MB per batch per worker on 12 KB binary payloads
-        # (32 workers -> ~4 GB resident), which the round-6 sf1 bench
-        # measured as multi-x slowdowns on the media-decode queries late
-        # in a pass (reused daemon workers). 2048 keeps codec batches
-        # ~25 MB with no measurable cost on skinny-row kernels.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing is PER-QUERY, not global (VERDICT r6 item 4):
+        # the round-6 global 2048 cap fixed the 120 MB-batch artifact on
+        # ~12 KB image payloads but regressed two skinny-row pandas-UDF
+        # kernels beyond spread (simhash +15%, wav_vad +36% — 5x more
+        # batch overhead on sub-KB rows). The registry wrapper now pins
+        # maxRecordsPerBatch per query: 2048 for image/video-payload
+        # queries, Spark's 10000 default otherwise (registry.py).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -123,8 +136,16 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(4 * _cpus(), 128))),
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    # Arrow batch size is pinned PER QUERY by the registry wrapper (2048
+    # for image/video payloads, 10000 default) — see registry.py and the
+    # get_spark comment. Pin the default here so non-registry callers
+    # (tests building ad-hoc plans) see a deterministic value too.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     # Streaming determinism pins (constant across queries => run order in a
     # shared session cannot change any streaming result):
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")

@@ -396,10 +396,12 @@ def test_fill_bytes_before_markers_are_skipped():
     assert (out == plain).all()
 
 
-def test_multiscan_sequential_raises_not_implemented():
-    """A sequential SOS listing fewer components than SOF (spec-legal
-    multi-scan §B.2.3) must raise the envelope NotImplementedError so the
-    PIL-fallback routing holds — never a KeyError (ADVICE r5)."""
+def test_multiscan_truncated_stream_raises_value_error():
+    """Round 7: §B.2.3 multi-scan sequential streams now decode NATIVELY
+    (no more envelope raise), so a SOS listing fewer components than SOF
+    routes to the multi-scan decoder — and a stream whose remaining
+    components are never coded by ANY scan is TRUNCATED: clean ValueError
+    at EOI, never wrong pixels and never a KeyError."""
     import struct as _struct
 
     data = encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8))
@@ -411,8 +413,120 @@ def test_multiscan_sequential_raises_not_implemented():
     new_payload = bytes([1]) + seg[1:3] + seg[1 + 2 * ns :]
     new_sos = b"\xff\xda" + _struct.pack(">H", len(new_payload) + 2) + new_payload
     hacked = data[:i] + new_sos + data[i + 2 + old_len :]
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    with pytest.raises(ValueError, match="components coded"):
         decode_jpeg(hacked)
+    # split_restart_segments has no multi-scan path: its direct
+    # _parse_headers call must keep the clean envelope raise (ADVICE r5).
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        split_restart_segments,
+    )
+
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        split_restart_segments(hacked)
+
+
+def test_multiscan_sequential_equals_baseline_decode():
+    """encode_jpeg_rgb_multiscan (Y non-interleaved scan, then Cb+Cr
+    interleaved in MCU order) carries exactly the single-scan encoder's
+    quantized coefficients, so decode must be pixel-identical to the
+    baseline encoding of the same image — across subsamplings and
+    non-multiple-of-MCU dims (pads the interleaved scan 2 while scan 1
+    walks the smaller §A.2.2 grid)."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+
+    rng = np.random.default_rng(131)
+    for h, w in [(64, 64), (40, 56), (17, 33), (8, 8), (50, 23)]:
+        for sub in ("444", "422", "420"):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg_rgb(img, subsampling=sub))
+            ms = decode_jpeg(encode_jpeg_rgb_multiscan(img, subsampling=sub))
+            assert base[:3] == ms[:3]
+            assert np.array_equal(base[3], ms[3]), (h, w, sub)
+
+
+def test_multiscan_streams_are_structurally_multiscan():
+    """The fixture must actually exercise both §B.2.3 scan shapes: two
+    SOS segments, the first non-interleaved (ns=1, component 1), the
+    second an interleaved component subset (ns=2, components 2+3)."""
+    import struct as _struct
+
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+
+    data = encode_jpeg_rgb_multiscan(
+        np.zeros((32, 32, 3), dtype=np.uint8), subsampling="420"
+    )
+    sos_at = []
+    j = 0
+    while True:
+        j = data.find(b"\xff\xda", j)
+        if j < 0:
+            break
+        sos_at.append(j)
+        j += 2
+    assert len(sos_at) == 2
+    ns1 = data[sos_at[0] + 4]
+    ns2 = data[sos_at[1] + 4]
+    assert ns1 == 1 and data[sos_at[0] + 5] == 1
+    assert ns2 == 2 and data[sos_at[1] + 5] == 2 and data[sos_at[1] + 7] == 3
+    # every scan full precision: Ss=0 Se=63 AhAl=0
+    for at, ns in ((sos_at[0], ns1), (sos_at[1], ns2)):
+        ss, se, ahal = data[at + 4 + 1 + 2 * ns : at + 4 + 4 + 2 * ns]
+        assert (ss, se, ahal) == (0, 63, 0)
+
+
+def test_dqt_latch_rejects_mid_frame_redefinition():
+    """ADVICE r6: libjpeg latches a component's quant table at its first
+    scan. A (non-conformant) stream redefining a LATCHED table between
+    scans must raise — never decode to different pixels than libjpeg —
+    while a byte-identical redefinition stays legal. Covers both the
+    multi-scan sequential and the progressive decoder (shared
+    _merge_dqt/_latch_scan_qtables)."""
+    import struct as _struct
+
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        _segment,
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb_multiscan,
+    )
+
+    def inject_after_first_sos(data: bytes, qscale: int) -> bytes:
+        first = data.index(b"\xff\xda")
+        seglen = _struct.unpack(">H", data[first + 2 : first + 4])[0]
+        # after the first scan's entropy data = at the SECOND marker ≥
+        # first SOS; simplest robust point: just before the second SOS
+        # (multiscan) or second DHT/SOS (progressive) — find next \xff\xda
+        # or \xff\xc4 after the entropy region.
+        nxt = min(
+            x
+            for x in (
+                data.find(b"\xff\xda", first + 4 + seglen),
+                data.find(b"\xff\xc4", first + 4 + seglen),
+            )
+            if x > 0
+        )
+        q = quant_table(QUANT_LUMA, qscale)
+        dqt = _segment(
+            b"\xff\xdb", bytes([0x00]) + q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        )
+        return data[:nxt] + dqt + data[nxt:]
+
+    img3 = np.random.default_rng(5).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    ms = encode_jpeg_rgb_multiscan(img3, qscale=1, subsampling="444")
+    with pytest.raises(ValueError, match="latched"):
+        decode_jpeg(inject_after_first_sos(ms, qscale=2))
+    ok = inject_after_first_sos(ms, qscale=1)  # identical redefinition
+    assert np.array_equal(decode_jpeg(ok)[3], decode_jpeg(ms)[3])
+
+    imgg = np.random.default_rng(6).integers(0, 256, (16, 16), dtype=np.uint8)
+    prog = encode_jpeg_gray_progressive(imgg, qscale=1)
+    with pytest.raises(ValueError, match="latched"):
+        decode_jpeg(inject_after_first_sos(prog, qscale=2))
 
 
 def test_split_restart_segments_mcu_count_subsampled():
@@ -562,4 +676,22 @@ def test_jpeg_progressive_query_oracle_parity(spark):
 
 def test_jpeg_progressive_color420_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_progressive_color420"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_decode_image_bytes_routes_multiscan_without_pil():
+    """_decode_image_bytes must decode §B.2.3 multi-scan sequential
+    streams through the from-scratch path (no PIL dependency)."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+    from multithreaded_map_reduce_library_spark.operators import multimodal as mm
+
+    img = np.full((32, 32, 3), 64, dtype=np.uint8)
+    arr = mm._decode_image_bytes(encode_jpeg_rgb_multiscan(img, subsampling="444"))
+    assert arr.shape == (32, 32, 3)
+
+
+def test_jpeg_multiscan_color420_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_multiscan_color420"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)

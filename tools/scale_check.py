@@ -35,6 +35,13 @@ def main() -> int:
         small = json.loads(f.read().strip().splitlines()[-1])
     with open(big_path) as f:
         big = json.loads(f.read().strip().splitlines()[-1])
+    for name, d in (("small", small), ("big", big)):
+        if "queries" not in d:
+            raise SystemExit(
+                f"{name} bench file has no per-query map — bench.py stdout is "
+                "compact since round 7 (driver tail window); capture the full "
+                "JSON with SPARK_GRAFT_BENCH_OUT=<path> python bench.py"
+            )
 
     rows = []
     for q in sorted(set(small["queries"]) & set(big["queries"])):

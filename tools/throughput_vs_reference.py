@@ -101,10 +101,11 @@ def time_engine_cold() -> float:
     number a one-shot CLI user pays; the warm numbers are what a
     resident engine (notebook, server, any real deployment) pays per
     query. BASELINE.md reports both side by side."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = (
         "import sys, time, glob\n"
         "t0 = time.perf_counter()\n"
-        "sys.path.insert(0, '/root/repo')\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
         "from multithreaded_map_reduce_library_spark.session import get_spark\n"
         "from multithreaded_map_reduce_library_spark.operators.wordcount import wordcount\n"
         "spark = get_spark(app_name='cold-vs-reference')\n"
