@@ -85,6 +85,17 @@ def register(
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
                 _ARROW_BATCH_FAT if _FAT_PAYLOAD_TAGS & set(tags) else _ARROW_BATCH_DEFAULT,
             )
+            # AQE initial shuffle partitions scale with the input data
+            # (VERDICT r6 item 3): pure function of sf_dir, so order-
+            # invariance holds and small SFs keep round-6 task counts.
+            from multithreaded_map_reduce_library_spark.session import (
+                scaled_initial_partitions,
+            )
+
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(scaled_initial_partitions(sf_dir)),
+            )
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -66,6 +66,38 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+_DIR_BYTES: dict[str, int] = {}
+
+
+def scaled_initial_partitions(sf_dir: str) -> int:
+    """AQE initial shuffle-partition count computed FROM INPUT SIZE
+    (VERDICT r6 item 3, refined): the sf10 sweep measured 32 fixed reduce
+    partitions breaking string-heavy shuffles at 60 M rows (wordcount
+    25.4 s -> 8.0 s at 128), but round 7 also measured a fixed 128
+    costing ~+0.1-0.2 s per shuffle-heavy query at sf0.1 (+20% aggregate)
+    — so the knob scales with the data instead of being a constant:
+    one initial partition per 16 MB of source parquet, floored at the
+    core count (small SFs keep the round-6 behavior exactly) and capped
+    at 4096 (the 100 TB ceiling is AQE coalescing territory, not ours).
+    Overridable with $SPARK_GRAFT_INITIAL_PARTITIONS. Pure function of
+    the data directory, so order-invariance across queries holds."""
+    env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if env:
+        return int(env)
+    total = _DIR_BYTES.get(sf_dir)
+    if total is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            total = 0
+        _DIR_BYTES[sf_dir] = total
+    return min(4096, max(_cpus(), total // (16 << 20)))
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -84,17 +116,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Shuffles START wide and AQE coalesces down (VERDICT r6 item 3):
-        # the sf10 sweep (SCALING_10X.md) measured 32 fixed reduce
-        # partitions breaking string-heavy shuffles at 60 M rows
-        # (wordcount 25.4 s -> 8.0 s at 128). initialPartitionNum makes
-        # the measured knob a session default: every AQE shuffle begins at
-        # max(4*cpus, 128) partitions and coalesces to the 64 MB advisory
-        # target, so small SFs still run few reduce tasks while 10x/100x
-        # data keeps per-task state in memory with NO per-query override.
+        # AQE initial shuffle partitions scale WITH THE DATA (VERDICT r6
+        # item 3): the registry wrapper sets initialPartitionNum per
+        # query via scaled_initial_partitions(sf_dir) — one partition
+        # per 16 MB of source parquet, floored at cpus — so sf10's
+        # string-heavy shuffles start wide (measured: wordcount 25.4 s
+        # -> 8.0 s) while small SFs keep exactly the round-6 task
+        # counts (a fixed 128 measured +20% aggregate at sf0.1). The
+        # static default here covers non-registry sessions.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(4 * cpus, 128))),
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -136,9 +168,12 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # initialPartitionNum is data-scaled PER QUERY by the registry
+    # wrapper (scaled_initial_partitions); pin the cpu-count default
+    # here for non-registry callers.
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(4 * _cpus(), 128))),
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(_cpus())),
     )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Arrow batch size is pinned PER QUERY by the registry wrapper (2048

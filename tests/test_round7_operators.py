@@ -45,13 +45,31 @@ def test_fat_payload_tag_set_matches_registry():
     assert "simhash_fingerprint" not in fat
 
 
-def test_initial_partition_num_is_session_default(spark):
-    """SCALING_10X's measured knob is code now: AQE shuffles start at
-    max(4*cpus, 128) partitions and coalesce down, so 10x/100x data
-    keeps per-task shuffle state bounded with no per-query override."""
-    from multithreaded_map_reduce_library_spark.session import tune_existing
+def test_initial_partitions_scale_with_input_size(spark):
+    """SCALING_10X's measured knob is code now, and it scales with the
+    DATA rather than being a constant: one AQE initial partition per
+    16 MB of source parquet, floored at cpus (so sf0.001-0.1 keep the
+    round-6 task counts exactly — a fixed 128 measured +20% aggregate
+    at sf0.1) and growing past 128 at sf10 sizes where 32 fixed
+    partitions measurably broke string-heavy shuffles."""
+    from multithreaded_map_reduce_library_spark.session import (
+        _cpus,
+        scaled_initial_partitions,
+    )
 
-    tune_existing(spark)
+    small = scaled_initial_partitions(SF_SMALL)
+    assert small == _cpus()  # tiny dirs: floor at core count
+    # a synthetic 2.4 GB dir would give ~150; emulate via the cache
+    from multithreaded_map_reduce_library_spark import session as S
+
+    S._DIR_BYTES["/fake/sf10"] = 2400 << 20
+    assert scaled_initial_partitions("/fake/sf10") == max(_cpus(), 150)
+    S._DIR_BYTES["/fake/huge"] = 1 << 50
+    assert scaled_initial_partitions("/fake/huge") == 4096  # capped
+    del S._DIR_BYTES["/fake/sf10"], S._DIR_BYTES["/fake/huge"]
+    # the registry wrapper pins it per query
+    qs = all_queries()
+    qs["wordcount"].fn(spark, SF_SMALL)
     n = int(spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
-    assert n >= 128
+    assert n == small
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
