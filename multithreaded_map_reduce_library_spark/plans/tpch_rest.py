@@ -511,12 +511,21 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style: suppliers who were the SOLE late supplier on a
     finished multi-supplier order ("late" = shipped >90 days after the
-    order date). The EXISTS/NOT-EXISTS pair is decorrelated into one
-    per-order aggregate — countDistinct suppliers and countDistinct
-    late suppliers — instead of two extra lineitem self-joins; late
-    lines then semi-join the qualifying orders. One lineitem⋈orders
-    shuffle plus one per-order agg, versus three fact self-joins in the
-    naive plan."""
+    order date). The EXISTS/NOT-EXISTS pair is decorrelated into
+    per-(order, supplier) late-line counts — NOT two extra lineitem
+    self-joins — and everything downstream derives from that one
+    aggregate.
+
+    Scale design (round-7 rewrite, measured at sf10/60 M lineitem): the
+    original branched twice off the lineitem⋈orders join (Spark
+    recomputes it per branch) and paid a 2x row EXPAND for two
+    count_distincts; this shape runs the fact-fact join ONCE, reduces it
+    immediately to (order, supplier, n_late_lines) — ~lineitem/1.2 rows,
+    3 int-ish columns — localCheckpoints that reduction (the kcore/CC/
+    k-means precedent), and derives both the per-order sole-late filter
+    and the waiter counts from it with plain hash aggregates. numwait ==
+    the oracle's COUNT(*) over late l1 lines because sum(n_late_lines)
+    over the sole-late supplier's orders counts exactly those lines."""
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -526,20 +535,31 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    per_order = lo.groupBy("o_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = (
+        lo.groupBy("o_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("is_late"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_late_lines"
+            )
+        )
+        .localCheckpoint()
+    )
+    per_order = per_supp.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("n_late_lines") > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_late_supp"
+        ),
     )
     sole_late_orders = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     ).select("o_orderkey")
-    waiters = lo.filter(F.col("is_late")).join(
+    waiters = per_supp.filter(F.col("n_late_lines") > 0).join(
         sole_late_orders, "o_orderkey", "left_semi"
     )
     return (
         waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
