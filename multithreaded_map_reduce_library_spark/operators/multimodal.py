@@ -81,11 +81,11 @@ def _decode_image_bytes(payload: bytes) -> "object":
     output depend on the driver environment and burned a hash row).
     Round-5 (VERDICT r4 item 7a): the JPEG branch is no longer PIL-gated
     — functions/jpeg.py carries a real DCT decoder covering baseline
-    SOF0/SOF1 (with 4:2:0/4:2:2 chroma subsampling and restart markers)
-    and, since round 6, progressive SOF2 (spectral selection +
-    successive approximation); PIL, when installed, is only the
-    fallback for JPEG variants outside that envelope (arithmetic
-    coding, multi-scan sequential, 12-bit — NotImplementedError
+    SOF0/SOF1 (with 4:2:0/4:2:2 chroma subsampling and restart markers),
+    progressive SOF2 (spectral selection + successive approximation,
+    round 6), and multi-scan sequential §B.2.3 (round 7); PIL, when
+    installed, is only the fallback for JPEG variants outside that
+    envelope (arithmetic coding, 12-bit — NotImplementedError
     otherwise, a path no oracle-hashed fixture exercises).
 
     Non-image payloads fall back to the deterministic md5-seeded fake

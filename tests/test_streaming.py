@@ -62,3 +62,55 @@ def test_rate_source_produces_monotonic_rows(spark):
     assert len(rows) >= 100
     vals = sorted(r["value"] for r in rows)
     assert vals == list(range(vals[0], vals[0] + len(vals)))
+
+
+def test_empty_stream_returns_empty_df_with_schema(spark):
+    """A drained stream that emits ZERO rows must return an empty
+    DataFrame with the plan's schema, not raise 'Unable to infer schema'
+    (ADVICE r7: the sink dir has no parquet part files to infer from)."""
+    from pyspark.sql import functions as F
+
+    src = events_stream(spark, SF_SMALL).where(F.lit(False))
+    res = run_stream_to_df(spark, src, output_mode="append")
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        f.name for f in src.schema.fields
+    ]
+
+
+def test_foreachbatch_sink_isolates_batches(spark):
+    """Each micro-batch writes its own b<batch_id> subdir (at-least-once
+    idempotency: a retried batch overwrites itself, never re-appends) and
+    append mode unions exactly the per-batch outputs."""
+    import os
+
+    import multithreaded_map_reduce_library_spark.streaming.windows as W
+
+    monkey_dirs: list[str] = []
+    orig = W.tempfile.mkdtemp
+
+    def capture(prefix: str = "tmp", **kw):
+        d = orig(prefix=prefix, **kw)
+        if prefix.startswith("mtmrl_stream_out_"):
+            monkey_dirs.append(d)
+        return d
+
+    W.tempfile.mkdtemp = capture
+    try:
+        os.environ["SPARK_GRAFT_STREAM_MAXFILES"] = "1"
+        src = events_stream(spark, SF_SMALL)
+        res = run_stream_to_df(
+            spark, src.select("event_id"), output_mode="append"
+        )
+        n = res.count()
+    finally:
+        W.tempfile.mkdtemp = orig
+        os.environ.pop("SPARK_GRAFT_STREAM_MAXFILES", None)
+    assert n > 0
+    out_dir = monkey_dirs[-1]
+    subdirs = [d for d in os.listdir(out_dir) if d.startswith("b")]
+    assert subdirs, "expected per-batch b<id> subdirs in the sink dir"
+    # checkpoint dir was removed as soon as the query terminated
+    assert not [
+        d for d in os.listdir(os.path.dirname(out_dir)) if d.startswith("mtmrl_stream_ckpt_")
+    ]

@@ -113,6 +113,14 @@ def pandas_rows(odf, duck_types):
 
 
 n_pass = n_fail = n_weak = 0
+# Optional positional regex filters the query names (dev loop convenience;
+# the driver and the end-gate run with no args = the full registry).
+name_filter = sys.argv[1] if len(sys.argv) > 1 else None
+if name_filter:
+    import re
+
+    qs = {n: f for n, f in qs.items() if re.search(name_filter, n)}
+    print(f"FILTER: {name_filter!r} -> {len(qs)} queries")
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
