@@ -70,7 +70,21 @@ def register(
             # execution order in a shared session cannot change results
             # (VERDICT r2 item 5 — queries must not mutate shared conf
             # themselves; tune_existing is the single pin point).
+            #
+            # BUILD-THEN-EXECUTE-IMMEDIATELY contract (ADVICE r7): these
+            # pins happen when the plan is BUILT, but Spark reads session
+            # confs when the plan EXECUTES. Every consumer (the driver's
+            # collect-right-after-call, bench.py, tests, tools) executes
+            # each returned DataFrame before building the next query, so
+            # the pins in force at execution are this query's own. A
+            # caller that builds several registered plans and executes
+            # them later runs all of them under the LAST build's two
+            # perf-only pins below (Arrow batch size, AQE initial
+            # partitions) — neither can change a result (they re-chunk
+            # Arrow transfer / pre-split shuffles), only speed.
             from multithreaded_map_reduce_library_spark.session import (
+                scaled_initial_partitions,
+                set_conf_cached,
                 tune_existing,
             )
 
@@ -81,18 +95,16 @@ def register(
             # tags, never of which query ran before it. Batch size cannot
             # change any result (it only re-chunks Arrow transfer), so
             # oracle hashes are unaffected either way.
-            spark.conf.set(
+            set_conf_cached(
+                spark,
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
                 _ARROW_BATCH_FAT if _FAT_PAYLOAD_TAGS & set(tags) else _ARROW_BATCH_DEFAULT,
             )
             # AQE initial shuffle partitions scale with the input data
             # (VERDICT r6 item 3): pure function of sf_dir, so order-
             # invariance holds and small SFs keep round-6 task counts.
-            from multithreaded_map_reduce_library_spark.session import (
-                scaled_initial_partitions,
-            )
-
-            spark.conf.set(
+            set_conf_cached(
+                spark,
                 "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(scaled_initial_partitions(sf_dir)),
             )

@@ -45,6 +45,36 @@ def _package_zip() -> str:
     return _PKG_ZIP
 
 
+def _conf_cache(spark: SparkSession) -> dict[str, str]:
+    cache = getattr(spark, "_mtmrl_conf_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mtmrl_conf_cache = cache
+    return cache
+
+
+def set_conf_cached(spark: SparkSession, key: str, value: str) -> None:
+    """``spark.conf.set`` that skips no-ops (VERDICT r7 item 3).
+
+    Every ``spark.conf.set`` is a py4j round-trip; the registry wrapper
+    pins ~12 confs per query and a 47-query bench pass pays that ~564
+    times for values that almost never change. Caching the last-set value
+    per SparkSession *Python object* (a fresh wrapper or a restarted
+    session simply gets a fresh cache — extra sets, never missed ones)
+    makes the repeated pins free.
+
+    ONLY the pin-point keys may go through this cache: the repo's
+    order-invariance rule (tune_existing docstring) already forbids query
+    paths from mutating those keys behind our back, and the tests that DO
+    set confs directly touch non-pinned keys and restore them.
+    """
+    cache = _conf_cache(spark)
+    if cache.get(key) == value:
+        return
+    spark.conf.set(key, value)
+    cache[key] = value
+
+
 def ensure_package_on_executors(spark: SparkSession) -> None:
     """Ship this package to Spark's Python workers via ``addPyFile``.
 
@@ -55,11 +85,13 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     outside the repo. ``addPyFile`` works on an already-running session and
     is the same mechanism used to ship code to a real 1000-executor cluster.
     """
+    if getattr(spark, "_mtmrl_pkg_shipped", False):
+        return  # fast path: skip the applicationId py4j call too
     app_id = spark.sparkContext.applicationId
-    if app_id in _SHIPPED_APP_IDS:
-        return
-    spark.sparkContext.addPyFile(_package_zip())
-    _SHIPPED_APP_IDS.add(app_id)
+    if app_id not in _SHIPPED_APP_IDS:
+        spark.sparkContext.addPyFile(_package_zip())
+        _SHIPPED_APP_IDS.add(app_id)
+    spark._mtmrl_pkg_shipped = True
 
 
 def _cpus() -> int:
@@ -163,29 +195,36 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     queries ran before it in a shared driver session. Nothing in a query
     path may call ``spark.conf.set`` directly — every conf a query's result
     can depend on is pinned here, once, to a constant.
+
+    Pins go through ``set_conf_cached`` (VERDICT r7 item 3): re-pinning
+    before every registered query is the invariance mechanism, but the
+    values are constants, so after the first call per session every pin
+    is a dict lookup instead of a py4j round-trip.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    set_conf_cached(spark, "spark.sql.session.timeZone", "UTC")
+    set_conf_cached(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_conf_cached(spark, "spark.sql.adaptive.enabled", "true")
+    set_conf_cached(spark, "spark.sql.adaptive.coalescePartitions.enabled", "true")
     # initialPartitionNum is data-scaled PER QUERY by the registry
     # wrapper (scaled_initial_partitions); pin the cpu-count default
     # here for non-registry callers.
-    spark.conf.set(
+    set_conf_cached(
+        spark,
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(_cpus())),
     )
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    set_conf_cached(spark, "spark.sql.execution.arrow.pyspark.enabled", "true")
     # Arrow batch size is pinned PER QUERY by the registry wrapper (2048
     # for image/video payloads, 10000 default) — see registry.py and the
     # get_spark comment. Pin the default here so non-registry callers
     # (tests building ad-hoc plans) see a deterministic value too.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    set_conf_cached(spark, "spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     # Streaming determinism pins (constant across queries => run order in a
     # shared session cannot change any streaming result):
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
-    spark.conf.set(
+    set_conf_cached(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    set_conf_cached(spark, "spark.sql.streaming.multipleWatermarkPolicy", "min")
+    set_conf_cached(
+        spark,
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
