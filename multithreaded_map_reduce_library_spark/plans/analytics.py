@@ -371,6 +371,8 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
     )
+    # bcast-bounded: cents is capped at the constant _N_CENTROIDS by the
+    # vec_id < _N_CENTROIDS filter — corpus-size-independent build side
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "c_id", cosine("embedding", "cv").alias("sim")
     )

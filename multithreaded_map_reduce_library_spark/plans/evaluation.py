@@ -23,7 +23,7 @@ from multithreaded_map_reduce_library_spark.functions.grid import (
     int_ratio,
 )
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 _K = 3
 _NQ = 10
@@ -190,7 +190,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")
     inter = (
-        F.broadcast(cand)
+        scaled_broadcast(cand, sf_dir, "documents")
         .join(da, "id_a")
         .join(db, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
@@ -205,10 +205,10 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = eq.cast("double") / F.lit(16.0)
     out = (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
+        cand.join(scaled_broadcast(sa, sf_dir, "documents"), "id_a")
+        .join(scaled_broadcast(sb, sf_dir, "documents"), "id_b")
+        .join(scaled_broadcast(za, sf_dir, "documents"), "id_a")
+        .join(scaled_broadcast(zb, sf_dir, "documents"), "id_b")
         .join(inter, ["id_a", "id_b"], "left")
         .withColumn("i0", F.coalesce("i", F.lit(0)))
     )

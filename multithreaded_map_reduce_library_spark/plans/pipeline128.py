@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.functions.grid import duck_gsum, gsum
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 
 @register(
@@ -146,7 +146,7 @@ def tpcds_rollup_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = lineitem.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        scaled_broadcast(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey")
     )
     lat = (
         joined.rollup(F.col("p_brand").alias("brand"), F.year("l_shipdate").cast("int").alias("yr"))

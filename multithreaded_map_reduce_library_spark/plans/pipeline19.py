@@ -172,6 +172,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = (
         e.filter(F.col("vec_id") != 0)
+        # bcast-bounded: q is ONE row (vec_id == 0 equality on the key)
         .crossJoin(F.broadcast(q))
         .select("vec_id", _cos_pre("embedding", "qv", "nrm", "qn").alias("sim"))
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 _BF_BITS = 4096
 _BF_K = 3
@@ -109,7 +109,7 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey")
         .crossJoin(F.broadcast(bitset))
         .join(
-            F.broadcast(keys.withColumnRenamed("o_orderkey", "k")),
+            scaled_broadcast(keys.withColumnRenamed("o_orderkey", "k"), sf_dir, "orders"),
             F.col("l_orderkey") == F.col("k"),
             "left",
         )

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 _QG_D = 2  # max edit distance
 _QG_Q = 2  # gram size
@@ -167,7 +167,7 @@ def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     r = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(scaled_broadcast(cust, sf_dir, "customer"), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
             "n_regionkey",

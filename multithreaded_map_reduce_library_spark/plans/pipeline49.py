@@ -114,6 +114,8 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = t.select("tok").distinct()
     langs = docs.select("lang").distinct()
     lq = (
+        # bcast-bounded: langs is DISTINCT over a spec-bounded code domain
+        # (a handful of ISO language codes at any corpus size)
         vt.crossJoin(F.broadcast(langs))
         .join(F.broadcast(tl), "lang")
         .crossJoin(F.broadcast(v))

@@ -20,7 +20,7 @@ from multithreaded_map_reduce_library_spark.functions.grid import (
 )
 from multithreaded_map_reduce_library_spark.plans.pipeline import _duck_quality_sql
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 _SQ_GOOD = 0.75
 _SQ_Z = 1.96
@@ -155,7 +155,7 @@ def price_elasticity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     l = (
         li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-        .join(F.broadcast(part.select("p_partkey", "p_type")),
+        .join(scaled_broadcast(part.select("p_partkey", "p_type"), sf_dir, "part"),
               li["l_partkey"] == part["p_partkey"])
         .select(
             "p_type",

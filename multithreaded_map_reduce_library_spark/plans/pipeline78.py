@@ -124,6 +124,7 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_bits = probes.select("k", F.explode(poss).alias("b"))
     hit = (
         probe_bits.join(
+            # bcast-bounded: bits <= _M_BITS distinct bloom positions
             F.broadcast(bits.withColumn("set1", F.lit(1))), "b", "left"
         )
         .groupBy("k")

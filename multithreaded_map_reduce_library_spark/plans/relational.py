@@ -29,7 +29,7 @@ from multithreaded_map_reduce_library_spark.functions.grid import (
     int_ratio,
 )
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 
 # --------------------------------------------------------------------------
@@ -287,7 +287,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(scaled_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
         .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
@@ -334,8 +334,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(dims), (l.l_suppkey == dims.s_suppkey) & (c.c_nationkey == dims.s_nationkey))
+        .join(scaled_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(scaled_broadcast(dims, sf_dir, "supplier"), (l.l_suppkey == dims.s_suppkey) & (c.c_nationkey == dims.s_nationkey))
         .groupBy("n_name")
         .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
     )
@@ -472,7 +472,7 @@ def running_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(scaled_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("o_month"))
         .agg(gsum(F.col("o_totalprice"), 2).alias("month_rev_e2"))

@@ -20,7 +20,7 @@ from multithreaded_map_reduce_library_spark.functions.grid import (
     int_ratio_big,
 )
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 
 # --------------------------------------------------------------------------
@@ -125,7 +125,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic end to end (int_ratio_big avoids the 10^6 blowup of the
     # scaled numerator).
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(scaled_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .agg(
             int_ratio_big(F.sum(promo_e4) * 100, F.sum(rev_e4), 4).alias(
                 "promo_pct_e4"
@@ -163,7 +163,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(scaled_broadcast(c, sf_dir, "customer"), F.col("o_custkey") == c.c_custkey)
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(gsum(F.col("l_quantity"), 2).alias("total_qty_e2"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.functions.grid import grid, int_ratio
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 _LATERAL_SQL = """
     SELECT c_custkey, o_orderkey, o_totalprice
@@ -405,7 +405,7 @@ def contribution_wow_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     wk = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(scaled_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             F.col("c_mktsegment").alias("seg"),
             F.date_trunc("week", "o_orderdate").cast("date").alias("week"),

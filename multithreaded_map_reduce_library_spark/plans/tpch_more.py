@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 
 from multithreaded_map_reduce_library_spark.functions.grid import (  # noqa: E402
@@ -103,7 +103,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(scaled_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(gsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue_e4"))
@@ -170,7 +170,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(scaled_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .join(avg_q, l.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(int_ratio_big(gsum(F.col("l_extendedprice"), 2), F.lit(7), 2).alias("avg_yearly_e4"))
@@ -198,7 +198,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     implied filters (brand IN (...), quantity range) below the join."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(scaled_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
     c1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)

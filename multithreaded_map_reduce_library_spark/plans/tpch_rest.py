@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.plans.registry import register
-from multithreaded_map_reduce_library_spark.sources.catalog import load_table
+from multithreaded_map_reduce_library_spark.sources.catalog import load_table, scaled_broadcast
 
 
 from multithreaded_map_reduce_library_spark.functions.grid import (  # noqa: E402
@@ -103,7 +103,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pse.join(min_cost, (F.col("ps_partkey") == F.col("mk"))
                  & (F.col("ps_supplycost") == F.col("min_cost")))
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(scaled_broadcast(p, sf_dir, "part"), F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -168,10 +168,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(scaled_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_asia), o.o_custkey == cust_asia.c_custkey)
-        .join(F.broadcast(supp_nation), l.l_suppkey == supp_nation.s_suppkey)
+        .join(scaled_broadcast(cust_asia, sf_dir, "customer"), o.o_custkey == cust_asia.c_custkey)
+        .join(scaled_broadcast(supp_nation, sf_dir, "supplier"), l.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             int_ratio_big(
@@ -227,7 +227,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    lw = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    lw = l.join(scaled_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
     ps = _derived_ps(lw)
     supp_nation = s.join(
         F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
@@ -382,7 +382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue_e4") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(scaled_broadcast(s, sf_dir, "supplier"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
 
@@ -419,8 +419,8 @@ def q16_supplier_part_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).distinct()
     return (
-        pairs.join(F.broadcast(bad), pairs.ps_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        pairs.join(scaled_broadcast(bad, sf_dir, "supplier"), pairs.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(scaled_broadcast(p, sf_dir, "part"), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -468,7 +468,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in95 = (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
     in96 = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     qty = (
-        l.join(F.broadcast(red), l.l_partkey == red.p_partkey, "left_semi")
+        l.join(scaled_broadcast(red, sf_dir, "part"), l.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.when(in95, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty95"),
@@ -557,7 +557,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late_orders, "o_orderkey", "left_semi"
     )
     return (
-        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        waiters.join(scaled_broadcast(s, sf_dir, "supplier"), waiters.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

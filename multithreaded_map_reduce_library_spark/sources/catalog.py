@@ -10,6 +10,7 @@ source for the relational/pipeline tables.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+#: On-disk size cache for the broadcast guard (pure function of the path,
+#: same idempotence argument as session._DIR_BYTES).
+_TABLE_BYTES: dict[str, int] = {}
+
+
+def _parquet_bytes(path: str) -> int:
+    total = _TABLE_BYTES.get(path)
+    if total is None:
+        total = 0
+        try:
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files
+                        if f.endswith(".parquet") or f.startswith("part-")
+                    )
+            else:
+                total = os.path.getsize(path)
+        except OSError:
+            total = 0
+        _TABLE_BYTES[path] = total
+    return total
+
+
+def scaled_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Size-guarded broadcast hint for a DIMENSION THAT GROWS WITH THE
+    CORPUS (VERDICT r7 item 2).
+
+    A forced ``F.broadcast`` bypasses ``autoBroadcastJoinThreshold``: on
+    customer/part/supplier — tables that scale linearly with sf — the
+    hint is right at every measured scale (sf10 part = 2 M rows) but OOMs
+    the build side at the 100 TB North Star. This helper hints only while
+    the table's on-disk parquet is under ``$SPARK_GRAFT_BCAST_CAP_MB``
+    (default 256 MB on disk ≈ low-GB in-memory after decompression —
+    comfortable on cluster-sized executors); above the cap it returns the
+    plan UNHINTED so AQE + ``autoBroadcastJoinThreshold`` pick the join
+    strategy from runtime sizes (sort-merge with skew splitting once the
+    dim is genuinely big).
+
+    The guard keys on the SOURCE table's bytes, deliberately ignoring any
+    filter the caller applied: a filter's selectivity is data-dependent,
+    and the conservative bound is what survives a 100x scale-up.
+    Constant-size dims (nation=25, region=5 rows) keep their unconditional
+    ``F.broadcast`` — they are bounded by the TPC-H spec, not by sf.
+    """
+    cap_mb = int(os.environ.get("SPARK_GRAFT_BCAST_CAP_MB", "256"))
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if _parquet_bytes(path) <= cap_mb << 20:
+        return F.broadcast(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> None:

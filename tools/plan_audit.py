@@ -245,6 +245,11 @@ def audit(name: str, tags: set[str], df, plan: str) -> list[str]:
 
 
 def main() -> int:
+    # Static broadcast-boundedness sweep first (VERDICT r7 item 2): zero
+    # unguarded F.broadcast hints on raw scans of corpus-scaling tables.
+    from tools import broadcast_audit
+
+    bcast_rc = broadcast_audit.main()
     sf_dir = os.environ.get("MTMRL_PLAN_AUDIT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -269,6 +274,7 @@ def main() -> int:
             bad += 1
             print(f"FLAG {name}: {flags}")
     print(f"AUDITED {len(results)} queries, {bad} flagged/errored")
+    bad += bcast_rc
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
         with open(out, "w") as f:
