@@ -1,39 +1,90 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "control_value": ..., "ab_ratio": ...}.
 
-Each query is executed with a count()-style full materialization
-(collect on the driver is avoided for large results; we use
-``df.write.format("noop")`` so the full plan runs distributed).
+Round-8 protocol (VERDICT r7 item 1): the raw round-over-round headline
+cannot separate code from environment — round 7's +24% was adjudicated to
+be ~3/4 box drift (the C reference control itself slowed 24% the same
+day). The harness now builds that adjudication in: an A/B DRIFT CONTROL
+checks out a pinned control commit (BENCH_CONTROL file, --control, or
+$SPARK_GRAFT_BENCH_CONTROL) into a temp git worktree and INTERLEAVES
+control/HEAD passes in one session — C,H,C,H — each pass a fresh
+subprocess (fresh JVM, symmetric cold-start) running THE SAME worker code
+with only sys.path deciding which package is measured. The verdict-facing
+number is ab_ratio = head_common / control_common over the common query
+set: box drift hits both sides of an interleaved pair equally, so the
+ratio measures code. `value` (sum over all HEAD bench queries) remains
+for continuity with BENCH_r01..r07, but cross-round comparisons should
+use the ratio chain.
+
+Each timed query is materialized with ``df.write.format("noop")`` so the
+full plan runs distributed (no driver collect).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from multithreaded_map_reduce_library_spark.plans.registry import all_queries
-from multithreaded_map_reduce_library_spark.session import get_spark
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+# --------------------------------------------------------------------------
+# measurement core (shared by legacy single-process mode and A/B workers)
+# --------------------------------------------------------------------------
+
+
+def _quiesce(max_wait: float | None = None) -> None:
+    """Contention guard #1 (round-5, VERDICT r4 item 4): don't START a
+    timed pass while the box is busy with other work."""
+    if max_wait is None:
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_S", "600"))
+    ncpu = os.cpu_count() or 32
+    waited = 0.0
+    while waited < max_wait:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return
+        if load1 < ncpu * 0.5:
+            return
+        print(
+            f"bench: load1={load1:.1f} >= {ncpu * 0.5:.0f} — waiting for the "
+            "box to quiesce (another job is running?)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+
+
+def _boot_spark(code_dir: str):
+    sys.path.insert(0, code_dir)
+    from multithreaded_map_reduce_library_spark.session import get_spark
+
     spark = get_spark(app_name="mtmrl-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    bench_queries = {n: q for n, q in all_queries().items() if q.bench}
-    # Warm-up pass: boot Python UDF workers (one per core) and compile each
-    # query's whole-stage-codegen classes by running every bench plan once
-    # at the smallest scale factor. Codegen compilation is plan-structure
-    # keyed, so the sf0.001 run populates the compile cache for the timed
-    # sf run — timings then measure execution, not janino compilation (the
-    # 64-wide cosine folds alone cost seconds to compile).
+
+def _bench_queries():
+    from multithreaded_map_reduce_library_spark.plans.registry import all_queries
+
+    return {n: q for n, q in all_queries().items() if q.bench}
+
+
+def _warmup(spark, bench_queries, sf_dir: str) -> None:
+    """Boot Python UDF workers (one per core) and compile each query's
+    whole-stage-codegen classes by running every bench plan once at the
+    smallest scale factor. Codegen compilation is plan-structure keyed, so
+    the sf0.001 run populates the compile cache for the timed sf run —
+    timings then measure execution, not janino compilation (the 64-wide
+    cosine folds alone cost seconds to compile)."""
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
@@ -50,61 +101,65 @@ def main() -> None:
         except Exception:
             q.fn(spark, sf_dir).limit(1).collect()
 
-    # Contention guard #1 (round-5, VERDICT r4 item 4: the official r4
-    # capture ran +29% hot while a quiet run of the same code measured
-    # parity): don't START the timed pass while the box is busy with
-    # other work (pytest / contract jobs). Wait up to 10 min for the
-    # 1-min load average to drop under half the cores; warn on stderr.
-    ncpu = os.cpu_count() or 32
-    waited = 0.0
-    while waited < 600:
-        try:
-            load1 = os.getloadavg()[0]
-        except OSError:
-            break
-        if load1 < ncpu * 0.5:
-            break
-        print(
-            f"bench: load1={load1:.1f} >= {ncpu * 0.5:.0f} — waiting for the "
-            "box to quiesce (another job is running?)",
-            file=sys.stderr,
-        )
-        time.sleep(30)
-        waited += 30
 
-    # Median-of-3 at the timed SF (round-3, VERDICT r2 item 7: the bench
-    # history swung 10-22.7 s run-to-run at sf0.1, so round-over-round
-    # per-query diffs measured scheduler noise, not code). The first run
-    # still pays JVM JIT warm-up and buffer-pool population; the median
-    # discards one outlier in either direction, and the recorded spread
-    # (max-min) makes each query's own noise band visible to
-    # tools/bench_diff.py. Override repeats with SPARK_GRAFT_BENCH_RUNS.
+def _timed_pass(bench_queries, spark, sf_dir: str, n_runs: int):
+    """One full pass over the bench set, n_runs samples per query.
+    Returns {name: [sample, ...]} (seconds, run order preserved)."""
+    samples: dict[str, list[float]] = {}
+    for name, q in bench_queries.items():
+        ss = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            ss.append(time.perf_counter() - t0)
+        samples[name] = ss
+    return samples
+
+
+def _median_stats(samples: dict[str, list[float]]):
+    """Legacy per-query stats: (median, max-min spread, median-min)."""
+    t, s, d = {}, {}, {}
+    for name, ss in samples.items():
+        ss = sorted(ss)
+        mid = len(ss) // 2
+        t[name] = round(ss[mid], 3)
+        s[name] = round(ss[-1] - ss[0], 3)
+        d[name] = round(ss[mid] - ss[0], 3)
+    return t, s, d
+
+
+# --------------------------------------------------------------------------
+# worker mode: one pass, full JSON to $SPARK_GRAFT_BENCH_OUT, nothing else
+# --------------------------------------------------------------------------
+
+
+def worker_main() -> None:
+    code_dir = os.environ.get("SPARK_GRAFT_BENCH_CODE_DIR", HERE)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    spark = _boot_spark(code_dir)
+    bq = _bench_queries()
+    _warmup(spark, bq, sf_dir)
+    samples = _timed_pass(bq, spark, sf_dir, n_runs)
+    out = os.environ["SPARK_GRAFT_BENCH_OUT"]
+    with open(out, "w") as f:
+        json.dump({"code_dir": code_dir, "n_runs": n_runs, "samples": samples}, f)
+    spark.stop()
+
+
+# --------------------------------------------------------------------------
+# legacy single-process protocol (no control resolvable / --no-control)
+# --------------------------------------------------------------------------
+
+
+def legacy_main(sf_dir: str, sf) -> dict:
+    spark = _boot_spark(HERE)
+    bq = _bench_queries()
+    _warmup(spark, bq, sf_dir)
+    _quiesce()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-
-    def timed_pass() -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
-        t: dict[str, float] = {}
-        s: dict[str, float] = {}
-        d: dict[str, float] = {}
-        for name, q in bench_queries.items():
-            samples = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                df = q.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            samples.sort()
-            mid = len(samples) // 2
-            t[name] = round(samples[mid], 3)
-            s[name] = round(samples[-1] - samples[0], 3)
-            # downside spread (median - min): the contention signal. The
-            # full max-min spread also counts the one JIT-cold outlier the
-            # median already discards, so it sits ~20% of total even on an
-            # idle box; contention instead inflates the MEDIAN itself,
-            # which median-min catches.
-            d[name] = round(samples[mid] - samples[0], 3)
-        return t, s, d
-
-    # Contention guard #2: a pass whose summed downside spread
+    # Contention guard #2 (round 5): a pass whose summed downside spread
     # (median - min) exceeds 15% of its total measured scheduler noise,
     # not code — re-run (up to SPARK_GRAFT_BENCH_MAX_PASSES) and record
     # the quietest pass.
@@ -112,7 +167,7 @@ def main() -> None:
     best = None
     n_passes = 0
     for attempt in range(1, max_passes + 1):
-        timings, spread, down = timed_pass()
+        timings, spread, down = _median_stats(_timed_pass(bq, spark, sf_dir, n_runs))
         n_passes = attempt
         total = sum(timings.values())
         ratio = (sum(down.values()) / total) if total else 0.0
@@ -126,38 +181,176 @@ def main() -> None:
             file=sys.stderr,
         )
     timings, spread, ratio = best
-
-    total = round(sum(timings.values()), 3)
-    result = {
+    spark.stop()
+    return {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
         "downside_spread_ratio": round(ratio, 4),
         "passes": n_passes,
-        # Measurement protocol version (ADVICE r5): 1 = single pass,
-        # median-of-3 per query (rounds 3-4); 2 = quietest of up to 3
-        # full passes by downside-spread ratio (round 5+). Rows with
-        # different protocols are not directly comparable round-over-
-        # round; tools/bench_diff.py surfaces the tag.
         "protocol": 2,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
     }
-    # Driver-facing line: COMPACT on purpose (VERDICT r6 item 1). The
+
+
+# --------------------------------------------------------------------------
+# A/B orchestrator
+# --------------------------------------------------------------------------
+
+
+def _resolve_control(argv: list[str]) -> str | None:
+    if "--no-control" in argv or os.environ.get("SPARK_GRAFT_BENCH_NO_CONTROL"):
+        return None
+    if "--control" in argv:
+        return argv[argv.index("--control") + 1]
+    env = os.environ.get("SPARK_GRAFT_BENCH_CONTROL")
+    if env:
+        return env
+    pin = os.path.join(HERE, "BENCH_CONTROL")
+    if os.path.exists(pin):
+        with open(pin) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    return line.split()[0]
+    return None
+
+
+def _run_worker(code_dir: str, out_path: str) -> dict | None:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_CODE_DIR"] = code_dir
+    env["SPARK_GRAFT_BENCH_OUT"] = out_path
+    env.setdefault("SPARK_GRAFT_BENCH_RUNS", "2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py"), "--worker"],
+        env=env,
+        stdout=sys.stderr,
+        stderr=sys.stderr,
+    )
+    if r.returncode != 0 or not os.path.exists(out_path):
+        return None
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def ab_main(control: str, sf_dir: str, sf) -> dict | None:
+    """Interleaved A/B: C,H,C,H — per-query MIN across each side's passes,
+    ratio over the common query set. Returns None if the worktree cannot
+    be created (caller falls back to legacy)."""
+    wt = tempfile.mkdtemp(prefix="mtmrl_bench_ctl_")
+    try:
+        r = subprocess.run(
+            ["git", "-C", HERE, "worktree", "add", "--detach", "--force", wt, control],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            print(f"bench: control worktree failed: {r.stderr.strip()[:200]}", file=sys.stderr)
+            return None
+        _quiesce()
+        ab_passes = int(os.environ.get("SPARK_GRAFT_BENCH_AB_PASSES", "2"))
+        settle_s = float(os.environ.get("SPARK_GRAFT_BENCH_AB_SETTLE_S", "15"))
+        sides = {"control": wt, "head": HERE}
+        acc: dict[str, list[dict]] = {"control": [], "head": []}
+        loads: list[float] = []
+        with tempfile.TemporaryDirectory(prefix="mtmrl_bench_ab_") as td:
+            for i in range(ab_passes):
+                # ABBA ordering: alternate which side runs first so any
+                # monotone box drift (thermal, cache, background load)
+                # hits both sides symmetrically across the session.
+                order = ("control", "head") if i % 2 == 0 else ("head", "control")
+                for side in order:
+                    out = os.path.join(td, f"{side}_{i}.json")
+                    try:
+                        load1 = os.getloadavg()[0]
+                    except OSError:
+                        load1 = -1.0
+                    loads.append(round(load1, 1))
+                    print(
+                        f"bench: A/B pass {i + 1}/{ab_passes} {side} (load1={load1:.1f})",
+                        file=sys.stderr,
+                    )
+                    res = _run_worker(sides[side], out)
+                    if res is None:
+                        print(f"bench: {side} worker failed (pass {i + 1})", file=sys.stderr)
+                        return None
+                    acc[side].append(res)
+                    time.sleep(settle_s)  # let the previous JVM's teardown drain
+
+        def per_query_min(passes: list[dict]) -> dict[str, float]:
+            mins: dict[str, float] = {}
+            for p in passes:
+                for name, ss in p["samples"].items():
+                    v = min(ss)
+                    if name not in mins or v < mins[name]:
+                        mins[name] = v
+            return {n: round(v, 3) for n, v in mins.items()}
+
+        head_q = per_query_min(acc["head"])
+        ctl_q = per_query_min(acc["control"])
+        common = sorted(set(head_q) & set(ctl_q))
+        head_common = round(sum(head_q[n] for n in common), 3)
+        ctl_common = round(sum(ctl_q[n] for n in common), 3)
+        # per-query pooled spread for the history (max-min across all
+        # HEAD samples of each query)
+        spread = {}
+        for name in head_q:
+            pool = [s for p in acc["head"] for s in p["samples"].get(name, [])]
+            spread[name] = round(max(pool) - min(pool), 3)
+        return {
+            "metric": "headline_queries_total",
+            "value": round(sum(head_q.values()), 3),
+            "unit": "sec",
+            "queries": head_q,
+            "spread": spread,
+            "control_commit": control,
+            "control_value": ctl_common,
+            "head_common_value": head_common,
+            "ab_ratio": round(head_common / ctl_common, 4) if ctl_common else None,
+            "ab_passes": ab_passes,
+            "ab_load1": loads,
+            "n_common": len(common),
+            "protocol": 3,
+            "sf": sf,
+            "control_queries": ctl_q,
+        }
+    finally:
+        subprocess.run(
+            ["git", "-C", HERE, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker_main()
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_s = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
+    control = _resolve_control(sys.argv)
+    result = None
+    if control:
+        result = ab_main(control, sf_dir, sf)
+    if result is None:
+        result = legacy_main(sf_dir, sf)
+
+    # Driver-facing line: COMPACT on purpose (VERDICT r6 item 1) — the
     # driver captures only the last ~2000 chars of stdout and parses the
-    # trailing JSON line; a 47-query map + spread map overflows that
-    # window, so BENCH_r03..r06 all recorded "parsed": null. Print the
-    # headline WITHOUT the per-query maps; the full result (queries,
-    # spread) goes to BENCH_HISTORY.jsonl below, which is where
-    # tools/bench_diff.py reads per-query trends anyway.
-    compact = {k: v for k, v in result.items() if k not in ("queries", "spread")}
-    compact["n_queries"] = len(timings)
+    # trailing JSON line. Per-query maps go to BENCH_HISTORY.jsonl.
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries", "spread", "control_queries")
+    }
+    compact["n_queries"] = len(result["queries"])
     print(json.dumps(compact))
-    # Full result (per-query + spread maps) for tools/scale_check.py and
-    # bench_diff.py: written to $SPARK_GRAFT_BENCH_OUT when set (the
-    # scale-validation workflow), and always appended to
-    # BENCH_HISTORY.jsonl below.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
         with open(out_path, "w") as f:
@@ -167,17 +360,21 @@ def main() -> None:
     try:
         import datetime
 
-        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        hist = os.path.join(HERE, "BENCH_HISTORY.jsonl")
         with open(hist, "a") as f:
             f.write(
                 json.dumps(
-                    {"ts": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"), **result}
+                    {
+                        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                            timespec="seconds"
+                        ),
+                        **result,
+                    }
                 )
                 + "\n"
             )
     except OSError:
         pass  # read-only checkout: history is best-effort
-    spark.stop()
 
 
 if __name__ == "__main__":
