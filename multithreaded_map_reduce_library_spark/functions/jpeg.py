@@ -26,11 +26,11 @@ progressive (SOF2) Huffman, 8-bit precision, 1 or 3 components, sampling
 factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0; interleaved MCUs per
 §A.2.3, replication upsampling), tables from the stream (including
 between-scan redefinition), FF00 byte-unstuffing, restart intervals in
-sequential scans (DRI / RST0-7 with byte-alignment and DC-predictor
-reset, §B.2.1.2/§E.2.4). Out of envelope — raise
-``NotImplementedError``, never a wrong pixel: arithmetic coding (SOF9+),
-12-bit precision, sampling factors >2, lossless/hierarchical modes,
-multi-scan SEQUENTIAL streams, restart intervals inside progressive
+sequential scans — single-scan AND multi-scan §B.2.3 (DRI / RST0-7 with
+byte-alignment and DC-predictor reset, §B.2.1.2/§E.2.4). Out of
+envelope — raise ``NotImplementedError``, never a wrong pixel:
+arithmetic coding (SOF9+), 12-bit precision, sampling factors >2,
+lossless/hierarchical modes, restart intervals inside progressive
 scans.
 
 Determinism contract (what makes oracle replay possible):
@@ -573,7 +573,7 @@ def encode_jpeg_rgb(
 
 
 def encode_jpeg_rgb_multiscan(
-    img: np.ndarray, qscale: int = 1, subsampling: str = "420"
+    img: np.ndarray, qscale: int = 1, subsampling: str = "420", restart_interval: int = 0
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a MULTI-SCAN SEQUENTIAL
     (SOF0) YCbCr JPEG (§B.2.3, Ns < Nf): scan 1 carries Y alone,
@@ -581,7 +581,15 @@ def encode_jpeg_rgb_multiscan(
     Cb + Cr interleaved in MCU order. Same quantized coefficients as
     ``encode_jpeg_rgb`` of the same image, so any conformant decoder
     (including ours) produces identical pixels to the single-scan
-    encoding — the parity invariant the registry oracle hashes."""
+    encoding — the parity invariant the registry oracle hashes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTm markers every
+    Ri MCUs within EACH scan (§E.2.4: byte-align, marker number cycles
+    0..7 restarting at every SOS, DC predictors reset). In a
+    non-interleaved scan one MCU is one data unit (§B.2.3), so scan 1
+    restarts every Ri Y blocks while scan 2 restarts every Ri chroma
+    MCU positions — VERDICT r7 item 4 (DRI is legal in §B.2.3 streams
+    and common in crawl data)."""
     planes, samp, size = _rgb_planes(img, subsampling)
     h, w = size
     q_luma = quant_table(QUANT_LUMA, qscale)
@@ -611,6 +619,8 @@ def encode_jpeg_rgb_multiscan(
     out += _segment(b"\xff\xc4", _dht_payload(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
     out += _segment(b"\xff\xc4", _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
     out += _segment(b"\xff\xc4", _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _segment(b"\xff\xdd", struct.pack(">H", restart_interval))
 
     dc_codes = [
         _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -633,32 +643,44 @@ def encode_jpeg_rgb_multiscan(
         )
 
     # Scan 1: Y, non-interleaved — the component's own ceil-over-sample
-    # block grid (§A.2.2), NOT the MCU-padded grid.
+    # block grid (§A.2.2), NOT the MCU-padded grid. One data unit per
+    # MCU (§B.2.3), so the restart cadence counts single blocks.
     nby, nbx = _comp_grid(h, w, samp[0][0], samp[0][1], hmax, vmax)
     bw = _BitWriter()
     prev = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            prev = _encode_block(bw, block_at(0, by, bx), prev, dc_codes[0], ac_codes[0])
+    rst = 0
+    for i, (by, bx) in enumerate((by, bx) for by in range(nby) for bx in range(nbx)):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.put_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev = 0
+        prev = _encode_block(bw, block_at(0, by, bx), prev, dc_codes[0], ac_codes[0])
     bw.flush()
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     out += _segment(b"\xff\xda", sos) + bw.out
-    # Scan 2: Cb + Cr interleaved in MCU order.
+    # Scan 2: Cb + Cr interleaved in MCU order (restart number resets
+    # to 0 at each SOS per §E.2.4).
     bw = _BitWriter()
     prev_dc = [0, 0]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in (1, 2):
-                hs, vs = samp[ci]
-                for byi in range(vs):
-                    for bxi in range(hs):
-                        prev_dc[ci - 1] = _encode_block(
-                            bw,
-                            block_at(ci, my * vs + byi, mx * hs + bxi),
-                            prev_dc[ci - 1],
-                            dc_codes[1],
-                            ac_codes[1],
-                        )
+    rst = 0
+    for mi, (my, mx) in enumerate(
+        (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+    ):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.put_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = [0, 0]
+        for ci in (1, 2):
+            hs, vs = samp[ci]
+            for byi in range(vs):
+                for bxi in range(hs):
+                    prev_dc[ci - 1] = _encode_block(
+                        bw,
+                        block_at(ci, my * vs + byi, mx * hs + bxi),
+                        prev_dc[ci - 1],
+                        dc_codes[1],
+                        ac_codes[1],
+                    )
     bw.flush()
     sos = bytes([2, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += _segment(b"\xff\xda", sos) + bw.out
@@ -1169,14 +1191,28 @@ def _dec_seq_scan(
     scan_tbl: dict[int, tuple[int, int]],
     huff: dict,
     coefs: list[np.ndarray],
+    restart_interval: int = 0,
+    blocks_per_mcu: int = 1,
 ) -> None:
     """One full-precision sequential scan (§B.2.3: Ss=0, Se=63,
     Ah=Al=0): each block decodes DC diff + AC run-lengths in one pass —
     the same symbol grammar as ``_decode_block`` but into the
     quantized-coefficient accumulator shared with the progressive path,
-    so dequantize + IDCT happen once at EOI."""
+    so dequantize + IDCT happen once at EOI.
+
+    ``restart_interval`` > 0 consumes an RSTm marker (byte-aligned,
+    sequence-checked, m cycling 0..7) every Ri MCUs and resets the DC
+    predictors (§E.2.4). ``blocks_per_mcu`` maps the flat block order to
+    MCU counts: 1 for a non-interleaved scan (one data unit per MCU,
+    §B.2.3), sum(hs*vs over scan components) when interleaved."""
     prev: dict[int, int] = {}
-    for ci, cid, by, bx in order:
+    rst = 0
+    per_rst = restart_interval * blocks_per_mcu
+    for i, (ci, cid, by, bx) in enumerate(order):
+        if per_rst and i and i % per_rst == 0:
+            br.expect_rst(rst)
+            rst = (rst + 1) % 8
+            prev = {}
         dc_tab = huff[(0, scan_tbl[cid][0])]
         ac_tab = huff[(1, scan_tbl[cid][1])]
         blk = coefs[ci][by, bx]
@@ -1229,8 +1265,10 @@ def _decode_sequential_multiscan(data: bytes) -> tuple[int, int, int, np.ndarray
     single-scan encoding of the same coefficients exactly (the parity
     invariant the registry oracle hashes). Envelope: 8-bit, 1-3
     components, sampling factors 1-2, quant tables latched at each
-    component's first scan (ADVICE r6), no restart intervals
-    (NotImplementedError), each component coded exactly once."""
+    component's first scan (ADVICE r6), restart intervals per §E.2.4
+    (Ri counts MCUs per scan — one data unit per MCU when
+    non-interleaved, VERDICT r7 item 4), each component coded exactly
+    once."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1242,6 +1280,7 @@ def _decode_sequential_multiscan(data: bytes) -> tuple[int, int, int, np.ndarray
     hmax = vmax = 1
     mcus_x = mcus_y = 0
     coded: set[int] = set()
+    ms_restart = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -1294,11 +1333,8 @@ def _decode_sequential_multiscan(data: bytes) -> tuple[int, int, int, np.ndarray
                 "(SOF0/SOF1/SOF2) is supported"
             )
         elif marker == 0xDD:
-            if struct.unpack(">H", seg[:2])[0] > 0:
-                raise NotImplementedError(
-                    "multi-scan sequential JPEG with restart intervals "
-                    "not supported"
-                )
+            # DRI applies to every following scan until redefined (§B.2.4.4)
+            ms_restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1327,8 +1363,18 @@ def _decode_sequential_multiscan(data: bytes) -> tuple[int, int, int, np.ndarray
             order = _scan_order(
                 scan_cids, cid_to_ci, comps, h, w, hmax, vmax, mcus_x, mcus_y
             )
+            bpm = (
+                1
+                if len(scan_cids) == 1
+                else sum(
+                    comps[cid_to_ci[cid]][1] * comps[cid_to_ci[cid]][2]
+                    for cid in scan_cids
+                )
+            )
             br = _BitReader(data, pos + seglen)
-            _dec_seq_scan(br, order, scan_tbl, huff, coefs)
+            _dec_seq_scan(
+                br, order, scan_tbl, huff, coefs, ms_restart, bpm
+            )
             pos = _scan_end(data, br.pos)
             continue
         pos += seglen

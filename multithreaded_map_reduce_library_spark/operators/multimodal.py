@@ -334,6 +334,7 @@ def embeddings_as_jpeg420_assets(
     subsampling: str = "420",
     progressive: bool = False,
     multiscan: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Color 4:2:0 fixture builder: embedding elements 0..47 quantize to
     16 RGB triples painted as CONSTANT 16×16 macroblocks (4×4 grid →
@@ -355,6 +356,8 @@ def embeddings_as_jpeg420_assets(
 
     if progressive and multiscan:
         raise ValueError("pick one of progressive / multiscan")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals inside progressive scans are out of envelope")
 
     q = F.transform(
         F.col(vec_col),
@@ -366,13 +369,19 @@ def embeddings_as_jpeg420_assets(
 
     @pandas_udf("binary")
     def to_jpeg420(pxs: pd.Series) -> pd.Series:
-        enc = (
-            encode_jpeg_rgb_progressive
-            if progressive
-            else encode_jpeg_rgb_multiscan
-            if multiscan
-            else encode_jpeg_rgb
-        )
+        if progressive:
+            enc = encode_jpeg_rgb_progressive
+        else:
+            base = encode_jpeg_rgb_multiscan if multiscan else encode_jpeg_rgb
+
+            def enc(img, qscale, subsampling):
+                return base(
+                    img,
+                    qscale=qscale,
+                    subsampling=subsampling,
+                    restart_interval=restart_interval,
+                )
+
         out = []
         for p in pxs:
             vals = np.asarray(list(p)[:48], dtype=np.uint8).reshape(16, 3)

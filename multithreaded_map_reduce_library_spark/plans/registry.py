@@ -259,6 +259,7 @@ def _load_all() -> None:
         pipeline129,
         pipeline130,
         pipeline131,
+        pipeline132,
         relational,
         relational2,
         relational3,

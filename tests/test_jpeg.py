@@ -695,3 +695,81 @@ def test_decode_image_bytes_routes_multiscan_without_pil():
 def test_jpeg_multiscan_color420_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_multiscan_color420"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_multiscan_dri_equals_baseline_decode():
+    """Round 8 (VERDICT r7 item 4): multi-scan sequential WITH restart
+    intervals. Restart machinery re-aligns the entropy stream and resets
+    DC predictors but cannot change a coefficient, so decode must stay
+    pixel-identical to the baseline encoding of the same image — across
+    subsamplings, non-multiple-of-MCU dims, and intervals that exercise
+    RST0-7 wraparound and the no-trailing-marker tail."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+
+    rng = np.random.default_rng(132)
+    for h, w in [(64, 64), (40, 56), (17, 33), (50, 23)]:
+        for sub in ("444", "422", "420"):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg_rgb(img, subsampling=sub))
+            for ri in (1, 3, 7):
+                ms = decode_jpeg(
+                    encode_jpeg_rgb_multiscan(img, subsampling=sub, restart_interval=ri)
+                )
+                assert ms[:3] == base[:3]
+                assert np.array_equal(ms[3], base[3]), (h, w, sub, ri)
+
+
+def test_multiscan_dri_stream_has_dri_and_rst_markers():
+    """Structural check: the DRI segment is present and BOTH scans carry
+    RSTn markers with per-scan sequence restart (§E.2.4: the restart
+    number resets to 0 at every SOS)."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+
+    rng = np.random.default_rng(133)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    data = encode_jpeg_rgb_multiscan(img, subsampling="420", restart_interval=1)
+    assert b"\xff\xdd" in data
+    # locate the two SOS segments and check each scan's first RST is RST0
+    sos_positions = []
+    i = 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) == 2
+    for sp in sos_positions:
+        # first RSTn after this SOS
+        j = sp + 2
+        first = None
+        while j < len(data) - 1:
+            if data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7:
+                first = data[j + 1] - 0xD0
+                break
+            if data[j] == 0xFF and data[j + 1] == 0xDA and j > sp:
+                break
+            j += 1
+        assert first == 0, f"scan at {sp}: first restart marker is RST{first}"
+
+
+def test_multiscan_dri_rst_sequence_error_raises():
+    """A swapped restart marker (RST1 where RST0 is due) must raise a
+    clean ValueError — lost sync never silently produces wrong pixels."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_rgb_multiscan,
+    )
+
+    rng = np.random.default_rng(134)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_rgb_multiscan(img, subsampling="420", restart_interval=1))
+    i = 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xD0:
+            data[i + 1] = 0xD1
+            break
+        i += 1
+    with pytest.raises(ValueError, match="RST sequence error"):
+        decode_jpeg(bytes(data))
