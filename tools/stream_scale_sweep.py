@@ -30,9 +30,17 @@ from multithreaded_map_reduce_library_spark.session import get_spark  # noqa: E4
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 2
     out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+    skip = set()
+    for flag in ("--runs", "--out"):
+        if flag in sys.argv:
+            skip.add(sys.argv.index(flag) + 1)
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], start=1)
+        if not a.startswith("--") and i not in skip
+    ]
     if not args:
         print("usage: stream_scale_sweep.py <sf_dir> [...]", file=sys.stderr)
         return 2
