@@ -9,9 +9,13 @@ be ~3/4 box drift (the C reference control itself slowed 24% the same
 day). The harness now builds that adjudication in: an A/B DRIFT CONTROL
 checks out a pinned control commit (BENCH_CONTROL file, --control, or
 $SPARK_GRAFT_BENCH_CONTROL) into a temp git worktree and INTERLEAVES
-control/HEAD passes in one session — C,H,C,H — each pass a fresh
-subprocess (fresh JVM, symmetric cold-start) running THE SAME worker code
-with only sys.path deciding which package is measured. The verdict-facing
+control/HEAD passes in one session in ABBA order — C,H then H,C — each
+pass a fresh subprocess (fresh JVM, symmetric cold-start) running THE
+SAME worker code with only sys.path deciding which package is measured.
+ABBA (not plain C,H,C,H) is load-bearing: monotone box drift and the
+preceding JVM's teardown hit whichever side runs second, and alternating
+the order cancels that first-order bias (a plain C,H smoke mis-read a 5%
+improvement as +45%). The verdict-facing
 number is ab_ratio = head_common / control_common over the common query
 set: box drift hits both sides of an interleaved pair equally, so the
 ratio measures code. `value` (sum over all HEAD bench queries) remains
@@ -204,7 +208,11 @@ def _resolve_control(argv: list[str]) -> str | None:
     if "--no-control" in argv or os.environ.get("SPARK_GRAFT_BENCH_NO_CONTROL"):
         return None
     if "--control" in argv:
-        return argv[argv.index("--control") + 1]
+        i = argv.index("--control") + 1
+        if i >= len(argv) or argv[i].startswith("--"):
+            print("bench: --control requires a commit-ish", file=sys.stderr)
+            raise SystemExit(2)
+        return argv[i]
     env = os.environ.get("SPARK_GRAFT_BENCH_CONTROL")
     if env:
         return env
@@ -236,9 +244,10 @@ def _run_worker(code_dir: str, out_path: str) -> dict | None:
 
 
 def ab_main(control: str, sf_dir: str, sf) -> dict | None:
-    """Interleaved A/B: C,H,C,H — per-query MIN across each side's passes,
-    ratio over the common query set. Returns None if the worktree cannot
-    be created (caller falls back to legacy)."""
+    """Interleaved A/B in ABBA order (C,H / H,C / ...) — per-query MIN
+    across each side's passes, ratio over the common query set. Returns
+    None if the worktree cannot be created (caller falls back to
+    legacy)."""
     wt = tempfile.mkdtemp(prefix="mtmrl_bench_ctl_")
     try:
         r = subprocess.run(

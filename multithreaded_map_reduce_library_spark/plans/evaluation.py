@@ -190,7 +190,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")
     inter = (
-        scaled_broadcast(cand, sf_dir, "documents")
+        # cand is a candidate-PAIR set (LSH band self-join expansion):
+        # its cardinality is not bounded by any single table's size —
+        # duplicate-heavy corpora can push it toward n^2/2 — so no
+        # forced hint at all (code-review r8); AQE broadcasts it at
+        # runtime when it is actually small.
+        cand
         .join(da, "id_a")
         .join(db, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")

@@ -200,7 +200,19 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     before every registered query is the invariance mechanism, but the
     values are constants, so after the first call per session every pin
     is a dict lookup instead of a py4j round-trip.
+
+    Healing canary (code-review r8): the cache assumes nothing mutates a
+    pinned key behind our back (the repo rule above). To keep the
+    self-healing property against an OUTSIDE caller that does, one real
+    ``conf.get`` per call checks the most result-critical pin (session
+    timezone — a silent mutation there shifts every timestamp hash); on
+    mismatch the whole cache is dropped and every pin re-applies. One
+    py4j round-trip instead of twelve.
     """
+    cache = _conf_cache(spark)
+    tz_key = "spark.sql.session.timeZone"
+    if cache and spark.conf.get(tz_key, None) != cache.get(tz_key):
+        cache.clear()
     set_conf_cached(spark, "spark.sql.session.timeZone", "UTC")
     set_conf_cached(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     set_conf_cached(spark, "spark.sql.adaptive.enabled", "true")

@@ -66,11 +66,16 @@ _TABLE_BYTES: dict[str, int] = {}
 
 
 def _parquet_bytes(path: str) -> int:
+    """On-disk size, FAILING CLOSED (code-review r8): a missing path or
+    an OSError returns a sentinel larger than any cap, so a guard that
+    cannot measure the table never force-broadcasts it — AQE decides
+    from runtime sizes instead. (The old fail-open 0 silently re-enabled
+    the unbounded hint the guard exists to prevent.)"""
     total = _TABLE_BYTES.get(path)
     if total is None:
-        total = 0
         try:
             if os.path.isdir(path):
+                total = 0
                 for root, _dirs, files in os.walk(path):
                     total += sum(
                         os.path.getsize(os.path.join(root, f))
@@ -80,7 +85,7 @@ def _parquet_bytes(path: str) -> int:
             else:
                 total = os.path.getsize(path)
         except OSError:
-            total = 0
+            total = 1 << 62  # unmeasurable -> over any cap -> no hint
         _TABLE_BYTES[path] = total
     return total
 

@@ -41,11 +41,17 @@ def _cleanup_stream_tmpdirs() -> None:
 
 def _as_stream_dir(path: str) -> str:
     """FileStreamSource requires a *directory*; stage a symlink to the
-    single parquet file under a stable temp dir."""
+    single parquet file under a per-process temp dir (keyed by input
+    path AND pid — code-review r8: a path-only key was shared across
+    processes, so one process's exit sweep could delete the dir out
+    from under another's in-flight drain). Stable within a process, so
+    repeated streams over the same input reuse one staging dir."""
     if os.path.isdir(path):
         return path
     key = hashlib.md5(path.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"mtmrl_stream_src_{key}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"mtmrl_stream_src_{key}_{os.getpid()}"
+    )
     if not os.path.isdir(d):
         _STREAM_TMPDIRS.append(d)
     os.makedirs(d, exist_ok=True)
@@ -213,6 +219,9 @@ def run_stream_to_df(
     out_dir = tempfile.mkdtemp(prefix="mtmrl_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="mtmrl_stream_ckpt_")
     _STREAM_TMPDIRS.append(out_dir)
+    # ckpt is also registered so a stream that RAISES mid-drain (before
+    # the rmtree below) still gets swept at exit (code-review r8)
+    _STREAM_TMPDIRS.append(ckpt)
     schema = streaming_df.schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

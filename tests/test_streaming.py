@@ -87,12 +87,15 @@ def test_foreachbatch_sink_isolates_batches(spark):
     import multithreaded_map_reduce_library_spark.streaming.windows as W
 
     monkey_dirs: list[str] = []
+    ckpt_dirs: list[str] = []
     orig = W.tempfile.mkdtemp
 
     def capture(prefix: str = "tmp", **kw):
         d = orig(prefix=prefix, **kw)
         if prefix.startswith("mtmrl_stream_out_"):
             monkey_dirs.append(d)
+        elif prefix.startswith("mtmrl_stream_ckpt_"):
+            ckpt_dirs.append(d)
         return d
 
     W.tempfile.mkdtemp = capture
@@ -110,7 +113,7 @@ def test_foreachbatch_sink_isolates_batches(spark):
     out_dir = monkey_dirs[-1]
     subdirs = [d for d in os.listdir(out_dir) if d.startswith("b")]
     assert subdirs, "expected per-batch b<id> subdirs in the sink dir"
-    # checkpoint dir was removed as soon as the query terminated
-    assert not [
-        d for d in os.listdir(os.path.dirname(out_dir)) if d.startswith("mtmrl_stream_ckpt_")
-    ]
+    # THIS call's checkpoint dir was removed as soon as the query
+    # terminated (scoped to the captured dir — global /tmp state may
+    # hold other sessions' dirs, code-review r8)
+    assert ckpt_dirs and not os.path.exists(ckpt_dirs[-1])

@@ -158,8 +158,29 @@ def trace(node: ast.AST, env: dict[str, tuple[str, str | None]]) -> tuple[str, s
     return ("other", None)
 
 
+_STMT_LIST_FIELDS = ("body", "orelse", "finalbody", "handlers")
+
+
+def _shallow_walk(node: ast.AST):
+    """Walk an AST without descending into nested STATEMENT bodies
+    (if/for/try/with/def bodies) — those are visited by visit_stmts
+    itself, in order, under the env as of THAT point. Classifying a
+    nested site here too would double-count it under a stale env
+    (code-review r8: 21 duplicated sites, 8 with conflicting classes)."""
+    yield node
+    for field, value in ast.iter_fields(node):
+        if field in _STMT_LIST_FIELDS:
+            continue
+        if isinstance(value, ast.AST):
+            yield from _shallow_walk(value)
+        elif isinstance(value, list):
+            for v in value:
+                if isinstance(v, ast.AST):
+                    yield from _shallow_walk(v)
+
+
 def _broadcast_calls(node: ast.AST):
-    for sub in ast.walk(node):
+    for sub in _shallow_walk(node):
         if isinstance(sub, ast.Call):
             f = sub.func
             name = f.id if isinstance(f, ast.Name) else (f.attr if isinstance(f, ast.Attribute) else None)
@@ -172,6 +193,10 @@ def audit_function(fn: ast.FunctionDef, src_lines: list[str], rel: str, sites: l
 
     def visit_stmts(stmts) -> None:
         for st in stmts:
+            # nested defs/classes are separate scopes, visited by
+            # collect_sites' own FunctionDef walk — skip them here
+            if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                continue
             # classify broadcast calls under the env as of this statement
             for kind_name, call in _broadcast_calls(st):
                 if kind_name == "scaled_broadcast":

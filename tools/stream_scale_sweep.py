@@ -60,10 +60,11 @@ def main() -> int:
     if out_path:
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
-    # markdown table when 3 dirs given (sf0.1 -> sf1 -> sf10 convention)
+    # markdown table when 3 dirs given, headers from the actual dirs
     if len(args) == 3:
         a, b, c = args
-        print("\n| streaming twin | sf0.1 s | sf1 s | sf10 s | 10x | 100x |")
+        la, lb, lc = (os.path.basename(d.rstrip("/")) for d in args)
+        print(f"\n| streaming twin | {la} s | {lb} s | {lc} s | {lb}/{la} | {lc}/{lb} |")
         print("|---|---|---|---|---|---|")
         for n, r in results.items():
             r10 = r[b] / r[a] if r[a] else float("nan")
