@@ -98,24 +98,31 @@ def _warmup(spark, bench_queries, sf_dir: str) -> None:
     spark.range(0, 100_000, 1, 64).select(_ident(col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
+    from multithreaded_map_reduce_library_spark.session import repin
+
     warm_dir = "/root/testdata/sf0.001"
     for q in bench_queries.values():
         try:
-            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            repin(q.fn(spark, warm_dir)).write.format("noop").mode("overwrite").save()
         except Exception:
-            q.fn(spark, sf_dir).limit(1).collect()
+            repin(q.fn(spark, sf_dir)).limit(1).collect()
 
 
 def _timed_pass(bench_queries, spark, sf_dir: str, n_runs: int):
     """One full pass over the bench set, n_runs samples per query.
     Returns {name: [sample, ...]} (seconds, run order preserved)."""
+    from multithreaded_map_reduce_library_spark.session import repin
+
     samples: dict[str, list[float]] = {}
     for name, q in bench_queries.items():
         ss = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # re-apply this plan's own perf pins at execution time
+            # (VERDICT r8 item 4) — a conf-cache no-op in this
+            # build-then-execute loop, load-bearing for batched builds
+            repin(df).write.format("noop").mode("overwrite").save()
             ss.append(time.perf_counter() - t0)
         samples[name] = ss
     return samples
@@ -302,6 +309,25 @@ def ab_main(control: str, sf_dir: str, sf) -> dict | None:
         common = sorted(set(head_q) & set(ctl_q))
         head_common = round(sum(head_q[n] for n in common), 3)
         ctl_common = round(sum(ctl_q[n] for n in common), 3)
+        # Per-query outlier flagging (VERDICT r8 item 2): a green
+        # AGGREGATE ratio can hide individual regressions — surface any
+        # query whose head/control min exceeds the threshold with a
+        # non-trivial head time, instead of leaving them to post-hoc jq.
+        out_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.25"))
+        out_floor = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_MIN_S", "0.5"))
+        ab_outliers = {
+            n: round(head_q[n] / ctl_q[n], 3)
+            for n in common
+            if ctl_q[n] > 0
+            and head_q[n] >= out_floor
+            and head_q[n] / ctl_q[n] > out_thresh
+        }
+        for n, r in sorted(ab_outliers.items(), key=lambda kv: -kv[1]):
+            print(
+                f"bench: A/B OUTLIER {n}: head {head_q[n]:.3f}s vs "
+                f"control {ctl_q[n]:.3f}s ({r:.2f}x)",
+                file=sys.stderr,
+            )
         # per-query pooled spread for the history (max-min across all
         # HEAD samples of each query)
         spread = {}
@@ -318,6 +344,7 @@ def ab_main(control: str, sf_dir: str, sf) -> dict | None:
             "control_value": ctl_common,
             "head_common_value": head_common,
             "ab_ratio": round(head_common / ctl_common, 4) if ctl_common else None,
+            "ab_outliers": ab_outliers,
             "ab_passes": ab_passes,
             "ab_load1": loads,
             "n_common": len(common),

@@ -26,12 +26,12 @@ progressive (SOF2) Huffman, 8-bit precision, 1 or 3 components, sampling
 factors 1–2 per axis (4:4:4 / 4:2:2 / 4:2:0; interleaved MCUs per
 §A.2.3, replication upsampling), tables from the stream (including
 between-scan redefinition), FF00 byte-unstuffing, restart intervals in
-sequential scans — single-scan AND multi-scan §B.2.3 (DRI / RST0-7 with
-byte-alignment and DC-predictor reset, §B.2.1.2/§E.2.4). Out of
-envelope — raise ``NotImplementedError``, never a wrong pixel:
-arithmetic coding (SOF9+), 12-bit precision, sampling factors >2,
-lossless/hierarchical modes, restart intervals inside progressive
-scans.
+EVERY scan type — single-scan AND multi-scan sequential §B.2.3 AND
+progressive (DRI / RST0-7 with byte-alignment, DC-predictor reset, and
+EOB-run reset, §B.2.1.2/§E.2.4). Out of envelope — raise
+``NotImplementedError``, never a wrong pixel: arithmetic coding
+(SOF9+), 12-bit precision, sampling factors >2, lossless/hierarchical
+modes.
 
 Determinism contract (what makes oracle replay possible):
 
@@ -1118,8 +1118,9 @@ def decode_segment_pixel_sum(
 # the tests and the registered queries hash).
 #
 # Envelope: the scan script must refine every band down to Al=0 (ours
-# does); restart intervals inside progressive scans are out of envelope
-# (NotImplementedError), as are arithmetic coding and 12-bit precision.
+# does); restart intervals are supported in every scan type per §E.2.4
+# (VERDICT r8 item 3 — with EOB runs flushed/reset at each boundary);
+# arithmetic coding and 12-bit precision stay out of envelope.
 
 _EOBRUN_MAX = 0x7FFF
 
@@ -1406,11 +1407,18 @@ class _OpRecorder:
         if n:
             self.ops.append(("b", v, n))
 
+    def rst(self, m: int) -> None:
+        """Record a restart boundary: byte-align then RSTm (§E.2.4).
+        Markers carry no Huffman symbol, so the alphabet is unaffected."""
+        self.ops.append(("r", m))
+
     def replay(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
         for op in self.ops:
             if op[0] == "s":
                 code, length = codes[op[1]]
                 bw.put(code, length)
+            elif op[0] == "r":
+                bw.put_marker(0xD0 + op[1])
             else:
                 bw.put(op[1], op[2])
 
@@ -1519,12 +1527,21 @@ def _encode_progressive(
     color: bool,
     samp: list[tuple[int, int]] | None = None,
     size: tuple[int, int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Shared progressive encoder body (same plane/samp/size contract as
     the baseline ``_encode_jpeg``). Quantizes every block once, then
     walks the scan script; DC scans use the Annex K DC tables, each AC
     scan carries its own minimal canonical table in a DHT right before
-    its SOS."""
+    its SOS.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTm markers every
+    Ri MCUs within EACH scan (VERDICT r8 item 3 — §E.2.4 restart
+    markers are legal in every scan type): byte-align, marker number
+    cycling 0..7 and restarting at every SOS, DC predictors reset in DC
+    scans, and — the progressive-specific bit — any pending EOB run
+    (plus its buffered refinement correction bits) FLUSHED before each
+    boundary, since an EOBn run may not cross a restart segment."""
     samp = samp or [(1, 1)] * len(planes)
     h, w = size or planes[0].shape
     ncomp = 3 if color else 1
@@ -1567,6 +1584,8 @@ def _encode_progressive(
         hs, vs = samp[cid - 1]
         sof += bytes([cid, hs << 4 | vs, 0 if cid == 1 else 1])
     out += _segment(b"\xff\xc2", sof)  # SOF2: progressive DCT, Huffman
+    if restart_interval:
+        out += _segment(b"\xff\xdd", struct.pack(">H", restart_interval))
     out += _segment(b"\xff\xc4", _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
     if color:
         out += _segment(b"\xff\xc4", _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
@@ -1600,11 +1619,22 @@ def _encode_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         return _segment(b"\xff\xda", sos)
 
+    # restart cadence: Ri counts MCUs per scan — sum(hs*vs) blocks per
+    # MCU in the interleaved DC scans, one data unit per MCU in the
+    # non-interleaved AC scans (§B.2.3 / §E.2.4)
+    dc_bpm = 1 if ncomp == 1 else sum(hs * vs for hs, vs in samp)
+    dc_per_rst = restart_interval * dc_bpm
+
     for kind, comp, ss, se, ah, al in _prog_script(ncomp):
         if kind == "dc_first":
             bw = _BitWriter()
             prev = [0] * ncomp
-            for ci, by, bx in dc_order():
+            rstn = 0
+            for i, (ci, by, bx) in enumerate(dc_order()):
+                if dc_per_rst and i and i % dc_per_rst == 0:
+                    bw.put_marker(0xD0 + rstn)
+                    rstn = (rstn + 1) % 8
+                    prev = [0] * ncomp
                 v = int(zz[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
                 diff = v - prev[ci]
                 prev[ci] = v
@@ -1617,7 +1647,11 @@ def _encode_progressive(
             out += sos_header(list(range(ncomp)), 0, 0, 0, al) + bw.out
         elif kind == "dc_refine":
             bw = _BitWriter()
-            for ci, by, bx in dc_order():
+            rstn = 0
+            for i, (ci, by, bx) in enumerate(dc_order()):
+                if dc_per_rst and i and i % dc_per_rst == 0:
+                    bw.put_marker(0xD0 + rstn)
+                    rstn = (rstn + 1) % 8
                 bw.put((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
             bw.flush()
             out += sos_header(list(range(ncomp)), 0, 0, ah, al) + bw.out
@@ -1625,14 +1659,22 @@ def _encode_progressive(
             nby, nbx = _comp_grid(h, w, *samp[comp], hmax, vmax)
             rec = _OpRecorder()
             state = {"eobrun": 0, "bits": []}
-            for by in range(nby):
-                for bx in range(nbx):
-                    band = zz[comp][by, bx, ss : se + 1]
-                    if kind == "ac_first":
-                        pt = np.sign(band) * (np.abs(band) >> al)
-                        _enc_ac_first(rec, pt.astype(np.int64), state)
-                    else:
-                        _enc_ac_refine(rec, band, al, state)
+            rstn = 0
+            for i in range(nby * nbx):
+                by, bx = divmod(i, nbx)
+                if restart_interval and i and i % restart_interval == 0:
+                    # an EOB run may not cross a restart segment: flush
+                    # the pending EOBn (and its buffered correction
+                    # bits) BEFORE the boundary, then byte-align + RSTm
+                    _flush_eobrun(rec, state)
+                    rec.rst(rstn)
+                    rstn = (rstn + 1) % 8
+                band = zz[comp][by, bx, ss : se + 1]
+                if kind == "ac_first":
+                    pt = np.sign(band) * (np.abs(band) >> al)
+                    _enc_ac_first(rec, pt.astype(np.int64), state)
+                else:
+                    _enc_ac_refine(rec, band, al, state)
             _flush_eobrun(rec, state)
             bits, vals = _equal_length_table(rec.syms)
             out += _segment(b"\xff\xc4", _dht_payload(1, 0, bits, vals))
@@ -1644,18 +1686,27 @@ def _encode_progressive(
     return bytes(out)
 
 
-def encode_jpeg_gray_progressive(img: np.ndarray, qscale: int = 1) -> bytes:
+def encode_jpeg_gray_progressive(
+    img: np.ndarray, qscale: int = 1, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) uint8 array as a progressive (SOF2) grayscale
     JPEG. Decodes (here or in any conformant decoder) to exactly the
-    same pixels as ``encode_jpeg_gray`` of the same image."""
+    same pixels as ``encode_jpeg_gray`` of the same image.
+    ``restart_interval`` > 0 emits DRI + per-scan RSTm markers
+    (VERDICT r8 item 3)."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("encode_jpeg_gray_progressive expects an (h, w) array")
-    return _encode_progressive([a], qscale, color=False)
+    return _encode_progressive(
+        [a], qscale, color=False, restart_interval=restart_interval
+    )
 
 
 def encode_jpeg_rgb_progressive(
-    img: np.ndarray, qscale: int = 1, subsampling: str = "444"
+    img: np.ndarray,
+    qscale: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a progressive (SOF2) YCbCr
     JPEG (same color transform and chroma downsampling as the baseline
@@ -1673,7 +1724,9 @@ def encode_jpeg_rgb_progressive(
         np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (y, cb, cr)
     ]
     if subsampling == "444":
-        return _encode_progressive(planes, qscale, color=True)
+        return _encode_progressive(
+            planes, qscale, color=True, restart_interval=restart_interval
+        )
     h, w = planes[0].shape
     fy = 2 if subsampling == "420" else 1
     sub = [planes[0]]
@@ -1686,7 +1739,12 @@ def encode_jpeg_rgb_progressive(
         n = 2 * fy
         sub.append(((blocks + n // 2) // n).astype(np.uint8))
     return _encode_progressive(
-        sub, qscale, color=True, samp=[(2, fy), (1, 1), (1, 1)], size=(h, w)
+        sub,
+        qscale,
+        color=True,
+        samp=[(2, fy), (1, 1), (1, 1)],
+        size=(h, w),
+        restart_interval=restart_interval,
     )
 
 
@@ -1724,27 +1782,74 @@ def _scan_end(data: bytes, pos: int) -> int:
     raise ValueError("scan data ran off the end of the stream")
 
 
-def _dec_dc_scan(br: _BitReader, order, scan_tbl, huff, coefs, ah: int, al: int) -> None:
+def _dec_dc_scan(
+    br: _BitReader,
+    order,
+    scan_tbl,
+    huff,
+    coefs,
+    ah: int,
+    al: int,
+    restart_interval: int = 0,
+    blocks_per_mcu: int = 1,
+) -> None:
     """DC scan (Ss=0): first pass decodes DIFF-coded point-transformed
-    DC values; refinement passes read one raw bit per block (§G.2)."""
+    DC values; refinement passes read one raw bit per block (§G.2).
+
+    ``restart_interval`` > 0 consumes an RSTm marker every Ri MCUs
+    (§E.2.4 applies to every scan type, progressive included): byte
+    re-alignment, RST0-7 sequence check, DC predictors reset. The
+    refinement branch has no predictor state but still byte-aligns and
+    consumes the marker."""
+    per_rst = restart_interval * blocks_per_mcu
+    rst = 0
     if ah == 0:
         prev: dict[int, int] = {}
-        for ci, cid, by, bx in order:
+        for i, (ci, cid, by, bx) in enumerate(order):
+            if per_rst and i and i % per_rst == 0:
+                br.expect_rst(rst)
+                rst = (rst + 1) % 8
+                prev = {}
             tab = huff[(0, scan_tbl[cid][0])]
             s = br.read_symbol(tab)
             diff = _extend(br.get(s), s) if s else 0
             prev[ci] = prev.get(ci, 0) + diff
             coefs[ci][by, bx, 0] = prev[ci] << al
     else:
-        for ci, cid, by, bx in order:
+        for i, (ci, cid, by, bx) in enumerate(order):
+            if per_rst and i and i % per_rst == 0:
+                br.expect_rst(rst)
+                rst = (rst + 1) % 8
             if br.get(1):
                 coefs[ci][by, bx, 0] |= 1 << al
 
 
-def _dec_ac_first(br: _BitReader, grid, tab, blkarr, ss: int, se: int, al: int) -> None:
-    """AC first scan for one component's band (§G.2.2 / EOBn runs)."""
+def _dec_ac_first(
+    br: _BitReader,
+    grid,
+    tab,
+    blkarr,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> None:
+    """AC first scan for one component's band (§G.2.2 / EOBn runs).
+
+    ``restart_interval`` > 0 consumes an RSTm every Ri blocks (an AC
+    scan is non-interleaved, so one data unit per MCU) and RESETS THE
+    EOB RUN (§E.2.4 resets the entropy coder's state, which for
+    progressive AC scans is the pending EOBn count — a conformant
+    encoder flushes the run before every boundary, so a nonzero carry
+    here means a corrupt stream and the reset confines the damage to
+    one restart segment, the property restart markers exist for)."""
     eobrun = 0
-    for by, bx in grid:
+    rst = 0
+    for i, (by, bx) in enumerate(grid):
+        if restart_interval and i and i % restart_interval == 0:
+            br.expect_rst(rst)
+            rst = (rst + 1) % 8
+            eobrun = 0
         if eobrun:
             eobrun -= 1
             continue
@@ -1768,19 +1873,38 @@ def _dec_ac_first(br: _BitReader, grid, tab, blkarr, ss: int, se: int, al: int) 
                 k += 16
 
 
-def _dec_ac_refine(br: _BitReader, grid, tab, blkarr, ss: int, se: int, al: int) -> None:
+def _dec_ac_refine(
+    br: _BitReader,
+    grid,
+    tab,
+    blkarr,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> None:
     """AC refinement scan (§G.2.2): newly-significant (r,1)+sign symbols
     interleaved with raw correction bits for history coefficients, with
-    correction bits continuing through EOB runs."""
+    correction bits continuing through EOB runs.
+
+    ``restart_interval`` as in ``_dec_ac_first``: RSTm every Ri blocks,
+    EOB run reset at the boundary (the buffered-correction-bit state is
+    per-block on the decode side, so the run counter is the only carry
+    that crosses blocks)."""
     p1 = 1 << al
     m1 = -(1 << al)
     eobrun = 0
+    rst = 0
 
     def correct(blk, k: int) -> None:
         if br.get(1) and (int(blk[k]) & p1) == 0:
             blk[k] += p1 if blk[k] >= 0 else m1
 
-    for by, bx in grid:
+    for i, (by, bx) in enumerate(grid):
+        if restart_interval and i and i % restart_interval == 0:
+            br.expect_rst(rst)
+            rst = (rst + 1) % 8
+            eobrun = 0
         blk = blkarr[by, bx]
         k = ss
         if eobrun == 0:
@@ -1823,8 +1947,12 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
     accumulate quantized coefficients per component, then dequantize and
     IDCT once at the end — so a fully-refined stream reproduces the
     baseline decode of the same coefficients exactly. Envelope: 8-bit,
-    1 or 3 components, sampling factors 1-2, no restart intervals inside
-    progressive scans (NotImplementedError)."""
+    1 or 3 components, sampling factors 1-2, restart intervals per
+    §E.2.4 in every scan type (VERDICT r8 item 3: Ri counts MCUs per
+    scan — interleaved MCUs in a DC scan, one data unit per MCU in the
+    non-interleaved AC scans — with RST0-7 sequence checks, per-SOS
+    marker-number reset, DC-predictor reset, and EOB-run reset at each
+    boundary)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1836,6 +1964,7 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
     hmax = vmax = 1
     mcus_x = mcus_y = 0
     saw_scan = False
+    ms_restart = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -1881,10 +2010,9 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("_decode_progressive called on a non-SOF2 stream")
         elif marker == 0xDD:
-            if struct.unpack(">H", seg[:2])[0] > 0:
-                raise NotImplementedError(
-                    "progressive JPEG with restart intervals not supported"
-                )
+            # DRI applies to every following scan until redefined
+            # (§B.2.4.4) — same latch as the multi-scan sequential path
+            ms_restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1909,7 +2037,20 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 order = _scan_order(
                     scan_cids, cid_to_ci, comps, h, w, hmax, vmax, mcus_x, mcus_y
                 )
-                _dec_dc_scan(br, order, scan_tbl, huff, coefs, ah, al)
+                # Ri counts MCUs: one data unit per MCU when the DC scan
+                # is non-interleaved (ns == 1), sum(hs*vs) blocks per
+                # MCU when interleaved (§B.2.3 / §E.2.4)
+                bpm = (
+                    1
+                    if len(scan_cids) == 1
+                    else sum(
+                        comps[cid_to_ci[cid]][1] * comps[cid_to_ci[cid]][2]
+                        for cid in scan_cids
+                    )
+                )
+                _dec_dc_scan(
+                    br, order, scan_tbl, huff, coefs, ah, al, ms_restart, bpm
+                )
             else:
                 if ns != 1:
                     raise ValueError("interleaved AC scan is not spec-legal")
@@ -1919,9 +2060,9 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 grid = [(by, bx) for by in range(nby) for bx in range(nbx)]
                 tab = huff[(1, scan_tbl[scan_cids[0]][1])]
                 if ah == 0:
-                    _dec_ac_first(br, grid, tab, coefs[ci], ss, se, al)
+                    _dec_ac_first(br, grid, tab, coefs[ci], ss, se, al, ms_restart)
                 else:
-                    _dec_ac_refine(br, grid, tab, coefs[ci], ss, se, al)
+                    _dec_ac_refine(br, grid, tab, coefs[ci], ss, se, al, ms_restart)
             saw_scan = True
             pos = _scan_end(data, br.pos)
             continue

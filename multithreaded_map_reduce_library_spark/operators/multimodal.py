@@ -280,9 +280,6 @@ def embeddings_as_jpeg_assets(
         encode_jpeg_gray_progressive,
     )
 
-    if progressive and restart_interval:
-        raise ValueError("progressive encode does not take a restart interval")
-
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(
@@ -301,14 +298,10 @@ def embeddings_as_jpeg_assets(
             img = np.repeat(
                 np.repeat(vals.reshape(n_rows, blocks_per_row), 8, axis=0), 8, axis=1
             )
-            if progressive:
-                out.append(encode_jpeg_gray_progressive(img, qscale=qscale))
-            else:
-                out.append(
-                    encode_jpeg_gray(
-                        img, qscale=qscale, restart_interval=restart_interval
-                    )
-                )
+            enc = encode_jpeg_gray_progressive if progressive else encode_jpeg_gray
+            out.append(
+                enc(img, qscale=qscale, restart_interval=restart_interval)
+            )
         return pd.Series(out)
 
     # The encode/decode kernels are compute-bound while the input is a
@@ -356,8 +349,6 @@ def embeddings_as_jpeg420_assets(
 
     if progressive and multiscan:
         raise ValueError("pick one of progressive / multiscan")
-    if progressive and restart_interval:
-        raise ValueError("restart intervals inside progressive scans are out of envelope")
 
     q = F.transform(
         F.col(vec_col),
@@ -370,17 +361,17 @@ def embeddings_as_jpeg420_assets(
     @pandas_udf("binary")
     def to_jpeg420(pxs: pd.Series) -> pd.Series:
         if progressive:
-            enc = encode_jpeg_rgb_progressive
+            base = encode_jpeg_rgb_progressive
         else:
             base = encode_jpeg_rgb_multiscan if multiscan else encode_jpeg_rgb
 
-            def enc(img, qscale, subsampling):
-                return base(
-                    img,
-                    qscale=qscale,
-                    subsampling=subsampling,
-                    restart_interval=restart_interval,
-                )
+        def enc(img, qscale, subsampling):
+            return base(
+                img,
+                qscale=qscale,
+                subsampling=subsampling,
+                restart_interval=restart_interval,
+            )
 
         out = []
         for p in pxs:

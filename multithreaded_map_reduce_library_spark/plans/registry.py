@@ -70,18 +70,6 @@ def register(
             # execution order in a shared session cannot change results
             # (VERDICT r2 item 5 — queries must not mutate shared conf
             # themselves; tune_existing is the single pin point).
-            #
-            # BUILD-THEN-EXECUTE-IMMEDIATELY contract (ADVICE r7): these
-            # pins happen when the plan is BUILT, but Spark reads session
-            # confs when the plan EXECUTES. Every consumer (the driver's
-            # collect-right-after-call, bench.py, tests, tools) executes
-            # each returned DataFrame before building the next query, so
-            # the pins in force at execution are this query's own. A
-            # caller that builds several registered plans and executes
-            # them later runs all of them under the LAST build's two
-            # perf-only pins below (Arrow batch size, AQE initial
-            # partitions) — neither can change a result (they re-chunk
-            # Arrow transfer / pre-split shuffles), only speed.
             from multithreaded_map_reduce_library_spark.session import (
                 scaled_initial_partitions,
                 set_conf_cached,
@@ -95,20 +83,31 @@ def register(
             # tags, never of which query ran before it. Batch size cannot
             # change any result (it only re-chunks Arrow transfer), so
             # oracle hashes are unaffected either way.
-            set_conf_cached(
-                spark,
-                "spark.sql.execution.arrow.maxRecordsPerBatch",
-                _ARROW_BATCH_FAT if _FAT_PAYLOAD_TAGS & set(tags) else _ARROW_BATCH_DEFAULT,
-            )
-            # AQE initial shuffle partitions scale with the input data
-            # (VERDICT r6 item 3): pure function of sf_dir, so order-
-            # invariance holds and small SFs keep round-6 task counts.
-            set_conf_cached(
-                spark,
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(scaled_initial_partitions(sf_dir)),
-            )
-            return fn(spark, sf_dir)
+            #
+            # These two pins are perf-only and Spark reads them at
+            # EXECUTION, not plan build (ADVICE r7 / VERDICT r8 item 4):
+            # they are applied here for the common build-then-execute
+            # caller AND recorded on the returned DataFrame, so a
+            # consumer that batches plan builds re-applies each plan's
+            # own pins via ``session.repin`` right before executing it
+            # (bench.py and tools/drive_contract.py do).
+            pins = {
+                "spark.sql.execution.arrow.maxRecordsPerBatch": (
+                    _ARROW_BATCH_FAT if _FAT_PAYLOAD_TAGS & set(tags) else _ARROW_BATCH_DEFAULT
+                ),
+                # AQE initial shuffle partitions scale with the input
+                # data (VERDICT r6 item 3): pure function of sf_dir, so
+                # order-invariance holds and small SFs keep round-6 task
+                # counts.
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+                    scaled_initial_partitions(sf_dir)
+                ),
+            }
+            for k, v in pins.items():
+                set_conf_cached(spark, k, v)
+            df = fn(spark, sf_dir)
+            df._mtmrl_exec_pins = pins
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
@@ -260,6 +259,7 @@ def _load_all() -> None:
         pipeline130,
         pipeline131,
         pipeline132,
+        pipeline133,
         relational,
         relational2,
         relational3,

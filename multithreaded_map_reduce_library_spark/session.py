@@ -75,6 +75,26 @@ def set_conf_cached(spark: SparkSession, key: str, value: str) -> None:
     cache[key] = value
 
 
+def repin(df):
+    """Re-apply the per-query perf pins recorded at plan build (VERDICT
+    r8 item 4): the registry wrapper pins Arrow batch size and AQE
+    initial partitions when a plan is BUILT, but Spark reads both at
+    EXECUTION — so a consumer that builds several registered plans
+    before executing any must call this on each DataFrame right before
+    its action, or every plan runs under the LAST build's pins. The
+    pins are perf-only (they re-chunk Arrow transfer / pre-split
+    shuffles), so skipping this can never change a result — only speed.
+    No-op (a dict lookup per key via the conf cache) when the values
+    are already in force, and on DataFrames that never passed through
+    the registry."""
+    pins = getattr(df, "_mtmrl_exec_pins", None)
+    if pins:
+        spark = df.sparkSession
+        for k, v in pins.items():
+            set_conf_cached(spark, k, v)
+    return df
+
+
 def ensure_package_on_executors(spark: SparkSession) -> None:
     """Ship this package to Spark's Python workers via ``addPyFile``.
 
@@ -201,18 +221,32 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     values are constants, so after the first call per session every pin
     is a dict lookup instead of a py4j round-trip.
 
-    Healing canary (code-review r8): the cache assumes nothing mutates a
-    pinned key behind our back (the repo rule above). To keep the
-    self-healing property against an OUTSIDE caller that does, one real
-    ``conf.get`` per call checks the most result-critical pin (session
-    timezone — a silent mutation there shifts every timestamp hash); on
-    mismatch the whole cache is dropped and every pin re-applies. One
-    py4j round-trip instead of twelve.
+    Healing canary (code-review r8, widened per ADVICE r8): the cache
+    assumes nothing mutates a pinned key behind our back (the repo rule
+    above). To keep the self-healing property against an OUTSIDE caller
+    that does, each call makes two real ``conf.get``s: the most
+    result-critical pin (session timezone — a silent mutation there
+    shifts every timestamp hash) is checked EVERY call, and one further
+    cached key is checked round-robin, so a behind-the-back mutation of
+    ANY pinned key drops the cache within at most ``len(cache)`` calls
+    (the contract/bench loops call this before every query, so the heal
+    latency is a handful of queries, not a session). On mismatch the
+    whole cache is dropped and every pin re-applies. Two py4j
+    round-trips instead of twelve.
     """
     cache = _conf_cache(spark)
     tz_key = "spark.sql.session.timeZone"
-    if cache and spark.conf.get(tz_key, None) != cache.get(tz_key):
-        cache.clear()
+    if cache:
+        stale = spark.conf.get(tz_key, None) != cache.get(tz_key)
+        if not stale:
+            keys = sorted(k for k in cache if k != tz_key)
+            if keys:
+                i = getattr(spark, "_mtmrl_canary_idx", 0) % len(keys)
+                spark._mtmrl_canary_idx = i + 1
+                k = keys[i]
+                stale = spark.conf.get(k, None) != cache.get(k)
+        if stale:
+            cache.clear()
     set_conf_cached(spark, "spark.sql.session.timeZone", "UTC")
     set_conf_cached(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     set_conf_cached(spark, "spark.sql.adaptive.enabled", "true")

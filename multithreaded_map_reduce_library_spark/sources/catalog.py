@@ -11,6 +11,7 @@ source for the relational/pipeline tables.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,12 +66,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES)
 _TABLE_BYTES: dict[str, int] = {}
 
 
+#: Paths already warned about as unmeasurable (one stderr line per path
+#: per process, not one per call).
+_UNMEASURABLE_WARNED: set[str] = set()
+
+
 def _parquet_bytes(path: str) -> int:
     """On-disk size, FAILING CLOSED (code-review r8): a missing path or
     an OSError returns a sentinel larger than any cap, so a guard that
     cannot measure the table never force-broadcasts it — AQE decides
     from runtime sizes instead. (The old fail-open 0 silently re-enabled
-    the unbounded hint the guard exists to prevent.)"""
+    the unbounded hint the guard exists to prevent.)
+
+    The sentinel is NOT cached (ADVICE r8): a transient OSError — or a
+    non-local sf_dir where ``os.path`` calls always fail — would
+    otherwise disable broadcast hints for that table for the whole
+    process with no diagnostic. Instead the next call re-measures, and
+    a one-time stderr warning makes the silent hint-drop visible."""
     total = _TABLE_BYTES.get(path)
     if total is None:
         try:
@@ -84,9 +96,17 @@ def _parquet_bytes(path: str) -> int:
                     )
             else:
                 total = os.path.getsize(path)
-        except OSError:
-            total = 1 << 62  # unmeasurable -> over any cap -> no hint
-        _TABLE_BYTES[path] = total
+            _TABLE_BYTES[path] = total
+        except OSError as exc:
+            if path not in _UNMEASURABLE_WARNED:
+                _UNMEASURABLE_WARNED.add(path)
+                print(
+                    f"scaled_broadcast: cannot measure {path!r} ({exc}); "
+                    "broadcast hint disabled for this call (fail-closed, "
+                    "re-measured next call)",
+                    file=sys.stderr,
+                )
+            return 1 << 62  # unmeasurable -> over any cap -> no hint
     return total
 
 

@@ -20,6 +20,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,72 @@ def _cleanup_stream_tmpdirs() -> None:
     for d in _STREAM_TMPDIRS:
         shutil.rmtree(d, ignore_errors=True)
     _STREAM_TMPDIRS.clear()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _sweep_stale_stream_tmpdirs(tmp: str | None = None) -> int:
+    """Remove mtmrl_stream_* dirs orphaned by a KILLED process (VERDICT
+    r8 item 5): the atexit sweep above cannot fire on SIGKILL, so each
+    session sweeps its predecessors' residue at import. Every dir this
+    module creates embeds the creating pid (src dirs as the last name
+    token, out/ckpt dirs as the token right after the prefix); a dir
+    whose pid is dead is residue. Legacy dirs without a parseable pid
+    (pre-r9 out/ckpt naming) are swept only once older than an hour, so
+    a concurrent process running older code is never raced. Returns the
+    number of dirs removed."""
+    tmp = tmp or tempfile.gettempdir()
+    removed = 0
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return 0
+    now = time.time()
+    for name in entries:
+        if not name.startswith("mtmrl_stream_"):
+            continue
+        path = os.path.join(tmp, name)
+        if not os.path.isdir(path):
+            continue
+        pid: int | None = None
+        if name.startswith("mtmrl_stream_src_"):
+            tail = name.rsplit("_", 1)[-1]
+            pid = int(tail) if tail.isdigit() else None
+        else:
+            for prefix in ("mtmrl_stream_out_", "mtmrl_stream_ckpt_"):
+                if name.startswith(prefix):
+                    # new format embeds `p<pid>` (the 'p' keeps a legacy
+                    # dir's random mkdtemp suffix — which may contain
+                    # digits and underscores, e.g. `2_tta6tw` — from
+                    # misparsing as a pid; legacy dirs age out instead)
+                    tok = name[len(prefix):].split("_", 1)[0]
+                    if tok.startswith("p") and tok[1:].isdigit():
+                        pid = int(tok[1:])
+                    break
+        if pid == os.getpid():
+            continue
+        if pid is not None:
+            stale = not _pid_alive(pid)
+        else:
+            try:
+                stale = now - os.path.getmtime(path) > 3600
+            except OSError:
+                stale = False
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    return removed
+
+
+_sweep_stale_stream_tmpdirs()
 
 
 def _as_stream_dir(path: str) -> str:
@@ -216,8 +283,10 @@ def run_stream_to_df(
     plan's schema explicitly instead of inferring it. The checkpoint dir
     is removed as soon as the query terminates; the sink dir (which the
     returned DataFrame lazily depends on) is swept at interpreter exit."""
-    out_dir = tempfile.mkdtemp(prefix="mtmrl_stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="mtmrl_stream_ckpt_")
+    # pid embedded in the name so _sweep_stale_stream_tmpdirs can
+    # reclaim these after a SIGKILL (atexit never fires then)
+    out_dir = tempfile.mkdtemp(prefix=f"mtmrl_stream_out_p{os.getpid()}_")
+    ckpt = tempfile.mkdtemp(prefix=f"mtmrl_stream_ckpt_p{os.getpid()}_")
     _STREAM_TMPDIRS.append(out_dir)
     # ckpt is also registered so a stream that RAISES mid-drain (before
     # the rmtree below) still gets swept at exit (code-review r8)

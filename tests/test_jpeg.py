@@ -639,8 +639,10 @@ def test_progressive_eobrun_and_sparse_content():
 
 
 def test_progressive_envelope_raises():
-    """Out-of-envelope progressive variants raise, never wrong pixels:
-    DRI inside a progressive stream, and truncated scan data."""
+    """Truncated progressive scan data raises, never wrong pixels; a
+    DRI segment is now ACCEPTED (round 9, VERDICT r8 item 3) — on a
+    1-MCU image Ri=4 yields no restart boundaries, so the injected-DRI
+    stream must decode identically to the original."""
     from multithreaded_map_reduce_library_spark.functions.jpeg import (
         encode_jpeg_gray_progressive,
     )
@@ -649,8 +651,7 @@ def test_progressive_envelope_raises():
     data = encode_jpeg_gray_progressive(img)
     i = data.index(b"\xff\xda")
     with_dri = data[:i] + b"\xff\xdd\x00\x04\x00\x04" + data[i:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(with_dri)
+    assert np.array_equal(decode_jpeg(with_dri)[3], decode_jpeg(data)[3])
     with pytest.raises(ValueError):
         decode_jpeg(data[: i + 12])
 
@@ -773,3 +774,121 @@ def test_multiscan_dri_rst_sequence_error_raises():
         i += 1
     with pytest.raises(ValueError, match="RST sequence error"):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_dri_equals_baseline_decode():
+    """Round 9 (VERDICT r8 item 3): restart intervals INSIDE progressive
+    scans. Restart machinery re-aligns the entropy stream, resets DC
+    predictors and EOB runs, but cannot change a coefficient — so a
+    fully-refined progressive stream with DRI must decode
+    pixel-identical to the baseline encoding of the same image, across
+    subsamplings, non-multiple-of-MCU dims, and intervals exercising
+    RST0-7 wraparound and the no-trailing-marker tail."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(135)
+    for h, w in [(64, 64), (40, 56), (17, 33)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img))
+        for ri in (1, 3, 7):
+            pg = decode_jpeg(
+                encode_jpeg_gray_progressive(img, restart_interval=ri)
+            )
+            assert pg[:3] == base[:3]
+            assert np.array_equal(pg[3], base[3]), (h, w, ri)
+    for sub in ("444", "422", "420"):
+        img3 = rng.integers(0, 256, (50, 23, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(img3, subsampling=sub))
+        for ri in (3, 5):
+            pg = decode_jpeg(
+                encode_jpeg_rgb_progressive(
+                    img3, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(pg[3], base[3]), (sub, ri)
+
+
+def test_progressive_dri_eobrun_reset_at_boundary():
+    """The progressive-specific subtlety (VERDICT r8 item 3): EOB runs
+    may not cross a restart boundary. A CONSTANT image makes every AC
+    block empty, so without the encoder-side flush a single EOBn would
+    span all blocks and every restart boundary; Ri values that divide
+    neither the 64-block AC grids nor the 64 DC MCUs force flushes at
+    non-EOB-aligned points, and the decoder must reset its run counter
+    at each marker."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    cimg = np.full((64, 64), 131, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(cimg))
+    for ri in (1, 3, 5, 7):
+        data = encode_jpeg_gray_progressive(cimg, restart_interval=ri)
+        assert data.count(b"\xff\xdd") == 1
+        # AC scans of a 64-block grid at Ri=ri: boundaries exist inside
+        # the scans, so RST markers must actually be in the stream
+        assert sum(data.count(bytes((0xFF, 0xD0 + m))) for m in range(8)) > 0
+        pg = decode_jpeg(data)
+        assert np.array_equal(pg[3], base[3]), ri
+
+
+def test_progressive_dri_rst_sequence_error_raises():
+    """A swapped restart marker in a progressive stream must raise a
+    clean ValueError — lost sync never silently produces wrong pixels."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(136)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray_progressive(img, restart_interval=1))
+    i = 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xD0:
+            data[i + 1] = 0xD1
+            break
+        i += 1
+    with pytest.raises(ValueError, match="RST sequence error"):
+        decode_jpeg(bytes(data))
+
+
+def test_progressive_dri_per_scan_marker_number_reset():
+    """§E.2.4: the restart marker number restarts at 0 at every SOS —
+    check the first RSTn after each of the progressive stream's SOS
+    segments is RST0."""
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(137)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    data = encode_jpeg_gray_progressive(img, restart_interval=3)
+    sos_positions = [
+        i
+        for i in range(2, len(data) - 1)
+        if data[i] == 0xFF and data[i + 1] == 0xDA
+    ]
+    assert len(sos_positions) >= 5  # the scan script has >= 5 scans
+    checked = 0
+    for sp in sos_positions:
+        j = sp + 2
+        while j < len(data) - 1:
+            if data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7:
+                assert data[j + 1] == 0xD0, f"scan at {sp}: first RST{data[j+1]-0xD0}"
+                checked += 1
+                break
+            if data[j] == 0xFF and data[j + 1] == 0xDA and j > sp + 2:
+                break
+            j += 1
+    assert checked >= 5
+
+
+def test_jpeg_progressive_dri_color420_query_oracle_parity(spark):
+    q = all_queries()["multimodal_jpeg_progressive_dri_color420"]
+    compare_query(spark, q.fn, q.oracle, SF_SMALL)

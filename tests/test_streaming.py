@@ -78,6 +78,44 @@ def test_empty_stream_returns_empty_df_with_schema(spark):
     ]
 
 
+def test_startup_sweep_reclaims_dead_pid_dirs(tmp_path):
+    """VERDICT r8 item 5: SIGKILL skips atexit, so a fresh session's
+    import sweeps mtmrl_stream_* dirs whose embedded pid is dead (and
+    hour-aged legacy dirs without one), leaving live-pid dirs alone."""
+    import os
+    import subprocess
+    import time as _time
+
+    import multithreaded_map_reduce_library_spark.streaming.windows as W
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead_pid = p.pid  # just exited and reaped; pid not reused yet
+    me = os.getpid()
+    tmp = str(tmp_path)
+    keep = [
+        tmp_path / f"mtmrl_stream_src_abc123_{me}",
+        tmp_path / f"mtmrl_stream_out_p{me}_x1",
+        tmp_path / "mtmrl_stream_out_legacyfresh",  # no pid, fresh
+        tmp_path / "mtmrl_stream_out_2_tta6tw",  # legacy suffix w/ digits, fresh
+        tmp_path / "unrelated_dir",
+    ]
+    gone = [
+        tmp_path / f"mtmrl_stream_src_def456_{dead_pid}",
+        tmp_path / f"mtmrl_stream_out_p{dead_pid}_x2",
+        tmp_path / f"mtmrl_stream_ckpt_p{dead_pid}_x3",
+        tmp_path / "mtmrl_stream_out_legacyaged",
+    ]
+    for d in keep + gone:
+        d.mkdir()
+    old = _time.time() - 7200
+    os.utime(gone[-1], (old, old))
+    removed = W._sweep_stale_stream_tmpdirs(tmp=tmp)
+    assert removed == len(gone)
+    assert all(d.exists() for d in keep)
+    assert not any(d.exists() for d in gone)
+
+
 def test_foreachbatch_sink_isolates_batches(spark):
     """Each micro-batch writes its own b<batch_id> subdir (at-least-once
     idempotency: a retried batch overwrites itself, never re-appends) and

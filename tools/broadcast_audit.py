@@ -226,6 +226,27 @@ def audit_function(fn: ast.FunctionDef, src_lines: list[str], rel: str, sites: l
             # then apply the statement's binding effect
             if isinstance(st, ast.Assign) and len(st.targets) == 1 and isinstance(st.targets[0], ast.Name):
                 env[st.targets[0].id] = trace(st.value, env)
+            elif isinstance(st, ast.Assign):
+                # multi-target / tuple-unpacking assigns (ADVICE r8):
+                # `a, b = scan1, scan2` traces element-wise; anything
+                # less structured rebinds every Name target to ("other",
+                # None) explicitly so a STALE earlier binding (raw or
+                # const) can't silently mis-classify a later broadcast
+                for tgt in st.targets:
+                    if (
+                        isinstance(tgt, (ast.Tuple, ast.List))
+                        and isinstance(st.value, (ast.Tuple, ast.List))
+                        and len(tgt.elts) == len(st.value.elts)
+                        and all(isinstance(e, ast.Name) for e in tgt.elts)
+                    ):
+                        for e, v in zip(tgt.elts, st.value.elts):
+                            env[e.id] = trace(v, env)
+                        continue
+                    elts = tgt.elts if isinstance(tgt, (ast.Tuple, ast.List)) else [tgt]
+                    for e in elts:
+                        inner_e = e.value if isinstance(e, ast.Starred) else e
+                        if isinstance(inner_e, ast.Name):
+                            env[inner_e.id] = trace(st.value, env) if len(elts) == 1 else ("other", None)
             elif isinstance(st, ast.AugAssign) and isinstance(st.target, ast.Name):
                 env[st.target.id] = ("other", None)
             # recurse into nested bodies in source order
@@ -235,6 +256,12 @@ def audit_function(fn: ast.FunctionDef, src_lines: list[str], rel: str, sites: l
                     visit_stmts(inner)
             for h in getattr(st, "handlers", []) or []:
                 visit_stmts(h.body)
+            # match-statement case bodies (ADVICE r8): ast.Match keeps
+            # its arms under `cases`, not any of the fields above —
+            # without this, a broadcast site inside a match arm would
+            # be silently unaudited
+            for case in getattr(st, "cases", []) or []:
+                visit_stmts(case.body)
 
     visit_stmts(fn.body)
 

@@ -121,9 +121,14 @@ if name_filter:
 
     qs = {n: f for n, f in qs.items() if re.search(name_filter, n)}
     print(f"FILTER: {name_filter!r} -> {len(qs)} queries")
+from multithreaded_map_reduce_library_spark.session import repin
+
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    # execution-time re-pin of the plan's own perf confs (VERDICT r8
+    # item 4) — a no-op here (build-then-execute), load-bearing if this
+    # loop ever batches builds
+    srows = [tuple(r) for r in repin(sdf).collect()]
     scols = [f.name for f in sdf.schema.fields]
     if name not in oracles:
         print(f"  {name}: rows-only check rows={len(srows)} (no oracle)")

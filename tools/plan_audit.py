@@ -81,6 +81,7 @@ ALLOW_PYTHON = {
     "multimodal_jpeg_progressive_color420": "progressive 4:2:0 JPEG encode pandas UDF + mapInPandas multi-scan decode",
     "multimodal_jpeg_multiscan_color420": "multi-scan sequential (§B.2.3) 4:2:0 JPEG encode pandas UDF + mapInPandas multi-scan decode",
     "multimodal_jpeg_multiscan_dri_color420": "multi-scan sequential + DRI/RSTn JPEG encode pandas UDF + mapInPandas multi-scan decode",
+    "multimodal_jpeg_progressive_dri_color420": "progressive + DRI/RSTn (§E.2.4) JPEG encode pandas UDF + mapInPandas progressive decode",
     "multimodal_wav_energy": "WAV encode pandas UDF + mapInPandas RIFF parse",
     "multimodal_wav_vad_features": "WAV encode pandas UDF + mapInPandas VAD kernel",
     "multimodal_wav_silence_runs": "WAV encode pandas UDF + mapInPandas energy kernel",

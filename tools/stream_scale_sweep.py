@@ -32,8 +32,15 @@ from multithreaded_map_reduce_library_spark.session import get_spark  # noqa: E4
 def main() -> int:
     runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 2
     out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+    # --only a,b,c restricts the sweep to named twins (e.g. re-measuring
+    # the stateful trio's emitted-row growth without paying for all 17)
+    only = (
+        set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        if "--only" in sys.argv
+        else None
+    )
     skip = set()
-    for flag in ("--runs", "--out"):
+    for flag in ("--runs", "--out", "--only"):
         if flag in sys.argv:
             skip.add(sys.argv.index(flag) + 1)
     args = [
@@ -47,31 +54,54 @@ def main() -> int:
     spark = get_spark(app_name="stream-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     twins = {n: q for n, q in sorted(all_queries().items()) if n.startswith("stream_")}
+    if only is not None:
+        missing = only - set(twins)
+        if missing:
+            print(f"unknown twins: {sorted(missing)}", file=sys.stderr)
+            return 2
+        twins = {n: q for n, q in twins.items() if n in only}
     results: dict[str, dict[str, float]] = {n: {} for n in twins}
+    # emitted-row counts per twin per decade (VERDICT r8 item 6): for
+    # update-mode stateful twins the SINK volume — every touched key
+    # re-emitted per micro-batch — is what grows with the data, while
+    # state stays bounded by distinct keys; recording the count turns
+    # that claim into a measurement at zero extra cost (the drain's
+    # count() already computes it).
+    emitted: dict[str, dict[str, int]] = {n: {} for n in twins}
     for sf_dir in args:
         for name, q in twins.items():
             samples = []
+            n_rows = 0
             for _ in range(runs):
                 t0 = time.perf_counter()
-                q.fn(spark, sf_dir).count()
+                n_rows = q.fn(spark, sf_dir).count()
                 samples.append(time.perf_counter() - t0)
             results[name][sf_dir] = round(min(samples), 2)
-            print(f"{sf_dir} {name}: {results[name][sf_dir]}s (runs={runs})", flush=True)
+            emitted[name][sf_dir] = n_rows
+            print(
+                f"{sf_dir} {name}: {results[name][sf_dir]}s rows={n_rows} (runs={runs})",
+                flush=True,
+            )
     if out_path:
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump({"times": results, "rows": emitted}, f, indent=1)
     # markdown table when 3 dirs given, headers from the actual dirs
     if len(args) == 3:
         a, b, c = args
         la, lb, lc = (os.path.basename(d.rstrip("/")) for d in args)
-        print(f"\n| streaming twin | {la} s | {lb} s | {lc} s | {lb}/{la} | {lc}/{lb} |")
-        print("|---|---|---|---|---|---|")
+        print(
+            f"\n| streaming twin | {la} s | {lb} s | {lc} s | {lb}/{la} | {lc}/{lb} "
+            f"| rows {la} | rows {lb} | rows {lc} |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|")
         for n, r in results.items():
             r10 = r[b] / r[a] if r[a] else float("nan")
             r100 = r[c] / r[b] if r[b] else float("nan")
+            e = emitted[n]
             print(
                 f"| {n} | {r[a]:.2f} | {r[b]:.2f} | {r[c]:.2f} "
-                f"| {r10:.1f}x | {r100:.1f}x |"
+                f"| {r10:.1f}x | {r100:.1f}x "
+                f"| {e[a]} | {e[b]} | {e[c]} |"
             )
     spark.stop()
     return 0
