@@ -82,6 +82,19 @@ def _bench_queries():
     return {n: q for n, q in all_queries().items() if q.bench}
 
 
+def _repin():
+    """Execution-time conf re-pin (VERDICT r8 item 4) — identity when
+    the package on sys.path predates ``session.repin`` (this bench.py is
+    HEAD's even when the A/B worker runs the CONTROL worktree's package,
+    so the import must degrade instead of killing the control side)."""
+    try:
+        from multithreaded_map_reduce_library_spark.session import repin
+
+        return repin
+    except ImportError:
+        return lambda df: df
+
+
 def _warmup(spark, bench_queries, sf_dir: str) -> None:
     """Boot Python UDF workers (one per core) and compile each query's
     whole-stage-codegen classes by running every bench plan once at the
@@ -98,8 +111,7 @@ def _warmup(spark, bench_queries, sf_dir: str) -> None:
     spark.range(0, 100_000, 1, 64).select(_ident(col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
-    from multithreaded_map_reduce_library_spark.session import repin
-
+    repin = _repin()
     warm_dir = "/root/testdata/sf0.001"
     for q in bench_queries.values():
         try:
@@ -111,8 +123,7 @@ def _warmup(spark, bench_queries, sf_dir: str) -> None:
 def _timed_pass(bench_queries, spark, sf_dir: str, n_runs: int):
     """One full pass over the bench set, n_runs samples per query.
     Returns {name: [sample, ...]} (seconds, run order preserved)."""
-    from multithreaded_map_reduce_library_spark.session import repin
-
+    repin = _repin()
     samples: dict[str, list[float]] = {}
     for name, q in bench_queries.items():
         ss = []
