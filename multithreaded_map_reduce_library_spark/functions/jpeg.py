@@ -253,6 +253,34 @@ class _BitWriter:
         self.out += bytes((0xFF, byte2))
 
 
+class _HuffTable(dict):
+    """(length, code) -> symbol dict plus a canonical 8-bit fast-decode
+    table: ``flen[w]``/``fsym[w]`` give the code length and symbol whose
+    code is the top bits of the 8-bit window ``w`` (0 where no code of
+    length <= 8 matches — the reader then falls back to the bit-by-bit
+    walk). Pure lookup acceleration: bit consumption and every error
+    path are identical to the plain-dict walk."""
+
+    __slots__ = ("flen", "fsym")
+
+    def __init__(self, table: dict[tuple[int, int], int]) -> None:
+        super().__init__(table)
+        self.flen = [0] * 256
+        self.fsym = [0] * 256
+        for (length, code), sym in table.items():
+            if length <= 8:
+                base = code << (8 - length)
+                for w in range(base, base + (1 << (8 - length))):
+                    self.flen[w] = length
+                    self.fsym[w] = sym
+
+
+#: (bits, vals) -> _HuffTable. The encoder emits the same DHT payloads
+#: for every asset, so across a corpus decode the 256-entry expansion is
+#: built once per distinct table, not once per image.
+_HUFF_FAST_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 unstuffing.
     Stops (raises _MarkerFound) at any non-stuffing marker."""
@@ -280,6 +308,26 @@ class _BitReader:
                 raise ValueError("marker inside entropy data (truncated scan?)")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def _try_fill(self) -> bool:
+        """Soft fill for lookahead: buffer one more byte if available,
+        return False (pos unmoved) at end-of-data or at a marker instead
+        of raising — the fast path may legitimately peek past the last
+        symbol of a scan, where the hard fill's errors do not apply
+        because those bits are never consumed."""
+        pos, data = self.pos, self.data
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False  # marker (or trailing FF): stop before it
+            self.pos = pos + 2  # stuffed byte
+        else:
+            self.pos = pos + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
 
     def expect_rst(self, m: int) -> None:
         """§E.2.4: at a restart boundary the encoder byte-aligned and
@@ -310,6 +358,32 @@ class _BitReader:
         return v
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        # Fast path (the decode profile put 96% of decode time in this
+        # walk + get(1)): resolve codes of length <= 8 with ONE lookup in
+        # the table's canonical 8-bit window expansion. The window is
+        # zero-padded when fewer than 8 real bits remain (soft fill stops
+        # at markers/end), and a hit is taken only when the matched code
+        # fits inside the real bits — so bit consumption, restart-pad
+        # handling, and every truncation/invalid-code error are identical
+        # to the bit-by-bit walk below, which remains the fallback for
+        # long codes, plain-dict tables, and scan tails.
+        flen = getattr(table, "flen", None)
+        if flen is not None:
+            nbits = self.nbits
+            if nbits < 8:
+                while self._try_fill():
+                    if self.nbits >= 8:
+                        break
+                nbits = self.nbits
+            if nbits >= 8:
+                w = (self.acc >> (nbits - 8)) & 0xFF
+            else:
+                w = (self.acc << (8 - nbits)) & 0xFF
+            length = flen[w]
+            if 0 < length <= nbits:
+                self.nbits = nbits - length
+                self.acc &= (1 << self.nbits) - 1
+                return table.fsym[w]
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.get(1)
@@ -361,9 +435,13 @@ def _encode_block(
     diff = dc - prev_dc
     s = _magnitude(diff)
     code, length = dc_codes[s]
-    bw.put(code, length)
+    # Huffman code and magnitude bits fuse into ONE put each (the bit
+    # stream is the concatenation either way; put masks the value): the
+    # encode profile showed BitWriter.put call count as a top cost.
     if s:
-        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw.put((code << s) | ((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1)), length + s)
+    else:
+        bw.put(code, length)
     run = 0
     nz = np.nonzero(zz[1:])[0]
     last_nz = (nz[-1] + 1) if nz.size else 0
@@ -378,8 +456,7 @@ def _encode_block(
             run -= 16
         s = _magnitude(v)
         code, length = ac_codes[(run << 4) | s]
-        bw.put(code, length)
-        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        bw.put((code << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)), length + s)
         run = 0
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
@@ -778,16 +855,20 @@ def _parse_dht_seg(
         nvals = sum(bits)
         vals = list(seg[p : p + nvals])
         p += nvals
-        table: dict[tuple[int, int], int] = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
-        huff[(tclass, tid)] = table
+        key = (bytes(bits), bytes(vals))
+        fast = _HUFF_FAST_CACHE.get(key)
+        if fast is None:
+            table: dict[tuple[int, int], int] = {}
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    table[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            fast = _HUFF_FAST_CACHE[key] = _HuffTable(table)
+        huff[(tclass, tid)] = fast
 
 
 class _MultiScanSequential(NotImplementedError):
@@ -901,11 +982,10 @@ def _parse_headers(data: bytes) -> dict:
 def _decode_block(br: _BitReader, dc_tab, ac_tab, q: np.ndarray, prev_dc: int):
     """Decode one entropy-coded block: returns (new DC predictor,
     reconstructed float pixel block before level shift)."""
-    zz = np.zeros(64, dtype=np.int64)
     s = br.read_symbol(dc_tab)
     diff = _extend(br.get(s), s) if s else 0
     dc = prev_dc + diff
-    zz[0] = dc
+    zz = None
     k = 1
     while k < 64:
         rs = br.read_symbol(ac_tab)
@@ -918,8 +998,17 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, q: np.ndarray, prev_dc: int):
         k += r
         if k > 63:
             raise ValueError("AC run overflows block")
+        if zz is None:
+            zz = np.zeros(64, dtype=np.int64)
         zz[k] = _extend(br.get(s), s)
         k += 1
+    if zz is None:
+        # DC-only block (immediate EOB — every block of a smooth or
+        # synthesized asset): the IDCT of an all-zero AC matrix is
+        # exactly 0.0 + dc·q00/8, so the constant plane is bit-identical
+        # to the matmul path at a fraction of the cost.
+        return dc, np.full((8, 8), float(dc * q[0, 0]) / 8.0)
+    zz[0] = dc
     coef = np.zeros((8, 8), dtype=np.int64)
     coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
     return dc, _idct_block(coef)

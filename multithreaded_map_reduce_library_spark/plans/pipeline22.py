@@ -152,27 +152,39 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFr
             ).alias("p"),
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
         pc = pairs.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
-        # the argmax stays lazy: both its consumers re-derive it from the
-        # CHECKPOINTED w below, one tiny stage each — measured faster at
-        # sf0.1 than checkpointing m too (2.46s vs 2.70s), while skipping
-        # the w checkpoint instead doubles runtime (5.5s, recompute blowup)
         m = pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
-        merges.append(
-            m.select(
-                F.lit(k).cast("int").alias("rank"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
         pat = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
         rpl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
         rep3 = F.replace(F.replace(F.replace("rep", pat, rpl), pat, rpl), pat, rpl)
+        # The winning pair's constants RIDE IN the round's checkpoint
+        # (three short strings + a bigint per |V| row): the round-4 form
+        # kept the argmax lazy, so materializing the 8 merge rows at
+        # output time re-ran all 8 pair-count shuffles a second time
+        # (16 total per bench run). Reading them back as limit(1) on the
+        # in-memory checkpoint costs one row fetch and halves the
+        # pair-count work; values are identical by construction (same
+        # broadcast row the merge was applied from).
         w = (
             w.crossJoin(F.broadcast(m))
-            .select("word", "freq", rep3.alias("rep"))
+            .select(
+                "word",
+                "freq",
+                rep3.alias("rep"),
+                F.col("a").alias("_ma"),
+                F.col("b").alias("_mb"),
+                F.col("cnt").alias("_mc"),
+            )
             .localCheckpoint()
         )
+        merges.append(
+            w.select(
+                F.lit(k).cast("int").alias("rank"),
+                F.col("_ma").alias("tok_a"),
+                F.col("_mb").alias("tok_b"),
+                F.col("_mc").alias("pair_count"),
+            ).limit(1)
+        )
+        w = w.select("word", "freq", "rep")
     return w, merges
 
 

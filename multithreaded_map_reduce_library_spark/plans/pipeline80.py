@@ -147,15 +147,28 @@ def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     calib = cal.join(F.broadcast(pred), "seg").select(
         F.abs(F.col("cents") - F.col("pred_cents")).alias("score")
     )
-    ncal = calib.agg(F.count("*").alias("n"))
-    ranked = calib.crossJoin(F.broadcast(ncal)).select(
+    # q̂ = k-th smallest calibration score, k = ⌈(n+1)(1−α)⌉, computed from
+    # the SCORE HISTOGRAM instead of a global row_number over every
+    # calibration row (round-4 form): rank of a score value's last
+    # occurrence is the cumulative count, so the k-th order statistic is
+    # the smallest value whose running count reaches k — identical by
+    # definition. The single-partition stage now sorts |distinct scores|
+    # aggregated (score, count) pairs instead of the whole calibration
+    # split with an n column cross-joined onto every row (guide §2.3:
+    # aggregate before the global sort; at 100 TB this is the difference
+    # between a corpus-sized global sort and a bounded-histogram one).
+    hist = calib.groupBy("score").agg(F.count("*").alias("c"))
+    ncal = hist.agg(F.sum("c").alias("n"))
+    cum = hist.select(
         "score",
-        "n",
-        F.row_number().over(Window.orderBy("score")).alias("rk"),
+        F.sum("c")
+        .over(Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
     )
     qhat = (
-        ranked.where(
-            F.col("rk")
+        cum.crossJoin(F.broadcast(ncal))
+        .where(
+            F.col("cum")
             >= F.ceil((F.col("n") + 1) * F.lit(100 - _ALPHA_PCT) / F.lit(100.0)).cast(
                 "bigint"
             )

@@ -262,19 +262,52 @@ def build_piece_graph(spark: SparkSession, sf_dir: str):
     return words, eg
 
 
-def run_optimal_dp(words: DataFrame, eg: DataFrame) -> DataFrame:
-    """16-round unrolled Bellman-Ford over the piece graph: (word, pos, v)
-    with v = packed min cost to reach pos from 0."""
-    dp = words.select(
-        "word", F.lit(0).cast("bigint").alias("pos"), F.lit(0).cast("bigint").alias("v")
+def word_edge_arrays(eg: DataFrame) -> DataFrame:
+    """(word, edges): the piece graph folded to one array row per word —
+    edges is array<struct<pos_from,pos_to,w32>>. One tiny shuffle (the
+    relation is |words|·|positions|·3 rows); element order is irrelevant
+    to every consumer (they filter/min over it), so no sort is needed."""
+    return eg.groupBy("word").agg(
+        F.collect_list(F.struct("pos_from", "pos_to", "w32")).alias("edges")
     )
-    for t in range(_MAX_WLEN):
-        relaxed = (
-            dp.withColumnRenamed("pos", "pos_from")
-            .join(eg, ["word", "pos_from"])
-            .select("word", F.col("pos_to").alias("pos"), (F.col("v") + F.col("w32")).alias("v"))
-        )
-        dp = dp.unionAll(relaxed).groupBy("word", "pos").agg(F.min("v").alias("v"))
-        if t % 4 == 3:  # flatten lineage without one job per round
-            dp = dp.localCheckpoint()
-    return dp
+
+
+def run_optimal_dp(words: DataFrame, eg: DataFrame) -> DataFrame:
+    """Optimal-segmentation cost per word: (word, pos, v) at the word's
+    FINAL position (pos = len(word)), v = packed min cost from 0.
+
+    The piece graph is a DAG whose positions 0..len are already in
+    topological order, so one left-to-right pass computes the exact
+    minimum — the round-3 form ran the same recurrence as a 16-round
+    unrolled Bellman-Ford (16 join+groupBy Spark jobs plus checkpoint
+    jobs over a ≤680-row relation, pure scheduling overhead; the oracle
+    still replays that unrolled form and the results are identical
+    because extra relaxation rounds past the topological pass are
+    no-ops). Here the per-word edge list folds to an array and the DP is
+    a single F.aggregate expression: dist[p] = min over edges ending at
+    p of dist[pos_from] + w32, all in exact BIGINTs — zero joins, zero
+    extra jobs. Every position is reachable (every character is in the
+    piece vocabulary), so the running min never sees an empty set."""
+    ea = word_edge_arrays(eg)
+    # acc = dist array for positions 0..p-1 (1-indexed: element i+1 = pos i)
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.length("word").cast("bigint")),
+        F.array(F.lit(0).cast("bigint")),
+        lambda acc, p: F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.filter("edges", lambda e: e["pos_to"] == p),
+                        lambda e: F.element_at(acc, (e["pos_from"] + 1).cast("int"))
+                        + e["w32"],
+                    )
+                )
+            ),
+        ),
+    )
+    return words.join(ea, "word").select(
+        "word",
+        F.length("word").cast("bigint").alias("pos"),
+        F.element_at(dist, (F.length("word") + 1).cast("int")).alias("v"),
+    )

@@ -25,7 +25,7 @@ the other two extend the driver-mandated superset.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multithreaded_map_reduce_library_spark.functions.grid import duck_int_ratio, int_ratio
@@ -37,6 +37,7 @@ from multithreaded_map_reduce_library_spark.plans.pipeline96 import (
     duck_dp_ctes,
     duck_vocab_ctes,
     run_optimal_dp,
+    word_edge_arrays,
 )
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
@@ -105,31 +106,35 @@ def wordpiece_greedy_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word per round) and the DP run on metadata-sized relations."""
     words, eg = build_piece_graph(spark, sf_dir)
     dp = run_optimal_dp(words, eg)
-    st = words.select(
-        "word",
-        F.lit(0).cast("bigint").alias("pos"),
-        F.lit(0).cast("bigint").alias("v"),
-        F.length("word").cast("bigint").alias("wlen"),
-    )
-    longest = Window.partitionBy("word").orderBy(F.desc("pos_to"))
-    for t in range(_MAX_WLEN):
-        adv = (
-            st.withColumnRenamed("pos", "pos_from")
-            .join(eg, ["word", "pos_from"])
-            .withColumn("rn", F.row_number().over(longest))
-            .where(F.col("rn") == 1)
-            .select(
-                "word",
-                F.col("pos_to").alias("pos"),
-                (F.col("v") + F.col("w32")).alias("v"),
-                "wlen",
-            )
+    # Greedy longest-match as ONE fold expression over the per-word edge
+    # array (same restructure as run_optimal_dp — the round-4 form ran 16
+    # join+window Spark jobs over a ≤40-row relation): _MAX_WLEN steps of
+    # "advance by the longest piece at the current position", terminal
+    # states persisting, exactly the unrolled-CTE semantics the oracle
+    # replays. Candidate sets are never empty before the end (every
+    # character is a piece) and one-candidate-per-length makes the
+    # longest edge unique, so the walk is fully deterministic.
+    wlen = F.length("word").cast("bigint")
+
+    def _advance(acc, _step):
+        cand = F.filter("edges", lambda e: e["pos_from"] == acc["pos"])
+        best_to = F.array_max(F.transform(cand, lambda e: e["pos_to"]))
+        best_w = F.element_at(
+            F.filter(cand, lambda e: e["pos_to"] == best_to), 1
+        )["w32"]
+        return F.when(acc["pos"] == wlen, acc).otherwise(
+            F.struct(best_to.alias("pos"), (acc["v"] + best_w).alias("v"))
         )
-        st = adv.unionAll(st.where(F.col("pos") == F.col("wlen")))
-        if t % 4 == 3:
-            st = st.localCheckpoint()
-    greedy = st.where(F.col("pos") == F.col("wlen")).select(
-        "word", F.col("v").alias("gv")
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MAX_WLEN)),
+        F.struct(
+            F.lit(0).cast("bigint").alias("pos"), F.lit(0).cast("bigint").alias("v")
+        ),
+        _advance,
+    )
+    greedy = words.join(word_edge_arrays(eg), "word").select(
+        "word", walk["v"].alias("gv")
     )
     pk = F.lit(_PACK).cast("bigint")
     idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
