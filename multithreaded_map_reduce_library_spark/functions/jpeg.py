@@ -413,9 +413,16 @@ def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Quantize one 8×8 block of uint8 samples. DC comes from the exact
     integer block sum (see module docstring determinism contract); ACs
     from the float DCT, rounded half away from zero."""
-    shifted = block.astype(np.float64) - 128.0
-    coef = _DCT_T @ shifted @ _DCT_T.T
-    out = _round_half_away(coef / q).astype(np.int64)
+    if int(block.min()) == int(block.max()):
+        # Constant block (flat background / synthesized asset): the float
+        # DCT's AC magnitudes are pure rounding noise (|coef| ≲ 1e-11 ≪
+        # q/2 ≥ 0.5), so half-away quantization is provably 0 for every
+        # AC — skip the matmuls and emit zeros plus the exact integer DC.
+        out = np.zeros((8, 8), dtype=np.int64)
+    else:
+        shifted = block.astype(np.float64) - 128.0
+        coef = _DCT_T @ shifted @ _DCT_T.T
+        out = _round_half_away(coef / q).astype(np.int64)
     dc_int = int(block.sum()) - 128 * 64  # = 8 · DC, exactly
     d = 8 * int(q[0, 0])
     qd = (2 * abs(dc_int) + d) // (2 * d)

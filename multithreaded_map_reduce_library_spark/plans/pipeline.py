@@ -176,7 +176,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = _shingle_hash_index(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # The shingle index feeds THREE consumers (sizes + both sides of the
+    # intersection join): left lazy, the pandas-UDF hasher ran once per
+    # consumer — 3 ArrowEvalPython evaluations of the same batch in the
+    # round-8 plan (guide §4: the JVM↔Python boundary is the cost to
+    # eliminate). The index is candidate-doc-sized — a sliver of the
+    # corpus by LSH construction — so one localCheckpoint materializes
+    # it once and every consumer reads the in-memory copy.
+    sh = _shingle_hash_index(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     da = sh.select(F.col("doc").alias("id_a"), "shingle")
     db = sh.select(F.col("doc").alias("id_b"), "shingle")

@@ -98,7 +98,10 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     base = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc")
     )
-    return base.join(hits, "eval_doc", "left").select(
+    # hits is bounded by the eval suite (the same rationale that already
+    # broadcasts the eval n-gram set above), so hint the final left join
+    # too instead of leaving it to a sort-merge (guide §3.1).
+    return base.join(F.broadcast(hits), "eval_doc", "left").select(
         "eval_doc",
         F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
         F.coalesce("n_grams_hit", F.lit(0)).alias("n_grams_hit"),
