@@ -115,53 +115,23 @@ def lloyd_assignments(q: DataFrame, iters: int = _KM_ITERS, k: int = _KM_K) -> D
 
     assigned = None
     for _ in range(iters):
-        # Assignment is a pure MAP: the K centroid rows fold into ONE
-        # broadcast row holding a cluster-sorted array of (cluster, s, n)
-        # structs, and each vector computes its argmin with a fold over
-        # that array — strict < keeps the first (lowest-cluster) winner
-        # on ties, exactly the lexicographic (dist, cluster) struct-min
-        # of the round-3 form, over the same fold-ordered double
-        # distances. That form shuffled the WHOLE corpus per iteration
-        # (crossJoin to K rows per vector, then a groupBy(vec_id) hash
-        # exchange to collapse them); per-row argmin needs no exchange
-        # at all, so the only wide movement left per iteration is the
-        # skinny per-cluster component-sum aggregate — the shape that
-        # matters at 100 TB (2 corpus exchanges -> 0).
-        cents_row = cents.agg(
-            F.sort_array(
-                F.collect_list(F.struct("cluster", "s", "n"))
-            ).alias("cs")
-        )
-
-        def best_cluster():
-            def dist_c(c):
-                def term(i):
-                    d = (c["n"] * F.element_at("v", i) - F.element_at(c["s"], i)).cast(
-                        "double"
-                    )
-                    return d * d
-
-                fold = F.aggregate(
-                    F.sequence(F.lit(1), F.lit(_KM_DIM)),
-                    F.lit(0.0),
-                    lambda acc, i: acc + term(i),
-                )
-                return fold / (c["n"] * c["n"]).cast("double")
-
-            pick = F.aggregate(
-                F.col("cs"),
-                F.struct(
-                    F.lit(float("inf")).alias("d"),
-                    F.lit(-1).cast("bigint").alias("cluster"),
-                ),
-                lambda acc, c: F.when(dist_c(c) < acc["d"], F.struct(
-                    dist_c(c).alias("d"), c["cluster"].alias("cluster")
-                )).otherwise(acc),
+        # argmin via MIN over a (dist, cluster) struct — lexicographic
+        # struct ordering IS the tie-break (lowest distance, then lowest
+        # cluster id), identical to the ORDER BY dist, cluster window
+        # form but as a hash aggregate: map-side partial min collapses
+        # the K candidate rows per vector BEFORE the shuffle and nothing
+        # sorts — the shape that survives 100x (the window form shuffles
+        # K rows per vector into a sort).
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(dist_expr().alias("d"), F.col("cluster").alias("cluster"))
+                ).alias("best"),
+                F.first("v").alias("v"),
             )
-            return pick["cluster"]
-
-        assigned = q.crossJoin(F.broadcast(cents_row)).select(
-            "vec_id", "v", best_cluster().alias("cluster")
+            .select("vec_id", "v", F.col("best.cluster").alias("cluster"))
         )
         cents = assigned.groupBy("cluster").agg(
             F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(_KM_DIM)]).alias("s"),
