@@ -234,7 +234,19 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     surv = edges.select(F.col("src").alias("u")).distinct().localCheckpoint()
-    for i in range(_KCORE_ROUNDS):
+    # Fixpoint early-exit (round 10, VERDICT r9 item 7), same equivalence
+    # argument as kcore_bounded_copresence (pipeline130): the peel is
+    # monotone (src-semijoin => surv_{t+1} SUBSETOF surv_t) and a pure
+    # function of the survivor set, so a repeated count proves a repeated
+    # SET and every later round is the identity; f(EMPTY) == EMPTY. The
+    # co-purchase graph fixpoints at round 1 at sf0.01/sf0.1 (measured),
+    # so rounds 2-6 drop from the plan entirely. This supersedes the
+    # round-4 every-3rd-round checkpoint cadence (3.1 s -> 2.3 s then):
+    # the cadence amortized materialization across rounds that the
+    # early-exit now removes outright, and the per-round count runs on
+    # the checkpointed set at the scheduling floor.
+    prev_cnt = surv.count()
+    for _ in range(_KCORE_ROUNDS):
         surv = (
             edges.join(surv.select(F.col("u").alias("src")), "src", "left_semi")
             .join(surv.select(F.col("u").alias("dst")), "dst", "left_semi")
@@ -242,13 +254,11 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select(F.col("src").alias("u"))
-        )
-        # Checkpoint every 3rd round, not every round: materializing the
-        # (node-sized) survivor set dominates runtime on a graph this
-        # sparse, while 3 rounds of lineage stay cheap to analyze —
-        # measured 3.1 s -> 2.3 s at sf0.1 with identical output.
-        if (i + 1) % 3 == 0:
-            surv = surv.localCheckpoint()
+        ).localCheckpoint()
+        cnt = surv.count()
+        if cnt == 0 or cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     return (
         edges.join(surv.select(F.col("u").alias("src")), "src", "left_semi")
         .join(surv.select(F.col("u").alias("dst")), "dst", "left_semi")

