@@ -277,8 +277,12 @@ class _HuffTable(dict):
 
 #: (bits, vals) -> _HuffTable. The encoder emits the same DHT payloads
 #: for every asset, so across a corpus decode the 256-entry expansion is
-#: built once per distinct table, not once per image.
+#: built once per distinct table, not once per image. BOUNDED (ADVICE
+#: r9): arbitrary external JPEGs can carry unbounded distinct tables in
+#: a long-lived executor, so the memo clears when it would exceed the
+#: cap (synthesized-asset corpora use ~8 tables; a clear just rebuilds).
 _HUFF_FAST_CACHE: dict[tuple[bytes, bytes], _HuffTable] = {}
+_HUFF_FAST_CACHE_CAP = 256
 
 
 class _BitReader:
@@ -430,6 +434,35 @@ def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
+def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched ``_quantize_block`` over a padded component plane:
+    returns the (nby, nbx, 8, 8) int64 quantized blocks in one shot
+    (guide §4.2, VERDICT r9 item 6 — the per-block matmuls dominated
+    non-flat encode). Bit-identical to the per-block path by
+    construction: the constant-block mask, float shift, stacked matmul
+    (same 2D kernel per slice — pinned by tests/test_jpeg.py::
+    test_quantize_plane_matches_per_block), half-away rounding, and the
+    exact integer-DC overwrite are the same operations in the same
+    order, just vectorized across blocks."""
+    ph, pw = plane.shape
+    nby, nbx = ph // 8, pw // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    n = blocks.shape[0]
+    flat = blocks.reshape(n, 64).astype(np.int64)
+    const = flat.min(axis=1) == flat.max(axis=1)
+    out = np.zeros((n, 8, 8), dtype=np.int64)
+    nonconst = ~const
+    if nonconst.any():
+        shifted = blocks[nonconst].astype(np.float64) - 128.0
+        coef = _DCT_T @ shifted @ _DCT_T.T
+        out[nonconst] = _round_half_away(coef / q).astype(np.int64)
+    dc_int = flat.sum(axis=1) - 128 * 64  # = 8 · DC, exactly
+    d = 8 * int(q[0, 0])
+    qd = (2 * np.abs(dc_int) + d) // (2 * d)
+    out[:, 0, 0] = np.where(dc_int >= 0, qd, -qd)
+    return out.reshape(nby, nbx, 8, 8)
+
+
 def _encode_block(
     bw: _BitWriter,
     qblock: np.ndarray,
@@ -556,6 +589,12 @@ def _encode_jpeg(
         th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
         ph_, pw_ = p.shape
         padded.append(np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge"))
+    # quantize every component's blocks in one batched pass (bit-identical
+    # to the old per-block calls — _quantize_plane docstring)
+    qplanes = [
+        _quantize_plane(p, q_luma if ci == 0 else q_chroma)
+        for ci, p in enumerate(padded)
+    ]
     bw = _BitWriter()
     prev_dc = [0] * ncomp
     mcu = 0
@@ -568,16 +607,11 @@ def _encode_jpeg(
                 prev_dc = [0] * ncomp
             for ci in range(ncomp):
                 hs, vs = samp[ci]
-                q = q_luma if ci == 0 else q_chroma
                 dc_codes = dc_luma if ci == 0 else dc_chroma
                 ac_codes = ac_luma if ci == 0 else ac_chroma
                 for byi in range(vs):
                     for bxi in range(hs):
-                        r0 = (my * vs + byi) * 8
-                        c0 = (mx * hs + bxi) * 8
-                        qb = _quantize_block(
-                            padded[ci][r0 : r0 + 8, c0 : c0 + 8], q
-                        )
+                        qb = qplanes[ci][my * vs + byi, mx * hs + bxi]
                         prev_dc[ci] = _encode_block(
                             bw, qb, prev_dc[ci], dc_codes, ac_codes
                         )
@@ -720,11 +754,15 @@ def encode_jpeg_rgb_multiscan(
         ph_, pw_ = p.shape
         padded.append(np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge"))
 
+    # one batched quantize pass per component (bit-identical to the old
+    # per-block _quantize_block calls — _quantize_plane docstring)
+    qplanes = [
+        _quantize_plane(p, q_luma if ci == 0 else q_chroma)
+        for ci, p in enumerate(padded)
+    ]
+
     def block_at(ci: int, by: int, bx: int) -> np.ndarray:
-        q = q_luma if ci == 0 else q_chroma
-        return _quantize_block(
-            padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
-        )
+        return qplanes[ci][by, bx]
 
     # Scan 1: Y, non-interleaved — the component's own ceil-over-sample
     # block grid (§A.2.2), NOT the MCU-padded grid. One data unit per
@@ -874,6 +912,8 @@ def _parse_dht_seg(
                     code += 1
                     k += 1
                 code <<= 1
+            if len(_HUFF_FAST_CACHE) >= _HUFF_FAST_CACHE_CAP:
+                _HUFF_FAST_CACHE.clear()
             fast = _HUFF_FAST_CACHE[key] = _HuffTable(table)
         huff[(tclass, tid)] = fast
 
@@ -1337,18 +1377,30 @@ def _idct_planes(
     coefs: list[np.ndarray], comps: list[tuple], qtables: dict[int, np.ndarray]
 ) -> list[np.ndarray]:
     """Dequantize + IDCT every accumulated coefficient block (the shared
-    tail of the progressive and multi-scan sequential decoders)."""
+    tail of the progressive and multi-scan sequential decoders).
+
+    Round 10 (guide §4.2, VERDICT r9 item 5): one BATCHED dequantize +
+    IDCT over the whole plane instead of a Python loop calling
+    ``_idct_block`` per 8x8 block. Bit-identical by construction:
+    dequantization is exact int64; ``np.matmul`` with a stacked operand
+    runs the SAME 2D matmul per slice (pinned by
+    tests/test_jpeg.py::test_idct_planes_batched_matches_per_block), and
+    the split-out DC term is added with the same scalar IEEE add per
+    element as ``_idct_block``'s ``+ dc / 8.0``."""
     planes = []
     for ci, (_, _hs, _vs, tq) in enumerate(comps):
         q = qtables[tq]
         nby, nbx = coefs[ci].shape[:2]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-        for by in range(nby):
-            for bx in range(nbx):
-                coefblk = np.zeros((8, 8), dtype=np.int64)
-                coefblk[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(coefblk)
-        planes.append(plane)
+        zz = coefs[ci].reshape(nby * nbx, 64)
+        blocks = np.zeros((nby * nbx, 8, 8), dtype=np.int64)
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+        dc = blocks[:, 0, 0].astype(np.float64)
+        ac = blocks.astype(np.float64)
+        ac[:, 0, 0] = 0.0
+        out = (_DCT_T.T @ ac @ _DCT_T) + (dc / 8.0)[:, None, None]
+        planes.append(
+            out.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
     return planes
 
 
@@ -1655,13 +1707,8 @@ def _encode_progressive(
         ph_, pw_ = p.shape
         padded = np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge")
         q = q_luma if len(zz) == 0 else q_chroma
-        nby, nbx = th // 8, tw // 8
-        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
-                qb = _quantize_block(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q)
-                arr[by, bx] = qb[_ZZ_ROWS, _ZZ_COLS]
-        zz.append(arr)
+        # batched quantize (bit-identical per block — _quantize_plane)
+        zz.append(_quantize_plane(padded, q)[:, :, _ZZ_ROWS, _ZZ_COLS])
 
     out = bytearray(b"\xff\xd8")
     out += _segment(

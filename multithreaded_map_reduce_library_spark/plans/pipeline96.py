@@ -172,9 +172,11 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, eg = build_piece_graph(spark, sf_dir)
     dp = run_optimal_dp(words, eg)
     pk = F.lit(_PACK).cast("bigint")
+    # run_optimal_dp returns ONE row per word, already at the final
+    # position (ADVICE r9: the old pos == length(word) filter became a
+    # tautological no-op when the round-9 fold narrowed the contract).
     return (
         words.join(dp, "word")
-        .where(F.col("pos") == F.length("word"))
         .select(
             "word",
             "freq",

@@ -140,7 +140,9 @@ def wordpiece_greedy_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
     return (
         words.join(greedy, "word")
-        .join(dp.where(F.col("pos") == F.length("word")).select("word", "v"), "word")
+        # run_optimal_dp emits one final-position row per word (ADVICE
+        # r9: the old pos filter was a tautological no-op)
+        .join(dp.select("word", "v"), "word")
         .select(
             "word",
             "freq",

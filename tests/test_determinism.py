@@ -21,6 +21,11 @@ from multithreaded_map_reduce_library_spark.plans.registry import all_queries
 from tests.conftest import SF_SMALL
 from tests.oracle_util import _canon
 
+# Full-registry repeat-run replay (~15 min): `slow` — excluded from the
+# driver-window default run (pytest.ini); the builder end-gate and
+# tools/stability_sweep.py carry this signal per round.
+pytestmark = pytest.mark.slow
+
 _QUERIES = all_queries()
 
 

@@ -892,3 +892,70 @@ def test_progressive_dri_per_scan_marker_number_reset():
 def test_jpeg_progressive_dri_color420_query_oracle_parity(spark):
     q = all_queries()["multimodal_jpeg_progressive_dri_color420"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)
+
+
+def test_idct_planes_batched_matches_per_block():
+    """Round-10 batched _idct_planes equivalence pin: the stacked-matmul
+    dequantize+IDCT must be BITWISE equal to the per-block _idct_block
+    loop it replaced (np.matmul runs the same 2D kernel per slice; the
+    oracle hashes depend on this)."""
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        _idct_block,
+        _idct_planes,
+        _ZZ_COLS,
+        _ZZ_ROWS,
+    )
+
+    rng = np.random.default_rng(42)
+    comps = [(1, 2, 2, 0), (2, 1, 1, 1)]
+    qtables = {0: QUANT_LUMA, 1: QUANT_CHROMA}
+    coefs = [
+        rng.integers(-300, 300, size=(6, 4, 64)).astype(np.int64),
+        rng.integers(-300, 300, size=(3, 2, 64)).astype(np.int64),
+    ]
+    # sprinkle DC-only blocks (every-AC-zero) into the mix
+    coefs[0][0, 0, 1:] = 0
+    coefs[1][1, 1, 1:] = 0
+
+    got = _idct_planes(coefs, comps, qtables)
+    for ci, (_, _hs, _vs, tq) in enumerate(comps):
+        q = qtables[tq]
+        nby, nbx = coefs[ci].shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = np.zeros((8, 8), dtype=np.int64)
+                blk[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][by, bx] * q[_ZZ_ROWS, _ZZ_COLS]
+                want = _idct_block(blk)
+                have = got[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (want == have).all(), (ci, by, bx)
+
+
+def test_quantize_plane_matches_per_block():
+    """Round-10 batched encode-quantize equivalence pin: _quantize_plane
+    must be BITWISE equal to per-block _quantize_block over a plane
+    mixing flat and random blocks (the constant-DC fast path and the
+    float DCT + half-away path both)."""
+    import numpy as np
+
+    from multithreaded_map_reduce_library_spark.functions.jpeg import (
+        QUANT_CHROMA,
+        QUANT_LUMA,
+        _quantize_block,
+        _quantize_plane,
+        quant_table,
+    )
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    plane[8:16, 8:16] = 77  # constant block
+    plane[24:32, 40:48] = 0  # constant block at the dark rail
+    for q in (QUANT_LUMA, QUANT_CHROMA, quant_table(QUANT_LUMA, 2)):
+        got = _quantize_plane(plane, q)
+        for by in range(5):
+            for bx in range(7):
+                want = _quantize_block(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q)
+                assert (got[by, bx] == want).all(), (by, bx)

@@ -11,6 +11,11 @@ from multithreaded_map_reduce_library_spark.plans.registry import all_queries
 from tests.conftest import SF_ORACLE
 from tests.oracle_util import compare_query
 
+# Full-registry oracle replay (~16 min): `slow` — the driver reproduces
+# this exact signal itself (CORRECTNESS gate at sf0.01), and the default
+# pytest run must fit the driver's ~30-min window (pytest.ini).
+pytestmark = pytest.mark.slow
+
 _QUERIES = all_queries()
 
 

@@ -6,6 +6,8 @@ plan_audit.py is the same audit as a CLI."""
 
 from __future__ import annotations
 
+import pytest
+
 from multithreaded_map_reduce_library_spark.plans.registry import all_queries
 from tools.plan_audit import audit, plan_of
 
@@ -39,6 +41,8 @@ def test_allowlist_has_scaling_register_row():
     assert not stale_rows, f"SCALING.md register rows without an allowlist entry: {stale_rows}"
 
 
+@pytest.mark.slow  # builds all 452 plans (~4.5 min); tools/plan_audit.py
+# is the same audit as a CLI and runs in the builder's round end-gate
 def test_no_scale_hostile_plan_shapes(spark):
     failures = {}
     for name, q in sorted(all_queries().items()):

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
+
 from multithreaded_map_reduce_library_spark.plans.registry import all_queries
 from multithreaded_map_reduce_library_spark.sources.catalog import load_table
 
@@ -13,6 +15,8 @@ from .conftest import SF_SMALL
 from .oracle_util import compare_query
 
 
+@pytest.mark.slow  # ~60 s full-oracle replay duplicated by the driver's
+# CORRECTNESS gate and tests/test_oracle_parity.py (also slow-marked)
 def test_kcore_bounded_copresence_oracle_parity(spark):
     q = all_queries()["kcore_bounded_copresence"]
     compare_query(spark, q.fn, q.oracle, SF_SMALL)

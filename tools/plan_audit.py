@@ -103,6 +103,11 @@ ALLOW_PYTHON = {
     "ngram_containment_pairs": "shingle_hash32 pandas UDF index",
     "duplicate_ngram_coverage": "shingle_hash32 pandas UDF index",
     "simhash_fingerprint": "simhash pandas UDF",
+    "kmeans_lloyd_embeddings": "mapInArrow exact-fold argmin (round-10 Lloyd assignment kernel)",
+    "ann_ivf_kmeans": "mapInArrow exact-fold argmin (Lloyd training stage, pipeline13)",
+    "ann_ivfpq": "mapInArrow exact-fold argmin (coarse Lloyd training stage, pipeline13)",
+    "ann_ivfpq_rerank": "mapInArrow exact-fold argmin (coarse Lloyd training stage, pipeline13)",
+    "knn_shapley_valuation": "mapInArrow exact-fold pairwise cosine vs the capped 64-row test set",
     "udtf_chunk_documents": "Python UDTF chunker",
     "mr_api_wordcount": "RDD Mapper/Reducer parity facade",
     "rdd_wordcount_parity": "RDD parity path",

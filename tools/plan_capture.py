@@ -31,13 +31,24 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _usage_exit() -> None:
+    print(__doc__.split("Usage:")[1].strip(), file=sys.stderr)
+    raise SystemExit(2)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     code_dir = HERE
     if "--code-dir" in args:
         i = args.index("--code-dir")
+        if i + 1 >= len(args):
+            print("plan_capture: --code-dir requires a directory", file=sys.stderr)
+            _usage_exit()
         code_dir = os.path.abspath(args[i + 1])
         del args[i : i + 2]
+    if len(args) < 2:
+        print("plan_capture: OUTDIR and SUFFIX are required", file=sys.stderr)
+        _usage_exit()
     outdir, suffix = args[0], args[1]
     pattern = re.compile(args[2]) if len(args) > 2 else None
     os.makedirs(outdir, exist_ok=True)
